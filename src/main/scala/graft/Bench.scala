@@ -1,24 +1,58 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.SparkEnv
+
+/** Benchmark harness: times every registered query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line for the driver.
+  *
+  * Each query's full result is materialized with a `noop` write — unlike
+  * `count()`, that cannot let Catalyst prune the output columns or skip
+  * work a real consumer would pay for. Failures are reported as -1 (never
+  * as a bogus fast timing) plus an `errors` map.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val spark = SparkEnv.session("graft-bench")
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'          => "\\\""
+        case '\\'         => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c            => c.toString
+      }
+
+    // Warm up JIT/codegen/shuffle paths so the alphabetically-first query
+    // doesn't absorb ~10s of one-time JVM cost in its reported timing.
+    try {
+      import org.apache.spark.sql.functions.col
+      spark.range(1000000).groupBy((col("id") % 100).as("k")).count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+    val results: Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (name, (System.nanoTime() - t0) / 1e9, None)
+        } catch {
+          case e: Throwable =>
+            (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+        }
+      }
+
+    val qs = results
+      .map { case (k, v, _) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + esc(k) + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    val ok    = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

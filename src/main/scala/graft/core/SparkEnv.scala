@@ -4,17 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SparkSession factory for the graft engine.
   *
-  * One session per process; all graft entry points (Verify, Bench, tests)
-  * build through here so the scale-sensitive knobs are set once:
+  * Every graft entry point (Verify, Bench, tests) calls `SparkEnv.session()`
+  * FIRST — `getOrCreate()` ignores configs on an already-existing session,
+  * so the scale- and correctness-sensitive knobs below must be set by
+  * whoever creates the session:
   *
-  *   - `spark.sql.shuffle.partitions` sized to the local core count (the
-  *     driver runs local[32]); on a real cluster this would be left to AQE
-  *     coalescing from a higher initial value.
+  *   - `spark.sql.shuffle.partitions` = local core count (default 4,
+  *     overridable via SPARK_GRAFT_CPUS; the driver harness exports 32).
+  *     Pinning partitions==cores is the deliberate local-mode choice; on a
+  *     real cluster we'd leave a higher initial value and let AQE coalesce.
   *   - AQE on: runtime re-planning (skew-join splitting, partition
   *     coalescing, dynamic broadcast) is the main lever that lets the same
   *     declarative plans survive a 100x scale-up.
-  *   - UTC session time zone + TIMESTAMP_MICROS parquet output so results
-  *     hash-match the DuckDB oracle byte-for-byte.
+  *   - UTC session time zone + TIMESTAMP_MICROS parquet output so
+  *     timestamp-producing results hash-match the DuckDB oracle.
   */
 object SparkEnv {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,6 +32,9 @@ object SparkEnv {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
+      // rejects; read it as raw nanos and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -51,7 +57,14 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** `ts` is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it as a
+    * long (nanosAsLong) and we floor-divide to micros — integer `div`, not
+    * double division, since epoch-nanos exceed 2^53.
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    t("events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k against a query vector — the exactness
+  *     baseline. The query vector is ONE row, broadcast; the scan side is
+  *     embarrassingly parallel (per-row fold, no shuffle except the final
+  *     top-k, which Spark plans as TakeOrderedAndProject: per-partition
+  *     heaps + a k-row driver merge). This shape survives 100 TB: cost is
+  *     one pass over the vectors.
+  *   - sign-LSH (random hyperplane) bucketing — the approximate scale path
+  *     for vector-to-vector workloads (near-dup pairs): vectors meet only
+  *     within their LSH bucket via a hash join on the bucket key, never via
+  *     a cartesian product.
+  *
+  * All arithmetic is float→double cast then a left-to-right `aggregate`
+  * fold, so scores are deterministic and engine-independent.
+  */
+object Similarity {
+
+  /** Elementwise-product dot: deterministic left-to-right double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic random hyperplanes for sign-LSH (seeded, engine-local). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket key: concatenated sign bits of projections onto the planes. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(emb, planeCol) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Brute-force top-k cosine neighbors of the vector with `queryId`. */
+  def topKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    emb
+      .crossJoin(broadcast(qv)) // 1-row broadcast: a BroadcastNestedLoopJoin over a single row, not a shuffle
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .select("vec_id", "label", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select("rank", "vec_id", "label")
+  }
+
+  /** ANN top-k: restrict the scan to the query vector's LSH bucket. */
+  def annTopKLsh(emb: DataFrame, queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+    val planes   = hyperplanes(nPlanes, 64)
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val qRow = bucketed
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    bucketed
+      .join(broadcast(qRow), col("bucket") === col("qbucket"))
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .select("vec_id", "label", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select("rank", "vec_id", "label")
+  }
+
+  /** Embedding near-duplicate pairs: same LSH bucket AND cosine >= tau.
+    * The pair generation is a self-join on the bucket key — bucketed, not
+    * all-pairs.
+    */
+  def nearDupPairs(emb: DataFrame, tau: Double, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val b = emb.select(
+      col("vec_id"),
+      col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket")
+    )
+    b.alias("a")
+      .join(
+        b.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
+      )
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"))
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  /** Exact top-10 cosine neighbors of vec_id=0. Score excluded from the
+    * output so a sub-ulp summation difference can never flip a hash compare;
+    * rank order itself is stable (cosine gaps >> double epsilon).
+    */
+  val annTopK: Q = Q(
+    "q_ann_topk",
+    (s, dir) => topKCosine(Tables(s, dir).embeddings, 0L, 10),
+    Some(
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT vec_id, label,
+        |    list_dot_product(embedding::DOUBLE[], qv)
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(qv, qv))) AS cos
+        |  FROM embeddings, q)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank, vec_id, label
+        |FROM sc ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    )
+  )
+
+  /** LSH-bucketed ANN (approximate scale path) — no SQL oracle (the bucket
+    * assignment depends on engine-local hyperplanes); rows-only check +
+    * plan/recall assertions live in SimilaritySpec.
+    */
+  val annLsh: Q = Q(
+    "q_ann_lsh",
+    (s, dir) => annTopKLsh(Tables(s, dir).embeddings, 0L, 10),
+    None
+  )
+
+  /** LSH-bucketed embedding near-dup pairs (rows-only + plan test). */
+  val embedNearDup: Q = Q(
+    "q_embed_neardup",
+    (s, dir) => nearDupPairs(Tables(s, dir).embeddings, 0.8).orderBy("v1", "v2"),
+    None
+  )
+
+  val all: Seq[Q] = Seq(annTopK, annLsh, embedNearDup)
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-stream analytics over the `events` table: tumbling time windows,
+  * semi-structured (JSON-ish) property extraction, and gap-based
+  * sessionization. These are the batch duals of the Structured Streaming
+  * pipelines in [[graft.streaming.EventStream]] — same expressions, so a
+  * correctness-green batch query certifies the streaming transform logic.
+  *
+  * Scale notes: window aggregation groups on (truncated-ts, type) → one
+  * partial+final hash-agg exchange; sessionization shuffles once on user_id
+  * and sorts within partitions (no global sort). At 100 TB the events table
+  * would be date-partitioned so the window group-by never shuffles more than
+  * a partition's worth of distinct (hour, type) groups.
+  */
+object EventQueries {
+  import Num._
+
+  /** Tumbling 1-hour windows per event type. */
+  val eventsWindow: Q = Q(
+    "q_events_window",
+    (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(
+          date_trunc("hour", col("ts")).as("win_start"),
+          col("event_type")
+        )
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value")
+        )
+        .orderBy("win_start", "event_type"),
+    Some(
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
+  /** Semi-structured property extraction from the JSON `props` column,
+    * aggregated per event type. The extraction is a regexp pull of the "k"
+    * field so the oracle needs no JSON extension; the Spark side uses the
+    * same expression (get_json_object would work identically here).
+    */
+  val eventsJson: Q = Q(
+    "q_events_json",
+    (s, dir) =>
+      Tables(s, dir).events
+        .select(
+          col("event_type"),
+          regexp_extract(col("props"), """"k": (-?\d+)""", 1).cast("long").as("k")
+        )
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(col("k")).as("cnt_k"))
+        .orderBy("event_type"),
+    Some(
+      """SELECT event_type,
+        |  SUM(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k,
+        |  COUNT(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS cnt_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    )
+  )
+
+  /** Gap-based sessionization: a new session starts after >5 min of
+    * inactivity per user. Timestamps are compared as epoch microseconds so
+    * both engines do exact integer arithmetic.
+    */
+  val sessionize: Q = Q(
+    "q_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 300000000L, 1L).otherwise(0L)
+        )
+        .groupBy("user_id")
+        .agg(sum("new_session").as("sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some(
+      """SELECT user_id, SUM(new_session) AS sessions, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 300000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(eventsWindow, eventsJson, sessionize)
+}

@@ -18,10 +18,17 @@ final case class Q(
   *
   * Double sums are order-dependent, and Spark's partial/final aggregation
   * order differs from DuckDB's — so any hash-compared aggregate of a double
-  * column is routed through an exact DECIMAL cast (the test data carries
-  * 2-decimal money and 4-decimal rates; see FIXTURES.md) and only the final
-  * exact value is cast back to double. Both engines then produce bit-identical
+  * column is routed through an exact DECIMAL cast and only the final exact
+  * value is cast back to double. Both engines then produce bit-identical
   * results regardless of summation order or parallelism.
+  *
+  * PRECONDITION for [[Num.dsum]]/[[Num.revenue]]/[[Num.charge]]: the input
+  * double column must carry at most 2 (money) / 4 (rate) decimal digits —
+  * true for every money/rate column in the fixtures (FIXTURES.md §3). A
+  * double with more precision would be silently HALF_UP-rounded by the cast;
+  * mirror the same CAST in the DuckDB oracle so both engines round alike.
+  * Per-row double arithmetic (no aggregation) needs none of this: identical
+  * IEEE-754 inputs and one expression tree give bit-identical results.
   */
 object Num {
   // Widths are kept tight so chained decimal multiplies stay under both
@@ -32,8 +39,23 @@ object Num {
   /** Exact sum of a money-scale double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
 
-  /** Exact sum of an arbitrary decimal-typed expression, as double. */
-  def dsumExpr(e: Column): Column = sum(e).cast(DoubleType)
+  /** Exact sum of an arbitrary decimal-typed expression, as double. The sum
+    * is first rounded to scale 2: a high-scale decimal's unscaled value can
+    * exceed 2^53, where DuckDB's (unscaled→double)/10^scale conversion
+    * double-rounds while Spark's BigDecimal path rounds once — a 1-ulp
+    * hash mismatch. At scale 2 both paths are exact-then-one-division.
+    * Mirror `CAST(round(SUM(..), 2) AS DOUBLE)` in oracles — NOT a decimal
+    * downcast: DuckDB's decimal→decimal cast truncates toward zero while
+    * Spark's rounds HALF_UP; DuckDB's `round()` is half-away-from-zero,
+    * which matches Spark.
+    */
+  def dsumExpr(e: Column): Column = sum(e).cast(DecimalType(38, 2)).cast(DoubleType)
+
+  /** Exact mean of a money-scale double column: exact decimal sum, one
+    * double division by the exact count — deterministic in both engines.
+    */
+  def davg(c: Column): Column =
+    sum(c.cast(Money)).cast(DoubleType) / count(lit(1))
 
   /** revenue term: extendedprice * (1 - discount), exact decimal. */
   def revenue(price: Column, discount: Column): Column =

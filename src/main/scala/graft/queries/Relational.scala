@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational operator surface (SURVEY.md §2.3): scan, filter, projection,
+  * joins (broadcast / shuffle / semi / anti), aggregation (hash, partial+
+  * final), distinct, sort/top-k, set ops, window functions, rollup.
+  *
+  * The reference exposes these only through its generic map/group/reduce
+  * contract (`/root/reference/mapreduce/manager/__main__.py:560-593`); here
+  * each category is a declarative DataFrame plan so Catalyst gets pushdown,
+  * pruning, partial aggregation and join-strategy choice for free.
+  *
+  * Scale notes (100 TB posture):
+  *   - dimension joins (region/nation/customer/supplier) are explicitly
+  *     `broadcast()` — no shuffle of the fact side;
+  *   - fact-fact joins shuffle on the join key only after filters, so AQE
+  *     can size/skew-split the exchange;
+  *   - every aggregate is expressed via `groupBy.agg` → Catalyst plans
+  *     partial (map-side) + final HashAggregate, shuffling only the
+  *     pre-aggregated groups.
+  */
+object Relational {
+  import Num._
+
+  private def q(
+      name: String,
+      oracle: String
+  )(fn: (SparkSession, String) => DataFrame): Q = Q(name, fn, Some(oracle))
+
+  /** TPC-H Q1-shaped pricing summary: filter → partial/final hash agg. */
+  val q1Agg: Q = q(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    val li = Tables(s, dir).lineitem
+    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        dsumExpr(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Predicate pushdown showcase: range + numeric filters, narrow projection.
+    * `.explain` must show PushedFilters on the parquet scan and a 5-column
+    * ReadSchema.
+    */
+  val qFilter: Q = q(
+    "q_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_quantity < 10""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 10
+      )
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+  }
+
+  /** Projection with scalar functions (column pruning showcase). */
+  val qProject: Q = q(
+    "q_project",
+    """SELECT doc_id, lang, upper(source) AS src_upper, n_chars,
+      |       length(text) AS text_len
+      |FROM documents""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        upper(col("source")).as("src_upper"),
+        col("n_chars"),
+        length(col("text")).as("text_len")
+      )
+  }
+
+  /** Star join: fact orders through broadcast customer → nation → region.
+    * All three dims are broadcast — zero shuffle of the fact side; the only
+    * exchange is the final group-by on (r_name, n_name).
+    */
+  val qJoinBroadcast: Q = q(
+    "q_join_broadcast",
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_rev,
+      |  COUNT(*) AS cnt
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("o_totalprice")).as("total_rev"), count(lit(1)).as("cnt"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Fact-fact join: lineitem ⋈ orders shuffle on l_orderkey/o_orderkey.
+    * At 100 TB both sides are large → sort-merge/shuffled-hash on the key;
+    * filters sit below the join so the exchange carries only needed rows,
+    * and AQE skew-join splitting handles hot orderkeys.
+    */
+  val qJoinShuffle: Q = q(
+    "q_join_shuffle",
+    """SELECT o_orderpriority, l_returnflag,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_rev,
+      |  COUNT(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority, l_returnflag
+      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_rev"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one order. */
+  val qSemiJoin: Q = q(
+    "q_semi_join",
+    """SELECT c_mktsegment, COUNT(*) AS cnt
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  val qAntiJoin: Q = q(
+    "q_anti_join",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Distinct: dropDuplicates → partial+final aggregate, no global sort. */
+  val qDistinct: Q = q(
+    "q_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2"
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Top-k: sort().limit(k) → Spark plans TakeOrderedAndProject (per-
+    * partition heap + driver merge of k rows), not a global sort. Tie-broken
+    * on o_orderkey so the result is a total order in both engines.
+    */
+  val qTopK: Q = q(
+    "q_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Set op: INTERSECT (distinct) of two filtered key sets. */
+  val qIntersect: Q = q(
+    "q_intersect",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** Set op: EXCEPT (distinct). */
+  val qExcept: Q = q(
+    "q_except",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** Set op: UNION (distinct) of customer keys from two sources. */
+  val qUnion: Q = q(
+    "q_union",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      |UNION
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.orders.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+      .union(t.customer.filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+  }
+
+  /** Window function: top-3 orders per customer by price (row_number over a
+    * customer-partitioned window — shuffles once on o_custkey, sorts within
+    * partitions only; no global sort).
+    */
+  val qWindow: Q = q(
+    "q_window",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        row_number().over(w).as("rn")
+      )
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Rollup: hierarchical subtotals (returnflag → returnflag×linestatus →
+    * grand total) in one pass.
+    */
+  val qRollup: Q = q(
+    "q_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Aggregation variety: min/max/count-distinct (all exact, no doubles
+    * summed as doubles).
+    */
+  val qAggStats: Q = q(
+    "q_agg_stats",
+    """SELECT l_returnflag,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  COUNT(DISTINCT l_orderkey) AS distinct_orders,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(
+    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qSemiJoin,
+    qAntiJoin, qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow,
+    qRollup, qAggStats
+  )
+}

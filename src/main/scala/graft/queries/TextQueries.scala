@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The reference's two demo workloads (SURVEY.md §2.2) re-expressed natively,
+  * plus the text-analysis extension surface (language-ID heuristic, quality
+  * scoring, token counting, document fingerprinting) over `documents`.
+  *
+  * word_count reproduces the wc_map.sh semantics
+  * (`/root/reference/tests/testdata/exec/wc_map.sh:12`): split on the tr set
+  * `[ \t]` — whose brackets are themselves set members, an artifact kept
+  * deliberately — lowercase, and KEEP empty tokens (an empty input line maps
+  * to the empty-string key; asserted in the reference's
+  * `tests/test_worker_05.py:113-115`).
+  *
+  * grep reproduces grep_map.py/grep_reduce.py
+  * (`/root/reference/tests/testdata/exec/grep_map.py:27`): case-insensitive
+  * substring filter + projection of the matching line.
+  *
+  * Scale notes: every query here is a narrow scan→project stage followed by
+  * at most one hash-aggregate exchange; token explosion happens map-side and
+  * feeds partial aggregation, so the shuffle carries (word, partial_count)
+  * not raw tokens.
+  */
+object TextQueries {
+
+  /** Reference-faithful tokenizer split class (space, tab, '[', ']'). */
+  private val WcSplit = """[ \t\[\]\n]"""
+
+  val wordCount: Q = Q(
+    "word_count",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(split(lower(col("text")), WcSplit, -1)).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word"),
+    Some(
+      """SELECT w AS word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\[\]\n]')) AS w FROM documents)
+        |GROUP BY w ORDER BY w""".stripMargin
+    )
+  )
+
+  val grep: Q = Q(
+    "grep",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .filter(lower(col("text")).contains("join"))
+        .select("doc_id", "text")
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, text FROM documents
+        |WHERE contains(lower(text), 'join') ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Per-(lang, source) corpus statistics: doc/char/token counts. Exact int
+    * aggregates; the mean is one double division of exact ints.
+    */
+  val textStats: Q = Q(
+    "q_text_stats",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("sum_tokens")
+        )
+        .orderBy("lang", "source"),
+    Some(
+      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  SUM(len(string_split(text, ' '))) AS sum_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    )
+  )
+
+  private val StopWords = Seq("the", "of", "and", "to", "in", "a", "is")
+  private val StopList  = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** N-gram/stopword language-ID heuristic: fraction of whitespace tokens
+    * that are common English function words. Declarative: token explode →
+    * conditional count → ratio, all codegen'd; no UDF.
+    */
+  val langId: Q = Q(
+    "q_langid",
+    (s, dir) => {
+      val toks = split(lower(col("text")), " ", -1)
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("tok_cnt"),
+          size(filter(toks, x => x.isInCollection(StopWords))).cast("long").as("stop_cnt")
+        )
+        .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("tok_cnt"))
+        .withColumn(
+          "lang_pred",
+          when(col("tok_cnt") > lit(0) && col("stop_ratio") >= 0.03, "en").otherwise("unk")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""SELECT doc_id, tok_cnt, stop_cnt,
+         |  CAST(stop_cnt AS DOUBLE) / tok_cnt AS stop_ratio,
+         |  CASE WHEN tok_cnt > 0 AND CAST(stop_cnt AS DOUBLE) / tok_cnt >= 0.03
+         |       THEN 'en' ELSE 'unk' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, COUNT(*) AS tok_cnt,
+         |         SUM(CASE WHEN w IN $StopList THEN 1 ELSE 0 END) AS stop_cnt
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents)
+         |  GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Quality scoring: length / punctuation / token-count heuristics used to
+    * filter training corpora. Per-row arithmetic only — no double aggregation
+    * — so values are bit-identical across engines.
+    */
+  val quality: Q = Q(
+    "q_quality",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+          .cast("long")
+          .as("punct_cnt")
+      ).withColumn("punct_ratio", col("punct_cnt").cast("double") / col("len_chars"))
+        .withColumn(
+          "keep",
+          when(col("n_tok").between(5, 10000) && col("punct_ratio") < 0.1, 1).otherwise(0)
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT *,
+        |  CASE WHEN n_tok BETWEEN 5 AND 10000 AND punct_ratio < 0.1
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** BPE-ish token counting: alpha runs, digit runs, and single
+    * non-alphanumeric symbols each count as one token.
+    */
+  val tokenCount: Q = Q(
+    "q_token_count",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+            .cast("long")
+            .as("n_bpe_tok")
+        )
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tok
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dedup key used by [[graft.ext.Dedup]].
+    */
+  val fingerprint: Q = Q(
+    "q_fingerprint",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp")
+        )
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint)
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/localverify.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same sfDir tables,
+then compares: columns sorted by name, rows sorted by all columns, values
+hashed exactly (this mirrors the documented driver behavior).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = 0
+    for name in names:
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            status = "ROWS-ONLY"
+            print(f"{status} {name}: rows={len(spark_df)}")
+            continue
+        try:
+            oracle_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        a, b = canon(spark_df), canon(oracle_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} != {len(b)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            print(f"PASS {name}: rows={len(a)}")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch:\n{str(e)[:800]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(names)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
