@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
+
+/** Group stage (reference O4+O5): globally sort the mapped `key\tvalue`
+  * lines and split them into `numReducers` sorted reduce inputs.
+  *
+  * Two routing modes:
+  *
+  *   - [[hash]] (default, the scalable path): shuffle on the line with a
+  *     hash partitioner + sort within partitions — one exchange, no global
+  *     ordering structure, survives any scale. Equal lines still land in
+  *     one partition and adjacent, which is the only property reducers
+  *     actually rely on (`wc_reduce.sh` counts adjacent equal keys).
+  *
+  *   - [[rankMod]] (golden-parity mode): reproduces the reference's
+  *     distinct-line round-robin router byte-for-byte
+  *     (`/root/reference/mapreduce/manager/__main__.py:587-593`): walk the
+  *     merged sorted stream, increment a counter on each NEW distinct line,
+  *     route the line to `counter % numReducers`. Implemented scalably as
+  *     sorted-distinct `zipWithIndex` (rank per distinct line; an O(1)-driver
+  *     metadata pass, not a global single-partition window) joined back to
+  *     the lines, then an explicit bucket partitioner + per-partition sort.
+  *     Note the quirk kept deliberately: routing is per distinct *line*
+  *     (key AND value), not per key — same key with different values can
+  *     split across reducers, exactly like the reference.
+  */
+object GroupStage {
+
+  /** Routes key `i` to partition `i` — the bucket id IS the partition. */
+  private final class BucketPartitioner(n: Int) extends Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[(Int, String)]._1
+    override def equals(other: Any): Boolean = other match {
+      case p: BucketPartitioner => p.numPartitions == n
+      case _                    => false
+    }
+    override def hashCode(): Int = n
+  }
+
+  /** Lexicographic (UTF-16 code unit) line ordering — equals the reference's
+    * Python code-point sort for all BMP text, and byte order for ASCII.
+    * The reference sorts lines WITH their trailing newline
+    * (`readlines()` + `sort()`, `/root/reference/mapreduce/worker/__main__.py:180-182`),
+    * which flips the order of a line that is a proper prefix of another
+    * continuing with '\t' (0x09 < 0x0A) — so we append '\n' to the sort key.
+    */
+  private def sortKey(l: String): String                 = l + "\n"
+  private implicit val lineOrd: Ordering[(Int, String)] = Ordering.by(t => sortKey(t._2))
+
+  /** Scalable default: hash-route lines to reducers, sort within partitions.
+    * The shuffle key is (bucket, line): the partitioner reads the bucket,
+    * the within-partition sort orders by line.
+    */
+  def hash(lines: RDD[String], numReducers: Int): RDD[String] =
+    lines
+      .map(l => (((l.hashCode % numReducers + numReducers) % numReducers, l), null))
+      .repartitionAndSortWithinPartitions(new BucketPartitioner(numReducers))
+      .map(_._1._2)
+
+  /** Golden-parity rank-mod router (see object doc). */
+  def rankMod(lines: RDD[String], numReducers: Int): RDD[String] = {
+    // rank each DISTINCT line in global sorted order; zipWithIndex launches
+    // one job to count per-partition sizes — no single-partition bottleneck
+    val ranked: RDD[(String, Int)] = lines
+      .distinct()
+      .sortBy(sortKey)
+      .zipWithIndex()
+      .map { case (line, rank) => (line, (rank % numReducers).toInt) }
+    lines
+      .map(l => (l, ()))
+      .join(ranked) // shuffle join on the line; all copies meet their rank
+      .map { case (line, (_, bucket)) => ((bucket, line), null) }
+      .repartitionAndSortWithinPartitions(new BucketPartitioner(numReducers))
+      .map(_._1._2)
+  }
+
+  def apply(lines: RDD[String], numReducers: Int, parityMode: Boolean): RDD[String] =
+    if (parityMode) rankMod(lines, numReducers) else hash(lines, numReducers)
+}
