@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream. The reference is
+  * batch-only (`/root/reference/mapreduce/manager/__main__.py:346-361` runs
+  * every job to completion), so this is north-star scope: the same event
+  * analytics as [[graft.queries.EventQueries]], expressed as streaming
+  * transforms that also run unchanged on batch DataFrames — a green batch
+  * correctness row certifies the shared expression logic, and the
+  * MemoryStream specs certify watermark/state behavior.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 min is dropped, state for closed windows evicted);
+  * sessionization state is per-user and evicted on timeout — both are the
+  * standard shapes that hold at 1000-executor scale because state is
+  * partitioned by group key across executors.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windows per event type with a 10-minute watermark.
+    * Works on both streaming and batch inputs (watermark is a no-op on
+    * batch).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Built-in gap-based session windows (5-minute inactivity gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("session_start"), col("n_events"))
+
+  /** One event as consumed by the typed stateful transform. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Per-user running state for [[runningTotals]]. */
+  final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event count
+    * and value total, emitted on every trigger. State is evicted 30 min of
+    * EVENT time after a user's last event (watermark-driven
+    * EventTimeTimeout) — unlike a processing-time timeout this fires no
+    * extra no-data micro-batches and scales with the watermark, not the
+    * wall clock.
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+            var maxTs = 0L
+            var n     = prev.n_events
+            var v     = prev.total_value
+            batch.foreach { e =>
+              n += 1; v += e.value
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            val next = UserAgg(userId, n, v)
+            state.update(next)
+            state.setTimeoutTimestamp(maxTs + 30L * 60 * 1000)
+            next
+          }
+      }
+  }
+
+  /** Default sink wiring: append-mode parquet with checkpointing — the shape
+    * a production pipeline uses (exactly-once via checkpoint + idempotent
+    * files).
+    */
+  def writeParquet(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

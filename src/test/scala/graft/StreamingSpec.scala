@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, UserAgg}
+
+/** Streaming semantics via MemoryStream: watermark-driven window closure,
+  * late-data handling, session windows, and custom keyed state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double): Event =
+    Event(id, ts(t), user, typ, v)
+
+  test("hourly windowed counts close on watermark and drop too-late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .hourlyCounts(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("hourly")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        ev(1, "2026-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2026-01-01 10:40:00", 2, "click", 2.0),
+        ev(3, "2026-01-01 10:59:00", 1, "view", 3.0)
+      )
+      q.processAllAvailable()
+      // advance the watermark past 11:10 so the 10:00 window closes
+      input.addData(ev(4, "2026-01-01 11:30:00", 3, "click", 4.0))
+      q.processAllAvailable()
+      // an event for the closed 10:00 window arrives too late → dropped
+      input.addData(ev(5, "2026-01-01 10:01:00", 9, "click", 99.0))
+      q.processAllAvailable()
+      // one more watermark bump to flush
+      input.addData(ev(6, "2026-01-01 13:00:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM hourly ORDER BY win_start, event_type").collect()
+      val tenOClock = rows.filter(_.getTimestamp(0) == ts("2026-01-01 10:00:00"))
+      assert(tenOClock.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("click", 2L), ("view", 1L)))
+      // the late event (id=5) must NOT appear: click count stays 2
+      assert(tenOClock.find(_.getString(1) == "click").get.getLong(2) == 2L)
+    } finally q.stop()
+  }
+
+  test("session windows split on the 5-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .sessionCounts(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "a", 0),
+        ev(2, "2026-01-01 10:03:00", 1, "a", 0), // same session (3 min gap)
+        ev(3, "2026-01-01 10:20:00", 1, "a", 0)  // new session (17 min gap)
+      )
+      q.processAllAvailable()
+      input.addData(ev(9, "2026-01-01 12:00:00", 2, "a", 0)) // watermark flush
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT user_id, n_events FROM sessions WHERE user_id = 1 ORDER BY session_start")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .runningTotals(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("running")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      input.addData(ev(1, "2026-01-01 10:00:00", 1, "a", 1.5), ev(2, "2026-01-01 10:01:00", 1, "a", 2.5))
+      q.processAllAvailable()
+      input.addData(ev(3, "2026-01-01 10:02:00", 1, "a", 1.0), ev(4, "2026-01-01 10:02:30", 2, "a", 7.0))
+      q.processAllAvailable()
+      val byUser = spark
+        .sql("SELECT user_id, max(n_events), max(total_value) FROM running GROUP BY user_id ORDER BY user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(byUser.toSeq == Seq((1L, 3L, 5.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming hourlyCounts agree on the same data") {
+    import spark.implicits._
+    val batch = Seq(
+      ev(1, "2026-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2026-01-01 10:40:00", 2, "click", 2.0),
+      ev(3, "2026-01-01 11:15:00", 1, "view", 3.0)
+    ).toDF()
+    val got = EventStream
+      .hourlyCounts(batch)
+      .orderBy("win_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(
+      got.toSeq == Seq(
+        (ts("2026-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2026-01-01 11:00:00"), "view", 1L, 3.0)
+      )
+    )
+  }
+}
