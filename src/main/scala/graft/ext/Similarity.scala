@@ -52,6 +52,20 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** Multi-table LSH buckets: `(table_id, bucket)` rows, one per table.
+    * Standard (L tables x k planes) sign-LSH: a single k-plane table's
+    * collision probability is (1 - θ/π)^k, far too low for useful recall;
+    * L independent tables union their candidates, so recall is
+    * 1 - (1 - p^k)^L while each table's join stays bucket-bounded.
+    */
+  def lshTables(emb: Column, nTables: Int, nPlanes: Int, dim: Int = 64): Column = {
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed = 42L + t)
+      struct(lit(t).as("table_id"), lshBucket(emb, planes).as("bucket"))
+    }
+    array(tables: _*)
+  }
+
   /** Brute-force top-k cosine neighbors of the vector with `queryId`. */
   def topKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
@@ -65,15 +79,22 @@ object Similarity {
       .select("rank", "vec_id", "label")
   }
 
-  /** ANN top-k: restrict the scan to the query vector's LSH bucket. */
-  def annTopKLsh(emb: DataFrame, queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
-    val planes   = hyperplanes(nPlanes, 64)
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val qRow = bucketed
+  /** ANN top-k: candidates = vectors sharing any LSH table bucket with the
+    * query (hash join on (table_id, bucket) after an explode — the shuffle
+    * carries (vec_id, bucket) pairs, never embeddings-times-embeddings),
+    * then exact cosine re-rank of the candidate set only.
+    */
+  def annTopKLsh(emb: DataFrame, queryId: Long, k: Int, nTables: Int = 4, nPlanes: Int = 4): DataFrame = {
+    val keyed = emb
+      .select(col("vec_id"), col("label"), col("embedding"), explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
+    val qRows = keyed
       .filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
-    bucketed
-      .join(broadcast(qRow), col("bucket") === col("qbucket"))
+      .select(col("embedding").as("qv"), col("table_id").as("qt"), col("bucket").as("qb"))
+    keyed
+      .join(broadcast(qRows), col("table_id") === col("qt") && col("bucket") === col("qb"))
+      .select("vec_id", "label", "embedding", "qv")
+      .dropDuplicates("vec_id") // candidate may match in several tables
       .withColumn("cos", cosine(col("embedding"), col("qv")))
       .select("vec_id", "label", "cos")
       .orderBy(col("cos").desc, col("vec_id"))
@@ -82,25 +103,33 @@ object Similarity {
       .select("rank", "vec_id", "label")
   }
 
-  /** Embedding near-duplicate pairs: same LSH bucket AND cosine >= tau.
-    * The pair generation is a self-join on the bucket key — bucketed, not
-    * all-pairs.
+  /** Embedding near-duplicate pairs: same bucket in ANY LSH table AND
+    * cosine >= tau. Pair generation is a self-join on (table_id, bucket) —
+    * bucketed, never all-pairs; pairs found by several tables dedup before
+    * the exact cosine verification.
     */
-  def nearDupPairs(emb: DataFrame, tau: Double, nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
-    val b = emb.select(
-      col("vec_id"),
-      col("embedding"),
-      lshBucket(col("embedding"), planes).as("bucket")
-    )
-    b.alias("a")
+  def nearDupPairs(emb: DataFrame, tau: Double, nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
+    val b = emb
+      .select(col("vec_id"), col("embedding"), explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
+    val pairs = b.alias("a")
       .join(
         b.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id")
       )
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .select(
+        col("a.vec_id").as("v1"),
+        col("b.vec_id").as("v2"),
+        col("a.embedding").as("e1"),
+        col("b.embedding").as("e2")
+      )
+      .dropDuplicates("v1", "v2")
+    pairs
+      .withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= tau)
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"))
+      .select("v1", "v2", "cos")
   }
 
   // ---- registered queries -------------------------------------------------

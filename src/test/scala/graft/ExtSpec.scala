@@ -1,0 +1,110 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, SimHash, Similarity}
+import graft.core.Tables
+
+/** Behavioral specs for the LLM-pipeline extension operators. */
+class ExtSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("simhash64 is deterministic and near-dup-sensitive") {
+    val a = SimHash.simhash64(SimHash.tokenize("the quick brown fox jumps over the lazy dog"))
+    val b = SimHash.simhash64(SimHash.tokenize("the quick brown fox jumps over the lazy dog"))
+    val c = SimHash.simhash64(SimHash.tokenize("the quick brown fox jumped over the lazy dog"))
+    val d = SimHash.simhash64(SimHash.tokenize("completely different words entirely unrelated text"))
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ d))
+  }
+
+  test("simhash near-dup pairs are symmetric-free (d1 < d2) and within distance") {
+    val pairs = SimHash
+      .nearDupPairs(spark, Tables(spark, sf).documents, 3)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 3 || r.getLong(2) <= 3)
+    }
+  }
+
+  test("exact dedup groups sum to the corpus size") {
+    val total = Dedup.dedupExact
+      .fn(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("copies"))
+      .collect()(0)
+      .getLong(0)
+    assert(total == Tables(spark, sf).documents.count())
+  }
+
+  test("LSH near-dup candidates contain every injected exact duplicate pair") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    // inject exact duplicates: copies of docs 0..4 under ids 10000..10004 —
+    // identical text ⇒ identical MinHash signature ⇒ MUST share every band
+    val dups = docs.filter(col("doc_id") < 5).select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val corpus = docs.union(dups)
+    val candidates = Dedup
+      .candidatePairs(corpus)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = (0L until 5L).map(i => (i, i + 10000)).toSet
+    assert(expected.subsetOf(candidates), s"missing: ${expected.diff(candidates)}")
+  }
+
+  test("brute-force top-k cosine ranks the query vector itself first") {
+    val top = Similarity.topKCosine(Tables(spark, sf).embeddings, 0L, 10).collect()
+    assert(top.head.getLong(1) == 0L, "query vector must be its own nearest neighbor")
+    assert(top.length == 10)
+  }
+
+  test("LSH ANN results are a subset of the vector universe with rank 1 = query") {
+    val ann = Similarity.annTopKLsh(Tables(spark, sf).embeddings, 0L, 10).collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getLong(1) == 0L)
+  }
+
+  test("LSH ANN recall vs brute force is reasonable on the fixture") {
+    val exact = Similarity
+      .topKCosine(Tables(spark, sf).embeddings, 0L, 10)
+      .collect()
+      .map(_.getLong(1))
+      .toSet
+    val ann = Similarity
+      .annTopKLsh(Tables(spark, sf).embeddings, 0L, 10)
+      .collect()
+      .map(_.getLong(1))
+      .toSet
+    // 8-plane sign-LSH on 64-dim random vectors: the bucket is a coarse
+    // filter; require the query itself plus >= 20% overlap
+    assert(ann.contains(0L))
+    assert((exact intersect ann).size >= 2, s"recall too low: ${(exact intersect ann).size}/10")
+  }
+
+  test("multimodal stub pipeline: deterministic dims, resize bounds respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val recs = Tables(spark, sf).documents
+      .select(col("doc_id").as("id"), lit("image").as("kind"), col("text").cast("binary").as("media"))
+      .as[Multimodal.MediaRecord]
+    val meta = Multimodal.resizeStub(Multimodal.decodeStub(recs), 64).collect()
+    assert(meta.length == 500)
+    meta.foreach { m =>
+      assert(m.width <= 64 && m.height <= 64 && m.width >= 1 && m.height >= 1)
+      assert(m.sha.length == 64)
+      assert(m.nFrames == 1)
+    }
+    // determinism: run twice, same result
+    val meta2 = Multimodal.resizeStub(Multimodal.decodeStub(recs), 64).collect()
+    assert(meta.map(_.sha).toSeq == meta2.map(_.sha).toSeq)
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    import spark.implicits._
+    val df = Seq((1L, "video", 10), (2L, "image", 1))
+      .toDF("id", "kind", "nFrames")
+    val sampled = Multimodal.sampleFrames(df, 3).collect()
+    assert(sampled.length == 1)
+    assert(sampled(0).getSeq[Int](2) == Seq(0, 3, 6, 9))
+  }
+}

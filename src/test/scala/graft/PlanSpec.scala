@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.{Dedup, SimHash, Similarity}
+import graft.queries.Relational
+
+/** Physical-plan shape assertions — the 100 TB posture checks. A query can
+  * be value-correct at sf0.001 and still be a scale-killer; these tests pin
+  * the plan properties that make each operator survive 1000 executors:
+  * pushdown reaching the scan, broadcasts where intended, NO cartesian
+  * products in any LSH candidate generation, top-k as TakeOrderedAndProject.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q_filter pushes predicates and prunes columns at the parquet scan") {
+    val p = plan(Relational.qFilter.fn(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned read schema: only the 5 selected (+filter) columns, not all 11
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses:\n" + p)
+  }
+
+  test("q_join_broadcast plans three BroadcastHashJoins, no SortMergeJoin") {
+    val p = plan(Relational.qJoinBroadcast.fn(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global Sort") {
+    val p = plan(Relational.qTopK.fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("LSH dedup candidate generation contains no cartesian product") {
+    val p = plan(Dedup.candidatePairs(graft.core.Tables(spark, sf).documents))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("SimHash near-dup pair generation contains no cartesian product") {
+    val p = plan(SimHash.nearDupPairs(spark, graft.core.Tables(spark, sf).documents, 3))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embedding near-dup pair generation joins on the LSH bucket, no cartesian") {
+    val p = plan(Similarity.nearDupPairs(graft.core.Tables(spark, sf).embeddings, 0.8))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("exact top-k cosine: only the single-row query vector is broadcast") {
+    val df = Similarity.topKCosine(graft.core.Tables(spark, sf).embeddings, 0L, 10)
+    val p  = plan(df)
+    // the scan side must NOT be exchanged into a shuffle before the limit
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1_agg plans partial+final hash aggregation (map-side combine)") {
+    val p = plan(Relational.q1Agg.fn(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
