@@ -13,26 +13,39 @@ import graft.queries.Q
   * keeps this viable at 100 TB):
   *
   *   1. exact     — md5 over whitespace-normalized lowercase text, groupBy.
-  *   2. MinHash   — k=8 signature over 3-word shingles. Each hash function
-  *                  is `min(substr(md5(seed:shingle),1,16))`: a fixed-width
-  *                  hex string, whose lexicographic min equals the numeric
-  *                  min — deterministic and identically computable in any
-  *                  engine (the DuckDB oracles use the same construction).
-  *                  The signature is computed PER ROW with higher-order
-  *                  array functions (transform/array_min): no explode, no
-  *                  shuffle — the scan stage emits finished signatures.
+  *   2. MinHash   — k=8 signature over 3-word shingles, computed the
+  *                  Spark-idiomatic way: explode shingles → ONE codegen'd
+  *                  md5 per shingle → a 28-bit integer base hash → the 8
+  *                  hash functions are cheap universal-hash transforms
+  *                  `(a_i·h + b_i) mod p` → 8 partial+final `min`
+  *                  aggregates. The shuffle carries one 8-long partial
+  *                  signature per doc per map partition, never raw
+  *                  shingles. (A per-row higher-order-function formulation
+  *                  would recompute md5 per hash function and run as
+  *                  CodegenFallback — 8× the hashing off the codegen path.)
   *   3. LSH       — signatures split into 4 bands x 2 rows; docs sharing a
-  *                  band value become candidate pairs via a self-join ON
-  *                  (band_id, band_val) — a plain shuffled hash join keyed
-  *                  on the band, so only same-bucket docs ever meet.
-  *                  Candidates are then verified with exact Jaccard over
-  *                  distinct shingle sets (array_intersect/array_union —
-  *                  per-row, no extra shuffle).
+  *                  band value become candidate pairs via a plain shuffled
+  *                  hash join keyed on (band_id, band_val), so only
+  *                  same-bucket docs ever meet. Candidates are then
+  *                  verified with exact Jaccard over distinct shingle sets.
   *
-  * The reference has no dedup surface; this is north-star scope
+  * All hashing is md5-based and mirrored exactly in the DuckDB oracles
+  * (`CAST('0x'||substr(md5(x),1,7) AS BIGINT)` ≡ Spark
+  * `conv(substring(md5(x),1,7),16,10)`), so signatures are cross-engine
+  * checkable. The reference has no dedup surface; this is north-star scope
   * (SURVEY.md §7.2 step 8).
   */
 object Dedup {
+
+  /** Signature length; 4 bands x 2 rows. */
+  private val K = 8
+
+  /** Universal-hash constants: mh_i = (A(i)·h + B(i)) mod P over the 28-bit
+    * base hash h. Products stay < 2^58 — exact in both engines' int64.
+    */
+  private val P = 2147483647L // 2^31 - 1
+  private val A = Seq(1000000007L, 998244353L, 754974721L, 167772161L, 469762049L, 1004535809L, 663224321L, 985661441L)
+  private val B = Seq(12289L, 40961L, 65537L, 786433L, 5767169L, 7340033L, 23068673L, 104857601L)
 
   /** Whitespace tokens of lowercased text (empties kept, like the
     * reference's tokenizer — see TextQueries).
@@ -57,27 +70,32 @@ object Dedup {
       )
     ).otherwise(array().cast("array<string>"))
 
-  /** One MinHash value: min over shingles of a seeded md5, as a fixed-width
-    * hex prefix (lexicographic min == numeric min). NULL for empty sets.
+  /** 28-bit base hash of one shingle: first 7 hex digits of md5. */
+  private def baseHash(x: Column): Column =
+    conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  /** documents -> (doc_id, mh0..mh7): explode, hash once, 8 min-aggregates.
+    * Docs with no shingles keep a row with null mins (explode_outer).
     */
-  def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => substring(md5(concat(lit(s"$seed:"), x).cast("binary")), 1, 16)))
-
-  private val K = 8 // signature length; 4 bands x 2 rows
-
-  /** documents -> (doc_id, mh0..mh7). */
   def signatures(docs: DataFrame): DataFrame = {
-    val sh = shingles3(tokens(col("text")))
-    val mhs = (0 until K).map(i => minhash(col("sh"), i).as(s"mh$i"))
-    docs.select(col("doc_id"), sh.as("sh")).select(col("doc_id") +: mhs: _*)
+    val exploded = docs
+      .select(col("doc_id"), explode_outer(shingles3(tokens(col("text")))).as("x"))
+      .select(col("doc_id"), baseHash(col("x")).as("h"))
+    val mins = (0 until K).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** (doc_id, band_id, band_val): 4 bands of 2 signature rows each. */
+  /** (doc_id, band_id, band_val): 4 bands of 2 signature rows each. Docs
+    * with null signatures (no shingles) are excluded — an empty doc is not
+    * a near-dup candidate of other empty docs by shingle definition.
+    */
   def bands(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until K / 2).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    val bandCols = (0 until K / 2).map(b =>
+      concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+    )
     sig
+      .filter(col("mh0").isNotNull)
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
-      .filter(col("band_val").isNotNull)
   }
 
   /** Candidate pairs (d1 < d2) sharing at least one LSH band — a hash join
@@ -118,8 +136,8 @@ object Dedup {
       |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)""".stripMargin
 
-  private def sqlMh(seed: Int): String =
-    s"list_aggregate(list_transform(sh, x -> substr(md5('$seed:' || x), 1, 16)), 'min') AS mh$seed"
+  private def sqlMh(i: Int): String =
+    s"list_aggregate(list_transform(sh, x -> (CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) * ${A(i)} + ${B(i)}) % $P), 'min') AS mh$i"
 
   private val sqlSig =
     s"""SELECT doc_id, ${(0 until K).map(sqlMh).mkString(",\n  ")}
@@ -127,7 +145,9 @@ object Dedup {
 
   private val sqlBands =
     (0 until K / 2)
-      .map(b => s"SELECT doc_id, $b AS band_id, mh${2 * b} || mh${2 * b + 1} AS band_val FROM sig WHERE mh${2 * b} IS NOT NULL")
+      .map(b =>
+        s"SELECT doc_id, $b AS band_id, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS band_val FROM sig WHERE mh0 IS NOT NULL"
+      )
       .mkString("\nUNION ALL\n")
 
   // ---- registered queries -------------------------------------------------
