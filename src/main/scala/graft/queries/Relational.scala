@@ -317,9 +317,93 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Cube: all grouping combinations in one pass (partial-agg expanded). */
+  val qCube: Q = q(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** As-of join (an operator Spark lacks natively): for every event, the
+    * timestamp of the same user's most recent prior-or-equal 'click' event.
+    * Implemented scalably as one shuffle on user_id + a running
+    * last-non-null window — NOT a per-row backward probe: at 100 TB this is
+    * a single exchange and a per-partition sorted sweep. The DuckDB oracle
+    * uses the identical window (DuckDB's native ASOF JOIN would drop
+    * non-matching rows; the window form keeps them as NULL).
+    */
+  val qAsofJoin: Q = q(
+    "q_asof_join",
+    """SELECT event_id, user_id, ts, event_type,
+      |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).events
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("event_type"),
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w)
+          .as("last_click_ts")
+      )
+      .orderBy("event_id")
+  }
+
+  /** HLL sketch: approx_count_distinct per group. Not cross-engine
+    * hash-matchable (different sketch impls) → rows-only check here; the
+    * accuracy bound (<5% error vs exact) is asserted in SketchSpec.
+    */
+  val qApproxDistinct: Q = Q(
+    "q_approx_distinct",
+    (s, dir) =>
+      Tables(s, dir)
+        .lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          // rsd 0.02: the default 0.05 can exceed a 5% check; 2% target
+          // keeps the sketch small (~4 KB) and the SketchSpec bound honest
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          count(lit(1)).as("cnt")
+        )
+        .orderBy("l_returnflag"),
+    None
+  )
+
+  /** Approximate percentiles (t-digest-class sketch); rows-only + spec. */
+  val qApproxQuantiles: Q = Q(
+    "q_approx_quantiles",
+    (s, dir) =>
+      Tables(s, dir)
+        .lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95")
+        )
+        .orderBy("l_returnflag"),
+    None
+  )
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qSemiJoin,
     qAntiJoin, qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow,
-    qRollup, qAggStats
+    qRollup, qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles
   )
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink format surface. The reference reads and writes only
+  * newline-delimited text directories
+  * (`/root/reference/mapreduce/manager/__main__.py:402-423`, `738-761`);
+  * on Spark the same call shape extends to parquet/csv/json for free via
+  * `DataFrameReader`/`DataFrameWriter`, so the engine exposes all four.
+  *
+  * Scale defaults baked in here:
+  *   - readers take an optional explicit schema — at 100 TB, `inferSchema`
+  *     means an extra full scan of the data; production pipelines always
+  *     pass one;
+  *   - csv/json are line-splittable (uncompressed or bzip2) so Spark
+  *     parallelizes within files; parquet scans prune columns + push
+  *     filters (asserted in PlanSpec).
+  */
+object Sources {
+
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Text lines with their origin file (the reference's per-file identity). */
+  def textWithFile(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumn("input_file", org.apache.spark.sql.functions.input_file_name())
+
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None, header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Parquet with optional partition columns — the layout that makes
+    * partition pruning work downstream (a date-partitioned events table
+    * never scans more than the queried dates).
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
