@@ -32,6 +32,8 @@ object SparkEnv {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // native vector expressions (graft_dot / graft_cosine) in every session
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
       // rejects; read it as raw nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

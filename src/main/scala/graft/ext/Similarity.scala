@@ -26,25 +26,26 @@ import graft.queries.Q
   */
 object Similarity {
 
-  /** Elementwise-product dot: deterministic left-to-right double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+  /** Deterministic left-to-right dot product — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (single fused loop inside
+    * whole-stage codegen; the zip_with/aggregate formulation would run as
+    * CodegenFallback and walk the arrays per lambda dispatch).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Single-pass cosine via [[graft.functions.CosineSimilarity]]. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
-  /** Deterministic random hyperplanes for sign-LSH (seeded, engine-local). */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes for sign-LSH (seeded, engine-local).
+    * Float so plane literal arrays type-match the float embeddings.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    Array.fill(nPlanes, dim)(rnd.nextGaussian().toFloat)
   }
 
   /** Bucket key: concatenated sign bits of projections onto the planes. */
-  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+  def lshBucket(emb: Column, planes: Array[Array[Float]]): Column = {
     val bits = planes.map { p =>
       val planeCol = array(p.map(lit): _*)
       when(dot(emb, planeCol) >= 0, lit("1")).otherwise(lit("0"))
