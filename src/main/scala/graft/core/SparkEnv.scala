@@ -39,6 +39,8 @@ object SparkEnv {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // managed (bucketed) tables land outside the repo tree
+      .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale helpers for the two classic shuffle killers: repeated fact-fact
+  * joins (bucketing) and hot keys (salting).
+  *
+  * Bucketing: writing both join sides bucketed (+sorted) by the join key
+  * lets every subsequent join/aggregation on that key run with ZERO
+  * exchange — at 100 TB this converts the dominant cost of a recurring
+  * pipeline into a one-time layout cost. Verified by BucketingSpec: the
+  * joined plan contains a SortMergeJoin and no Exchange.
+  *
+  * Salting: AQE's skew-join splitting (enabled in SparkEnv) handles most
+  * skew at runtime; explicit salting remains for the pathological case —
+  * a single key holding a double-digit percentage of all rows — where even
+  * a split partition's build side is one executor's problem. The salt
+  * explodes the SMALL side `salt` times and randomizes the big side, so
+  * the hot key spreads over `salt` reducers.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed parquet table. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Exchange-free equi-join of two tables bucketed on the same key with
+    * the same bucket count.
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Salted inner equi-join for extreme single-key skew. The big side gets
+    * a random salt in [0, salt); the small side is exploded `salt` times so
+    * every (key, salt) combination can meet. Row-multiset result equals the
+    * plain join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", (rand(seed = 7) * salt).cast("int"))
+    val explodedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig
+      .join(explodedSmall, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}
