@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import graft.ops.{GroupStage, MapStage, ReduceStage}
+
+/** Property tests over random corpora (FIXTURES.md §2): invariants that must
+  * hold for ANY input, not just the goldens. Runs scalacheck directly (the
+  * scalatestplus bridge isn't on the offline classpath).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, minSuccessful: Int = 50): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val lineGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)), Gen.const(""))).map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] = Gen.listOfN(30, lineGen)
+
+  test("word_count counts sum to the total token count of the corpus") {
+    check(Prop.forAll(corpusGen) { corpus =>
+      val mapped  = corpus.flatMap(MapStage.wcMap)
+      val grouped = mapped.sorted
+      val reduced = ReduceStage.wcReduce(grouped.iterator).toList
+      val totalFromCounts = reduced.map(_.split("\t")(1).toLong).sum
+      totalFromCounts == mapped.size.toLong
+    })
+  }
+
+  test("grep output lines are a subset of (stripped) input lines") {
+    check(Prop.forAll(corpusGen) { corpus =>
+      val mapped  = corpus.flatMap(MapStage.grepMap("a"))
+      val reduced = ReduceStage.grepReduce(mapped.iterator).toList
+      reduced.forall(l => corpus.map(_.trim).contains(l))
+    })
+  }
+
+  test("router (both modes) partitions the multiset exactly, one bucket per line") {
+    check(Prop.forAll(corpusGen, Gen.choose(1, 5)) { (corpus, n) =>
+      val data = corpus.flatMap(MapStage.wcMap)
+      Prop.all(Seq(true, false).map { parity =>
+        val lines = spark.sparkContext.parallelize(if (data.isEmpty) List("\t1") else data, 3)
+        val parts = GroupStage(lines, n, parity)
+          .mapPartitionsWithIndex { case (i, it) => it.map(l => (l, i)) }
+          .collect()
+        val multisetOk = parts.map(_._1).sorted.toSeq ==
+          (if (data.isEmpty) List("\t1") else data).sorted
+        val oneBucket = parts.groupBy(_._1).values.forall(_.map(_._2).distinct.length == 1)
+        Prop(multisetOk && oneBucket)
+      }: _*)
+    }, minSuccessful = 10)
+  }
+
+  test("wcReduce output keys are the distinct input keys in order") {
+    check(Prop.forAll(corpusGen) { corpus =>
+      val grouped = corpus.flatMap(MapStage.wcMap).sorted
+      val keys    = ReduceStage.wcReduce(grouped.iterator).map(_.split("\t")(0)).toList
+      val expect  = grouped.map(l => l.substring(0, l.indexOf('\t'))).distinct
+      keys == expect
+    })
+  }
+}
