@@ -21,14 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed+sorted managed parquet table. Drops any
+    * previous table AND its leftover location first — a location orphaned
+    * by an earlier session (in-memory catalog, on-disk warehouse) would
+    * otherwise fail the Overwrite with LOCATION_ALREADY_EXISTS.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Sinks.deleteRecursively(java.nio.file.Paths.get(warehouse, table))
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Exchange-free equi-join of two tables bucketed on the same key with
     * the same bucket count.
