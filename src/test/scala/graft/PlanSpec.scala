@@ -66,4 +66,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.q1Agg.fn(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("no registered query plans a CartesianProduct") {
+    // the exact top-k cosine intentionally BNLJ-broadcasts a single query
+    // row; nothing may plan an actual cartesian product
+    graft.queries.Registry.all.foreach { q =>
+      val p = plan(q.fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product:\n$p")
+    }
+  }
 }
