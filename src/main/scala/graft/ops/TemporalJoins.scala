@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively, built as one-shuffle
+  * library transforms (no custom planner rules needed — see SURVEY.md §4).
+  *
+  * As-of join: for each left row, the latest right row with
+  * `rightTs <= leftTs` on the same key. Implemented with the union-sweep
+  * trick: union both sides tagged, one shuffle on the key, one sorted
+  * per-partition sweep carrying a running "last right payload" — O(n log n)
+  * per partition, no per-row backward probe, no range condition the
+  * optimizer would turn into a nested loop. This is the shape that holds at
+  * 100 TB: a single exchange on the join key.
+  *
+  * Range (interval) join: left rows with `ts` joined to right rows with
+  * `[start, end)` intervals. A naive theta-join plans BroadcastNestedLoop/
+  * cartesian; here both sides are decomposed onto fixed-width time buckets
+  * (intervals explode to every bucket they overlap), the join is a plain
+  * equi hash join on (key, bucket), and the exact interval predicate
+  * filters afterwards. Bucket width trades explode factor vs join
+  * selectivity; pick ~ the median interval length.
+  */
+object TemporalJoins {
+
+  /** As-of join. Left keeps all its rows; matched right payload columns
+    * arrive as nullable `asof_<name>` (null = no right row at or before).
+    * Ties (equal ts) resolve to the right row (right sorts first).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // carry each side's row as a nullable struct so any schema unions cleanly
+    val rTagged = right.select(
+      col(key).as("__k"),
+      col(rightTs).as("__ts"),
+      lit(0).as("__src"),
+      struct(payload.map(col): _*).as("__p")
+    )
+    val lTagged = left.select(
+      col(key).as("__k"),
+      col(leftTs).as("__ts"),
+      lit(1).as("__src"),
+      lit(null).cast(rTagged.schema("__p").dataType).as("__p"),
+      struct(leftCols.map(col): _*).as("__l")
+    )
+    val rWithL = rTagged.withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
+
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts"), col("__src")) // right(0) before left(1) on ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val swept = lTagged
+      .union(rWithL.select("__k", "__ts", "__src", "__p", "__l"))
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+
+    val outLeft  = leftCols.map(c => col(s"__l.$c").as(c))
+    val outRight = payload.map(p => col(s"__match.$p").as(s"asof_$p"))
+    swept.select(outLeft ++ outRight: _*)
+  }
+
+  /** Bucketized range join: `left.ts` in `[right.start, right.end)`,
+    * equi-key optional (pass null key columns via `keys = Nil` for pure
+    * interval joins — still bucket-bounded, never cartesian).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      ts: String,
+      start: String,
+      end: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__bucket", (col(ts).cast("long") / bucketWidth).cast("long"))
+    val rb = right.withColumn(
+      "__bucket",
+      explode(
+        sequence(
+          (col(start).cast("long") / bucketWidth).cast("long"),
+          // end is exclusive, but an interval ending exactly on a bucket
+          // edge still overlaps that bucket's start — ceil via (end-1)
+          ((col(end).cast("long") - 1) / bucketWidth).cast("long")
+        )
+      )
+    )
+    val joinCond = (keys :+ "__bucket")
+      .map(k => lb(k) === rb(k))
+      .reduce(_ && _) &&
+      lb(ts) >= rb(start) && lb(ts) < rb(end)
+    lb.join(rb, joinCond)
+      .drop(lb("__bucket"))
+      .drop(rb("__bucket"))
+  }
+}
