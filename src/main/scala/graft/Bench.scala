@@ -23,12 +23,14 @@ object Bench {
         case c            => c.toString
       }
 
-    // Warm up JIT/codegen/shuffle paths so the alphabetically-first query
-    // doesn't absorb ~10s of one-time JVM cost in its reported timing.
+    // Warm up JIT/codegen/shuffle AND the parquet reader stack so the
+    // alphabetically-first query doesn't absorb one-time JVM/IO init
+    // (~10s codegen + ~2s vectorized-reader/codec setup) in its timing.
     try {
       import org.apache.spark.sql.functions.col
       spark.range(1000000).groupBy((col("id") % 100).as("k")).count()
         .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
     val results: Seq[(String, Double, Option[String])] =

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to sign-LSH ([[Similarity]]):
+  *
+  *   1. index build: pick `nCentroids` coarse centroids, assign every
+  *      vector to its nearest centroid (one scan; per row `C` codegen'd
+  *      cosines against a broadcast centroid literal array, then argmax).
+  *      At production scale the assigned table is WRITTEN PARTITIONED BY
+  *      `cid` (see [[graft.sources.Sources.writeParquet]]) so probing
+  *      prunes whole partitions at the file-listing level.
+  *   2. query: score the query vector against the centroids (driver-side —
+  *      `C` values), probe the `nProbe` nearest cells, exact-cosine re-rank
+  *      only the vectors in those cells: a filter + TakeOrderedAndProject,
+  *      scanning `nProbe/C` of the data.
+  *
+  * Centroid selection here is a deterministic sample (the first
+  * `nCentroids` vectors) — on random fixture embeddings that is as good as
+  * k-means; a production index would run (MLlib) k-means offline and feed
+  * the centroids in the same way. Recall vs brute force is asserted in
+  * ExtSpec.
+  */
+object Ivf {
+
+  /** (cid, vector) centroids: deterministic head sample of the table. */
+  def sampleCentroids(emb: DataFrame, nCentroids: Int): Array[(Int, Array[Float])] =
+    emb
+      .orderBy("vec_id")
+      .limit(nCentroids)
+      .select("embedding")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+
+  private def centroidArrayLit(centroids: Array[(Int, Array[Float])]): Column =
+    array(centroids.map { case (i, v) =>
+      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+
+  /** Assign every vector to its nearest centroid: per-row argmax via
+    * array_max over (cos, cid) structs (struct ordering compares cos
+    * first). Adds a `cid` column.
+    */
+  def assign(emb: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = transform(
+      centroidArrayLit(centroids),
+      c =>
+        struct(
+          call_function("graft_cosine", col("embedding"), c.getField("cvec")).as("cos"),
+          c.getField("cid").as("cid")
+        )
+    )
+    emb.withColumn("cid", array_max(scored).getField("cid"))
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF top-k: probe the `nProbe` cells nearest to the query, exact
+    * re-rank inside them.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = sampleCentroids(emb, nCentroids)
+    val qVec = emb
+      .filter(col("vec_id") === queryId)
+      .select("embedding")
+      .collect()(0)
+      .getSeq[Float](0)
+      .toArray
+    val probes: Seq[Int] = centroids
+      .map { case (i, v) => (i, cosineLocal(qVec, v)) }
+      .sortBy(-_._2)
+      .take(nProbe)
+      .map(_._1)
+      .toSeq
+    val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    assign(emb, centroids)
+      .filter(col("cid").isInCollection(probes))
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", call_function("graft_cosine", col("embedding"), col("qv")))
+      .select("vec_id", "label", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "label")
+  }
+
+  /** Registered query (rows-only: cell assignment is engine-local; recall
+    * bound asserted in ExtSpec).
+    */
+  val annIvf: Q = Q(
+    "q_ann_ivf",
+    (s, dir) => ivfTopK(Tables(s, dir).embeddings, 0L, 10),
+    None
+  )
+
+  val all: Seq[Q] = Seq(annIvf)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Multimodal, SimHash, Similarity}
+import graft.ext.{Dedup, Ivf, Multimodal, SimHash, Similarity}
 
 /** Single source of truth for every registered query. SparkEntry derives
   * the driver-facing `queries`/`oracleSql` maps from here, so a query wired
@@ -16,6 +16,7 @@ object Registry {
       EventQueries.all ++
       Dedup.all ++
       Similarity.all ++
+      Ivf.all ++
       SimHash.all ++
       Multimodal.all
 

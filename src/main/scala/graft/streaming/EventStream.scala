@@ -31,6 +31,17 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped, and — unlike plain dropDuplicates —
+    * state for ids older than the watermark is evicted, so state size is
+    * bounded by the horizon, not the stream's lifetime (the property that
+    * matters for a training-data ingest pipeline running for months).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Built-in gap-based session windows (5-minute inactivity gap). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -81,6 +81,19 @@ class ExtSpec extends SparkSpec {
     assert((exact intersect ann).size >= 2, s"recall too low: ${(exact intersect ann).size}/10")
   }
 
+  test("IVF ANN: rank-1 self-hit and reasonable recall vs brute force") {
+    val emb = Tables(spark, sf).embeddings
+    val exact = graft.ext.Similarity
+      .topKCosine(emb, 0L, 10)
+      .collect()
+      .map(_.getLong(1))
+      .toSet
+    val ivf = graft.ext.Ivf.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L), "query vector must be in its own probed cells")
+    // 4/16 cells probed on random vectors: require >= 30% overlap
+    assert((exact intersect ivf).size >= 3, s"recall too low: ${(exact intersect ivf).size}/10")
+  }
+
   test("multimodal stub pipeline: deterministic dims, resize bounds respected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

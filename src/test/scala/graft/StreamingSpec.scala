@@ -105,6 +105,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .dedupedEvents(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("deduped")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "a", 1.0),
+        ev(1, "2026-01-01 10:00:30", 1, "a", 1.0), // duplicate id, in horizon
+        ev(2, "2026-01-01 10:01:00", 2, "a", 2.0)
+      )
+      q.processAllAvailable()
+      input.addData(ev(1, "2026-01-01 10:02:00", 1, "a", 1.0)) // still dup
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM deduped").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
