@@ -52,21 +52,24 @@ object Dedup {
     */
   def tokens(text: Column): Column = split(lower(text), " ", -1)
 
-  /** 3-word shingles; empty array (not a descending `sequence` artifact!)
-    * when the doc has fewer than 3 tokens.
+  /** 3-word shingles; empty array when the doc has fewer than 3 tokens.
+    *
+    * Shape matters: an `element_at(toks, i)` lambda would re-evaluate the
+    * `toks` subtree (the split of the whole text) PER SHINGLE — O(tokens²)
+    * string splitting per document. Zipping three shifted slices evaluates
+    * `toks` a constant number of times per row and the lambda touches only
+    * its own struct argument.
     */
   def shingles3(toks: Column): Column =
     when(
       size(toks) >= 3,
       transform(
-        sequence(lit(1), size(toks) - 2),
-        i =>
-          concat_ws(
-            " ",
-            element_at(toks, i),
-            element_at(toks, i + lit(1)),
-            element_at(toks, i + lit(2))
-          )
+        arrays_zip(
+          slice(toks, lit(1), size(toks) - 2),
+          slice(toks, lit(2), size(toks) - 2),
+          slice(toks, lit(3), size(toks) - 2)
+        ),
+        s => concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2"))
       )
     ).otherwise(array().cast("array<string>"))
 
