@@ -115,8 +115,10 @@ object Multimodal {
   )
 
   /** Registered query: full stub pipeline (encode text bytes → decode →
-    * resize) over documents — no SQL oracle (the stub dims are
-    * engine-local); rows-only + MultimodalSpec.
+    * resize) over documents. The stub's byte arithmetic is deterministic,
+    * so the DuckDB oracle replicates it exactly (fixture text is ASCII:
+    * `ord(substr(text,i,1))` == byte i; identical IEEE double ops give
+    * identical truncations).
     */
   val multimodalPipeline: Q = Q(
     "q_multimodal_pipeline",
@@ -127,7 +129,21 @@ object Multimodal {
         .as[MediaRecord]
       resizeStub(decodeStub(recs), 64).toDF().orderBy("id")
     },
-    None
+    Some(
+      """SELECT id, kind, "nBytes", "width", "height", "nFrames", sha FROM (
+        |  SELECT doc_id AS id, 'image' AS kind,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS "nBytes",
+        |    GREATEST(1, CAST(trunc(w0 * LEAST(1.0, 64.0 / GREATEST(w0, h0))) AS INT)) AS "width",
+        |    GREATEST(1, CAST(trunc(h0 * LEAST(1.0, 64.0 / GREATEST(w0, h0))) AS INT)) AS "height",
+        |    1 AS "nFrames",
+        |    sha256(text) AS sha
+        |  FROM (
+        |    SELECT *,
+        |      16 + (CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END % 16) * 16 AS w0,
+        |      16 + (CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END % 16) * 16 AS h0
+        |    FROM documents))
+        |ORDER BY id""".stripMargin
+    )
   )
 
   val all: Seq[Q] = Seq(multimodalMeta, multimodalPipeline)

@@ -94,8 +94,33 @@ object SimHash {
       .select("d1", "d2", "hamming")
   }
 
-  // ---- registered queries (no SQL oracle: signature is engine-local bit
-  //      math; correctness is covered by SimHashSpec property tests) -------
+  // ---- registered queries -------------------------------------------------
+
+  /** DuckDB replication of [[simhash64]]: the 64-bit token hash is
+    * reassembled from two 32-bit md5 halves (no 64-bit hex cast in
+    * DuckDB), per-bit votes are SUM(+1/-1) aggregates, and the signature
+    * prints as two zero-padded 32-bit hex words == Spark's %016x.
+    */
+  private def sqlVoteHalf(word: String): String =
+    (0 until 32)
+      .map(b =>
+        s"(CASE WHEN SUM(CASE WHEN (($word >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+      )
+      .mkString(" + ")
+
+  private val simhashOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS uhi,
+       |    CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS ulo
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, ${sqlVoteHalf("uhi")} AS hi, ${sqlVoteHalf("ulo")} AS lo
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, printf('%08x%08x', hi, lo) AS simhash_hex
+       |FROM sig ORDER BY doc_id""".stripMargin
 
   val simhashSig: Q = Q(
     "q_simhash",
@@ -103,13 +128,50 @@ object SimHash {
       signatures(s, Tables(s, dir).documents)
         .select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash_hex"))
         .orderBy("doc_id"),
-    None
+    Some(simhashOracle)
   )
+
+  /** Near-dup oracle: same sig CTE, chunk-equality joins (c0..c3 from the
+    * two 32-bit halves), Hamming = bit_count(xor(hi)) + bit_count(xor(lo)).
+    */
+  private val simhashNearDupOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS uhi,
+       |    CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS ulo
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, ${sqlVoteHalf("uhi")} AS hi, ${sqlVoteHalf("ulo")} AS lo
+       |  FROM h GROUP BY doc_id),
+       |keyed AS (
+       |  SELECT doc_id, hi, lo,
+       |    lo & 65535 AS c0, (lo >> 16) & 65535 AS c1,
+       |    hi & 65535 AS c2, (hi >> 16) & 65535 AS c3
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.hi AS h1, a.lo AS l1, b.hi AS h2, b.lo AS l2
+       |  FROM keyed a JOIN keyed b ON a.c0 = b.c0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.hi, a.lo, b.hi, b.lo
+       |  FROM keyed a JOIN keyed b ON a.c1 = b.c1 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.hi, a.lo, b.hi, b.lo
+       |  FROM keyed a JOIN keyed b ON a.c2 = b.c2 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.hi, a.lo, b.hi, b.lo
+       |  FROM keyed a JOIN keyed b ON a.c3 = b.c3 AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3
+       |ORDER BY d1, d2""".stripMargin
 
   val simhashNearDup: Q = Q(
     "q_simhash_neardup",
     (s, dir) => nearDupPairs(s, Tables(s, dir).documents, 3).orderBy("d1", "d2"),
-    None
+    Some(simhashNearDupOracle)
   )
 
   val all: Seq[Q] = Seq(simhashSig, simhashNearDup)

@@ -67,6 +67,26 @@ object EventQueries {
     )
   )
 
+  /** Typed JSON property extraction: parse `props` as real JSON
+    * (get_json_object ≙ DuckDB json_extract) instead of the regexp pull in
+    * [[eventsJson]] — per-event row output so the parse itself is
+    * hash-checked.
+    */
+  val eventsJsonTyped: Q = Q(
+    "q_events_json_typed",
+    (s, dir) =>
+      Tables(s, dir).events
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")
+        )
+        .orderBy("event_id"),
+    Some(
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+    )
+  )
+
   /** Gap-based sessionization: a new session starts after >5 min of
     * inactivity per user. Timestamps are compared as epoch microseconds so
     * both engines do exact integer arithmetic.
@@ -98,5 +118,5 @@ object EventQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(eventsWindow, eventsJson, sessionize)
+  val all: Seq[Q] = Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize)
 }
