@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Uniform per-group reservoir sample — a training-data-pipeline aggregate
+  * Spark lacks natively ("give me k random documents per (lang, source)
+  * cell" without sorting or materializing the groups).
+  *
+  * Classic Algorithm R, made MERGEABLE for Spark's partial aggregation:
+  * each partial buffer keeps its reservoir plus the count of items it has
+  * seen; merge weights each side's reservoir by its seen-count, which
+  * preserves uniformity (each element's inclusion probability stays k/n).
+  * State per group is O(k) — the aggregation shuffles one k-element buffer
+  * per group per map partition, never the group's rows.
+  *
+  * Randomness is seeded per buffer from the first element's hash, making
+  * runs deterministic for a fixed input partitioning (tests pin
+  * parallelism); the UNIFORMITY property is partitioning-independent.
+  */
+object ReservoirSample {
+
+  final case class Buf(var seen: Long, var items: Array[String], var seed: Long)
+
+  class Agg(k: Int) extends Aggregator[String, Buf, Array[String]] {
+    require(k > 0)
+
+    private def rng(b: Buf): scala.util.Random = new scala.util.Random(b.seed ^ b.seen)
+
+    override def zero: Buf = Buf(0L, Array.empty, 0L)
+
+    override def reduce(b: Buf, x: String): Buf = {
+      if (b.seen == 0) b.seed = x.hashCode.toLong
+      b.seen += 1
+      if (b.items.length < k) b.items = b.items :+ x
+      else {
+        val j = rng(b).nextLong() % b.seen
+        val idx = (if (j < 0) j + b.seen else j).toInt
+        if (idx < k) b.items(idx) = x
+      }
+      b
+    }
+
+    override def merge(a: Buf, c: Buf): Buf = {
+      if (a.seen == 0) return c
+      if (c.seen == 0) return a
+      // weighted merge: draw from each side proportionally to its seen-count
+      val total = a.seen + c.seen
+      val r     = new scala.util.Random(a.seed ^ c.seed ^ total)
+      val pool  = a.items.map((_, a.seen.toDouble / a.items.length)) ++
+        c.items.map((_, c.seen.toDouble / c.items.length))
+      // sample k items weighted by the mass each reservoir slot represents
+      val chosen = pool
+        .map { case (x, w) => (x, math.pow(r.nextDouble(), 1.0 / w)) } // A-Res weighted sampling
+        .sortBy(-_._2)
+        .take(k)
+        .map(_._1)
+      Buf(total, chosen, a.seed ^ c.seed)
+    }
+
+    override def finish(b: Buf): Array[String] = b.items
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** Column form: `reservoir(k)` usable in groupBy().agg(...). */
+  def reservoir(k: Int)(c: Column): Column = udaf(new Agg(k)).apply(c)
+}

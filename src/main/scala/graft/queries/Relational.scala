@@ -401,9 +401,52 @@ object Relational {
     None
   )
 
+  /** Explicit GROUPING SETS (SQL-only surface in Spark → via the Sql entry
+    * point): per-flag and per-status subtotals, no cross combination.
+    */
+  val qGroupingSets: Q = q(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    graft.Sql.query(
+      s,
+      dir,
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+    )
+  }
+
+  /** Pivot: documents per (lang, source) as a wide table — DataFrame
+    * `pivot` with explicit values (explicit keeps the plan one-pass; an
+    * unvalued pivot runs an extra distinct job). Oracle via conditional
+    * aggregation.
+    */
+  val qPivot: Q = q(
+    "q_pivot",
+    """SELECT lang,
+      |  COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+      |  COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+      |  COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+      |  COUNT(*) FILTER (WHERE source = 'src3') AS src3
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2", "src3"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("src0", "src1", "src2", "src3"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qSemiJoin,
     qAntiJoin, qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow,
-    qRollup, qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles
+    qRollup, qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
+    qGroupingSets, qPivot
   )
 }
