@@ -443,10 +443,37 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** Data-quality profile: one pass over lineitem collecting per-column
+    * completeness/cardinality/range stats — the pre-ingest audit every
+    * training pipeline runs. Single partial+final aggregate, no per-column
+    * jobs.
+    */
+  val qProfile: Q = q(
+    "q_profile",
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      |FROM lineitem""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_suppkey")).as("n_suppliers"),
+      sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("null_flags"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"),
+      min("l_shipdate").as("min_ship"),
+      max("l_shipdate").as("max_ship")
+    )
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qSemiJoin,
     qAntiJoin, qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow,
     qRollup, qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot
+    qGroupingSets, qPivot, qProfile
   )
 }

@@ -38,6 +38,17 @@ class PipeSpec extends SparkSpec {
     assert(got.sorted == readLines(resource("wc/grep_correct.txt")).sorted)
   }
 
+  test("piped executables with 2 reducers: union of outputs equals golden") {
+    assume(haveExecs, s"$execDir not available")
+    val engine = new Engine(spark, parityMode = true)
+    val res = engine.runJob(
+      JobSpec(resource("wc/input"), tmpOut("pipewc2"), s"$execDir/wc_map.sh", s"$execDir/wc_reduce.sh", 4, 2)
+    )
+    assert(res.outputFiles.size == 2)
+    val got = res.outputFiles.flatMap(readLines).sorted
+    assert(got == readLines(resource("wc/word_count_correct.txt")).sorted)
+  }
+
   test("mixed mode: piped mapper with native reducer") {
     assume(haveExecs, s"$execDir not available")
     val engine = new Engine(spark, parityMode = true)
