@@ -55,7 +55,11 @@ final class Engine(spark: SparkSession, parityMode: Boolean = false) extends Aut
     )
 
   override def close(): Unit = {
+    // drain queued/in-flight jobs before tearing down the context —
+    // stop()ing mid-job would fail their Futures and leave half-written
+    // output directories
     pool.shutdown()
+    pool.awaitTermination(600, TimeUnit.SECONDS)
     spark.stop()
   }
 }

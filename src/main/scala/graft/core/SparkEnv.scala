@@ -65,14 +65,19 @@ final class Tables(spark: SparkSession, dir: String) {
     * long (nanosAsLong) and we floor-divide to micros — integer `div`, not
     * double division, since epoch-nanos exceed 2^53.
     */
-  def events: DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    t("events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
+  def events: DataFrame = Tables.nanosToTimestamp(t("events"))
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** The one nanos→micros `ts` conversion, shared by batch and streaming
+    * readers so the two paths can never diverge.
+    */
+  def nanosToTimestamp(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    events.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
 }

@@ -155,20 +155,20 @@ object Dedup {
 
   // ---- registered queries -------------------------------------------------
 
-  /** Exact dedup: group identical normalized texts, keep the smallest id. */
+  /** Exact dedup: group identical normalized texts (shared
+    * [[graft.queries.Fingerprint]] key), keep the smallest id.
+    */
   val dedupExact: Q = Q(
     "q_dedup_exact",
     (s, dir) =>
       Tables(s, dir).documents
-        .groupBy(
-          md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp")
-        )
+        .groupBy(graft.queries.Fingerprint.of(col("text")).as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
         .orderBy("fp"),
     Some(
-      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-        |  MIN(doc_id) AS keep_id, COUNT(*) AS copies
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+      s"""SELECT ${graft.queries.Fingerprint.sql} AS fp,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS copies
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
     )
   )
 

@@ -86,11 +86,12 @@ object Ivf {
       .take(nProbe)
       .map(_._1)
       .toSeq
-    val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    // the query vector is already on the driver — score against a literal
+    // array instead of re-scanning the table for a 1-row broadcast
+    val qvLit = array(qVec.map(lit): _*)
     assign(emb, centroids)
       .filter(col("cid").isInCollection(probes))
-      .crossJoin(broadcast(qv))
-      .withColumn("cos", call_function("graft_cosine", col("embedding"), col("qv")))
+      .withColumn("cos", call_function("graft_cosine", col("embedding"), qvLit))
       .select("vec_id", "label", "cos")
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions.udaf
   *
   * Classic Algorithm R, made MERGEABLE for Spark's partial aggregation:
   * each partial buffer keeps its reservoir plus the count of items it has
-  * seen; merge weights each side's reservoir by its seen-count, which
-  * preserves uniformity (each element's inclusion probability stays k/n).
-  * State per group is O(k) — the aggregation shuffles one k-element buffer
-  * per group per map partition, never the group's rows.
+  * seen. Merging draws k slots without replacement, each draw weighted by
+  * the input mass a reservoir slot represents (seen/|reservoir|): exactly
+  * uniform when both reservoirs are full, and exact concatenation when the
+  * combined buffers fit in k. State per group is O(k) — the aggregation
+  * shuffles one k-element buffer per group per map partition, never the
+  * group's rows.
   *
   * Randomness is seeded per buffer from the first element's hash, making
   * runs deterministic for a fixed input partitioning (tests pin
@@ -45,18 +47,27 @@ object ReservoirSample {
     override def merge(a: Buf, c: Buf): Buf = {
       if (a.seen == 0) return c
       if (c.seen == 0) return a
-      // weighted merge: draw from each side proportionally to its seen-count
       val total = a.seen + c.seen
-      val r     = new scala.util.Random(a.seed ^ c.seed ^ total)
-      val pool  = a.items.map((_, a.seen.toDouble / a.items.length)) ++
-        c.items.map((_, c.seen.toDouble / c.items.length))
-      // sample k items weighted by the mass each reservoir slot represents
-      val chosen = pool
-        .map { case (x, w) => (x, math.pow(r.nextDouble(), 1.0 / w)) } // A-Res weighted sampling
-        .sortBy(-_._2)
-        .take(k)
-        .map(_._1)
-      Buf(total, chosen, a.seed ^ c.seed)
+      if (a.items.length + c.items.length <= k)
+        return Buf(total, a.items ++ c.items, a.seed ^ c.seed)
+      // k draws without replacement, weighted by the input mass each slot
+      // represents — P(first pick from a) = seen_a/total, exactly
+      val r = new scala.util.Random(a.seed ^ c.seed ^ total)
+      val pool = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      a.items.foreach(x => pool += ((x, a.seen.toDouble / a.items.length)))
+      c.items.foreach(x => pool += ((x, c.seen.toDouble / c.items.length)))
+      var mass   = pool.iterator.map(_._2).sum
+      val chosen = Array.newBuilder[String]
+      var taken  = 0
+      while (taken < k && pool.nonEmpty) {
+        var u = r.nextDouble() * mass
+        var i = 0
+        while (i < pool.length - 1 && u > pool(i)._2) { u -= pool(i)._2; i += 1 }
+        mass -= pool(i)._2
+        chosen += pool.remove(i)._1
+        taken += 1
+      }
+      Buf(total, chosen.result(), a.seed ^ c.seed)
     }
 
     override def finish(b: Buf): Array[String] = b.items

@@ -124,18 +124,29 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def arity2(name: String)(children: Seq[Expression]): (Expression, Expression) = {
+      require(
+        children.length == 2,
+        s"$name requires exactly 2 arguments (two array<float> vectors), got ${children.length}"
+      )
+      (children(0), children(1))
+    }
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1))
+        (children: Seq[Expression]) => {
+          val (a, b) = arity2("graft_dot")(children); DotProduct(a, b)
+        }
       )
     )
     ext.injectFunction(
       (
         FunctionIdentifier("graft_cosine"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))
+        (children: Seq[Expression]) => {
+          val (a, b) = arity2("graft_cosine")(children); CosineSimilarity(a, b)
+        }
       )
     )
   }

@@ -30,7 +30,9 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Sinks.deleteRecursively(java.nio.file.Paths.get(warehouse, table))
+    // the metastore lowercases table identifiers — the on-disk location is
+    // always lowercase regardless of the caller's casing
+    Sinks.deleteRecursively(java.nio.file.Paths.get(warehouse, table.toLowerCase))
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")

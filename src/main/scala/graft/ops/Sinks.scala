@@ -18,8 +18,11 @@ import org.apache.spark.rdd.RDD
 object Sinks {
 
   def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   /** Write `reduced` as outputfileNN files; returns the file paths. */
   def outputFiles(reduced: RDD[String], outputDirectory: String): Seq[String] = {
@@ -29,12 +32,14 @@ object Sinks {
     deleteRecursively(tmp)
     reduced.saveAsTextFile(tmp.toString)
     Files.createDirectories(out)
-    val parts = Files
-      .list(tmp)
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .sorted()
-      .toArray()
-      .map(_.asInstanceOf[Path])
+    val listing = Files.list(tmp)
+    val parts =
+      try listing
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .sorted()
+        .toArray()
+        .map(_.asInstanceOf[Path])
+      finally listing.close()
     val moved = parts.zipWithIndex.map { case (part, i) =>
       val target = out.resolve(f"outputfile${i + 1}%02d")
       Files.move(part, target)

@@ -65,3 +65,19 @@ object Num {
   def charge(price: Column, discount: Column, tax: Column): Column =
     revenue(price, discount) * (lit(1).cast(Rate) + tax.cast(Rate))
 }
+
+/** The ONE exact-dedup key, shared by q_fingerprint and q_dedup_exact so
+  * they can never diverge. The whitespace class is explicit because Java's
+  * `\s` includes vertical tab (\x0B) while DuckDB's RE2 `\s` does not —
+  * the literal class is identical in both engines.
+  */
+object Fingerprint {
+  private val Ws = """[ \t\n\x0B\f\r]+"""
+
+  /** md5 over whitespace-normalized lowercase text. */
+  def of(text: Column): Column =
+    md5(regexp_replace(lower(text), Ws, " ").cast("binary"))
+
+  /** The same expression for the DuckDB oracle. */
+  val sql: String = """md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"""
+}

@@ -177,21 +177,18 @@ object TextQueries {
     )
   )
 
-  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
-    * the exact-dedup key used by [[graft.ext.Dedup]].
+  /** Document fingerprint: the shared [[Fingerprint]] exact-dedup key
+    * (same expression as [[graft.ext.Dedup.dedupExact]]).
     */
   val fingerprint: Q = Q(
     "q_fingerprint",
     (s, dir) =>
       Tables(s, dir).documents
-        .select(
-          col("doc_id"),
-          md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp")
-        )
+        .select(col("doc_id"), Fingerprint.of(col("text")).as("fp"))
         .orderBy("doc_id"),
     Some(
-      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id, ${Fingerprint.sql} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
 

@@ -16,12 +16,13 @@ object StreamDemo {
     val Array(sfDir, outDir) = args
     val spark = SparkEnv.session("graft-stream-demo")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val events = spark.readStream
-      .schema(schema)
-      // the fixture is a single file, not a dir: stream the dir, filter to it
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val events = graft.core.Tables.nanosToTimestamp(
+      spark.readStream
+        .schema(schema)
+        // the fixture is a single file, not a dir: stream the dir, filter to it
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+    )
     val q = EventStream
       .hourlyCounts(events)
       .writeStream

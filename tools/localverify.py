@@ -31,9 +31,17 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     import os
 
-    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    # union of written dirs and declared oracles: a query that FAILED in
+    # graft.Verify has an oracle key but no dir — that must count as FAIL,
+    # not silently disappear from the gate
+    dirs = {d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}")}
+    names = sorted(dirs | set(oracles))
     n_pass = n_fail = 0
     for name in names:
+        if name not in dirs:
+            print(f"FAIL {name}: no Spark output written (query failed in Verify)")
+            n_fail += 1
+            continue
         try:
             spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         except Exception as e:
