@@ -76,6 +76,26 @@ object Multimodal {
     }
   }
 
+  /** A fixed-width feature vector extracted from a media payload. */
+  final case class MediaFeature(id: Long, kind: String, feature: Array[Float])
+
+  /** STUB feature-extract: a deterministic pseudo-embedding derived from
+    * the payload's sha bytes (a real pipeline would run a vision/audio
+    * encoder here; the output shape — fixed-dim float vector per row,
+    * batch-friendly — is exactly what [[Similarity]]/[[Ivf]] consume
+    * downstream).
+    */
+  def featureStub(meta: Dataset[MediaMeta], dim: Int = 16): Dataset[MediaFeature] = {
+    import meta.sparkSession.implicits._
+    require(dim <= 32, "sha256 provides 32 bytes of stub entropy")
+    meta.map { m =>
+      val f = Array.tabulate(dim) { i =>
+        (Integer.parseInt(m.sha.substring(2 * i, 2 * i + 2), 16) / 255.0f) - 0.5f
+      }
+      MediaFeature(m.id, m.kind, f)
+    }
+  }
+
   /** Frame sampling for video: every `stride`-th frame index. Declarative —
     * a sequence + filter, no UDF.
     */

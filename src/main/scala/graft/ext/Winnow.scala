@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+  * SIGMOD'03 — the plagiarism-detection/shared-passage fingerprint, distinct
+  * from the exact-dedup [[graft.queries.Fingerprint]] key):
+  *
+  *   - Rabin-Karp rolling hash over character k-grams (base 257, mod
+  *     2^61-1): O(len) per document, one multiply+add per position;
+  *   - winnowing: keep the minimum hash of every w-hash window (rightmost
+  *     min on ties) — guarantees any shared substring of length >= k+w-1
+  *     yields at least one shared fingerprint;
+  *   - output: the distinct selected hashes. Documents sharing passages
+  *     share fingerprints, so a groupBy/join on the exploded fingerprints
+  *     finds copied passages corpus-wide with a plain shuffle — the same
+  *     bucketed-candidate shape as the other dedup tiers.
+  *
+  * Genuine per-row imperative math → typed map (same documented exception
+  * class as [[SimHash]]); everything downstream is declarative.
+  */
+object Winnow {
+
+  private val Base = 257L
+  private val Mod  = (1L << 61) - 1 // Mersenne prime; products fit via mulmod
+
+  /** (a*b) mod 2^61-1 via the 128-bit product and a Mersenne fold:
+    * x = hi·2^64 + lo and 2^64 ≡ 2^3 (mod 2^61-1), so
+    * x mod M = ((x >> 61) + (x & M)) folded once more if needed.
+    * Requires a, b < M (maintained by every call site).
+    */
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi     = Math.multiplyHigh(a, b) // upper 64 bits of the product
+    val lo     = a * b                   // lower 64 bits (wrapping)
+    val folded = (hi << 3) | (lo >>> 61) // x >> 61 (hi < 2^58, no overflow)
+    var r      = (lo & Mod) + folded
+    while (r >= Mod) r -= Mod
+    r
+  }
+
+  /** Distinct winnowed fingerprints of `text` for k-gram size `k`, window
+    * `w`. Deterministic; empty for texts shorter than k.
+    */
+  def fingerprints(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    val s = text.toLowerCase
+    val n = s.length
+    if (n < k) return Array.empty
+    val m      = n - k + 1
+    val hashes = new Array[Long](m)
+    // base^(k-1) mod M for the rolling subtraction
+    var basePow = 1L
+    var i       = 0
+    while (i < k - 1) { basePow = mulMod(basePow, Base); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (mulMod(h, Base) + s.charAt(i)) % Mod; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      val out = mulMod(s.charAt(i - 1).toLong, basePow)
+      h = (h - out % Mod + Mod) % Mod
+      h = (mulMod(h, Base) + s.charAt(i + k - 1)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+    if (m <= w) return Array(hashes.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var win = 0
+    while (win <= m - w) {
+      var best = win
+      var j    = win + 1
+      while (j < win + w) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+      out += hashes(best)
+      win += 1
+    }
+    out.toArray
+  }
+
+  /** documents -> (doc_id, n_fingerprints, min_fp) — compact per-doc
+    * summary; the exploded form below drives passage matching.
+    */
+  def summary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val fps = fingerprints(text)
+        (id, fps.length.toLong, if (fps.isEmpty) -1L else fps.min)
+      }
+      .toDF("doc_id", "n_fps", "min_fp")
+  }
+
+  /** Shared-passage pairs: docs sharing >= minShared winnowed fingerprints
+    * (exploded fingerprints → groupBy-join on the fingerprint — bucketed,
+    * never all-pairs).
+    */
+  def sharedPassagePairs(spark: SparkSession, docs: DataFrame, minShared: Int): DataFrame = {
+    import spark.implicits._
+    val fps = docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => fingerprints(text).map(f => (id, f)) }
+      .toDF("doc_id", "fp")
+    fps.alias("a")
+      .join(fps.alias("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  // rows-only: the rolling hash is engine-local bit math; correctness is
+  // property-tested in WinnowSpec (shared-substring guarantee, determinism)
+  val rollingFp: Q = Q(
+    "q_rolling_fp",
+    (s, dir) => summary(s, Tables(s, dir).documents).orderBy("doc_id"),
+    None
+  )
+
+  val all: Seq[Q] = Seq(rollingFp)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Ivf, Multimodal, SimHash, Similarity}
+import graft.ext.{Dedup, Ivf, Multimodal, SimHash, Similarity, Winnow}
 
 /** Single source of truth for every registered query. SparkEntry derives
   * the driver-facing `queries`/`oracleSql` maps from here, so a query wired
@@ -18,6 +18,7 @@ object Registry {
       Similarity.all ++
       Ivf.all ++
       SimHash.all ++
+      Winnow.all ++
       Multimodal.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names in Registry")

@@ -112,6 +112,27 @@ class ExtSpec extends SparkSpec {
     assert(meta.map(_.sha).toSeq == meta2.map(_.sha).toSeq)
   }
 
+  test("feature-extract stub: deterministic fixed-dim vectors usable by graft_cosine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val recs = Tables(spark, sf).documents
+      .limit(50)
+      .select(col("doc_id").as("id"), lit("image").as("kind"), col("text").cast("binary").as("media"))
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.featureStub(Multimodal.decodeStub(recs), 16)
+    val rows  = feats.collect()
+    assert(rows.forall(_.feature.length == 16))
+    assert(rows.forall(_.feature.forall(v => v >= -0.5f && v <= 0.5f)))
+    // downstream-compatible: self-cosine of a nonzero vector is 1.0
+    val selfCos = feats
+      .toDF()
+      .select(call_function("graft_cosine", col("feature"), col("feature")).as("c"))
+      .filter(col("c").isNotNull)
+      .agg(min("c"), max("c"))
+      .collect()(0)
+    assert(math.abs(selfCos.getDouble(0) - 1.0) < 1e-9 && math.abs(selfCos.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val df = Seq((1L, "video", 10), (2L, "image", 1))
