@@ -117,6 +117,48 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override def prettyName: String = "graft_cosine"
 }
 
+/** Single-pass Euclidean (L2) distance — completes the vector family for
+  * distance-metric workloads (k-means assignment, radius search).
+  */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2Distance =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_l2"
+}
+
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
   * registers the vector functions in every session's FunctionRegistry.
   */
@@ -146,6 +188,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         (children: Seq[Expression]) => {
           val (a, b) = arity2("graft_cosine")(children); CosineSimilarity(a, b)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_l2"),
+        new ExpressionInfo(classOf[L2Distance].getName, "graft_l2"),
+        (children: Seq[Expression]) => {
+          val (a, b) = arity2("graft_l2")(children); L2Distance(a, b)
         }
       )
     )

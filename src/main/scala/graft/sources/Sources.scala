@@ -42,6 +42,20 @@ object Sources {
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 
+  /** ORC read/write — same call shape, full pushdown support. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Compressed text: gzip per-file (non-splittable — a 100 TB corpus
+    * should prefer many moderate .gz files or a splittable codec so Spark
+    * can parallelize within and across files).
+    */
+  def writeTextGzip(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").text(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 

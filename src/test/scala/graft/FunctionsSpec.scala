@@ -37,6 +37,17 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("graft_l2: zero for identical vectors, 5.0 for a 3-4-5 triangle") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(0.0f, 0.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val rows = df.select(call_function("graft_l2", col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).getDouble(0) == 5.0)
+  }
+
   test("functions are SQL-callable via the session extension") {
     import spark.implicits._
     Seq((Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b").createOrReplaceTempView("vecs")

@@ -39,6 +39,23 @@ class GroupStageSpec extends SparkSpec {
     }
   }
 
+  test("sort task reproduces the test_worker_06 merged golden (1 reducer)") {
+    // the reference's worker sort task: concat group inputs, line-sort
+    // (`/root/reference/tests/test_worker_06.py:109-122` asserts the
+    // sorted union of both input files)
+    val input = Seq("worker06/test_worker_06.group_input01", "worker06/test_worker_06.group_input02")
+      .flatMap(f => readLines(resource(s"groupstage/$f")))
+    val lines  = spark.sparkContext.parallelize(input, 2)
+    val merged = GroupStage.rankMod(lines, 1)
+      .collect()
+      .toList
+    assert(merged == input.sorted)
+    assert(
+      merged == List("\t1", "\t1", "bye\t1", "goodbye\t1", "hadoop\t1", "hadoop\t1",
+        "hello\t1", "hello\t1", "world\t1", "world\t1")
+    )
+  }
+
   test("rank-mod assigns consecutive sorted distinct lines round-robin") {
     val data  = Seq("a\t1", "b\t1", "c\t1", "d\t1", "e\t1", "a\t1")
     val lines = spark.sparkContext.parallelize(data, 2)

@@ -42,6 +42,27 @@ class SourcesSpec extends SparkSpec {
     assert(files.forall(_.contains("file0")))
   }
 
+  test("orc round-trip preserves rows") {
+    import spark.implicits._
+    val df  = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val out = tmp("orc")
+    Sources.writeOrc(df, out)
+    val back = Sources.orc(spark, out)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("gzip text round-trip: transparent decompression on read") {
+    import spark.implicits._
+    val lines = (1 to 100).map(i => s"line-$i")
+    val out   = tmp("gz")
+    Sources.writeTextGzip(lines.toDF("value"), out)
+    // at least one .gz part written, read back transparently
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gz")), files.mkString(","))
+    val back = Sources.text(spark, out).collect().map(_.getString(0)).sorted
+    assert(back.toSeq == lines.sorted)
+  }
+
   test("partitioned parquet write enables partition pruning on read") {
     import spark.implicits._
     val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, "2024-01-02", 3.0))
