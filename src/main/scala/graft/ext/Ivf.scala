@@ -38,6 +38,53 @@ object Ivf {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
 
+  /** Lloyd's k-means over the vectors (the real IVF index build): assign
+    * with the codegen'd L2 expression, recompute means declaratively
+    * (posexplode → groupBy (cid, dim) avg — a partial+final aggregate whose
+    * shuffle carries C·dim partial sums, not vectors). Only the C·dim
+    * centroid table ever reaches the driver, once per iteration.
+    */
+  def kmeansFit(emb: DataFrame, nCentroids: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
+    var centroids = sampleCentroids(emb, nCentroids)
+    val dim       = centroids.headOption.map(_._2.length).getOrElse(0)
+    var it        = 0
+    while (it < iters) {
+      val assigned = assignL2(emb, centroids)
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(avg("v").as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val vec = new Array[Float](dim)
+            rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
+            (cid, vec)
+          case None => (cid, old) // empty cell keeps its previous centroid
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assignment by L2 (k-means metric): argmin distance == argmax of
+    * negated distance via the same array_max struct trick.
+    */
+  def assignL2(emb: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = transform(
+      centroidArrayLit(centroids),
+      c =>
+        struct(
+          (-call_function("graft_l2", col("embedding"), c.getField("cvec"))).as("negDist"),
+          c.getField("cid").as("cid")
+        )
+    )
+    emb.withColumn("cid", array_max(scored).getField("cid"))
+  }
+
   private def centroidArrayLit(centroids: Array[(Int, Array[Float])]): Column =
     array(centroids.map { case (i, v) =>
       struct(lit(i).as("cid"), array(v.map(lit): _*).as("cvec"))

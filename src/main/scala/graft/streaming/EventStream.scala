@@ -92,6 +92,14 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch hash-joins against the
+    * (broadcastable) static dimension — no streaming state at all, the
+    * static side is re-planned per batch. The standard shape for decorating
+    * an event stream with user/document metadata at ingest.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Default sink wiring: append-mode parquet with checkpointing — the shape
     * a production pipeline uses (exactly-once via checkpoint + idempotent
     * files).

@@ -81,6 +81,26 @@ class ExtSpec extends SparkSpec {
     assert((exact intersect ann).size >= 2, s"recall too low: ${(exact intersect ann).size}/10")
   }
 
+  test("k-means fit converges: within-cluster L2 does not increase over iterations") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf).embeddings
+    def cost(centroids: Array[(Int, Array[Float])]): Double =
+      graft.ext.Ivf
+        .assignL2(emb, centroids)
+        .select(col("cid"), col("embedding"))
+        .join(
+          spark.createDataFrame(centroids.map { case (i, v) => (i, v) }.toSeq).toDF("cid", "cvec"),
+          "cid"
+        )
+        .select(call_function("graft_l2", col("embedding"), col("cvec")).as("d"))
+        .agg(sum("d"))
+        .collect()(0)
+        .getDouble(0)
+    val init   = graft.ext.Ivf.sampleCentroids(emb, 8)
+    val fitted = graft.ext.Ivf.kmeansFit(emb, 8, iters = 3)
+    assert(cost(fitted) <= cost(init) * 1.0001, "k-means must not increase total distance")
+  }
+
   test("IVF ANN: rank-1 self-hit and reasonable recall vs brute force") {
     val emb = Tables(spark, sf).embeddings
     val exact = graft.ext.Similarity

@@ -130,6 +130,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the static dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim   = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .enriched(input.toDF(), dim, "user_id")
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "a", 1.0),
+        ev(2, "2026-01-01 10:00:10", 2, "b", 2.0),
+        ev(3, "2026-01-01 10:00:20", 9, "c", 3.0) // no dim row → dropped (inner)
+      )
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT event_id, tier FROM enriched ORDER BY event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
