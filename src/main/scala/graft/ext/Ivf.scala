@@ -20,11 +20,11 @@ import graft.queries.Q
   *      only the vectors in those cells: a filter + TakeOrderedAndProject,
   *      scanning `nProbe/C` of the data.
   *
-  * Centroid selection here is a deterministic sample (the first
-  * `nCentroids` vectors) — on random fixture embeddings that is as good as
-  * k-means; a production index would run (MLlib) k-means offline and feed
-  * the centroids in the same way. Recall vs brute force is asserted in
-  * ExtSpec.
+  * Centroids: [[kmeansFit]] runs Lloyd's iterations in-engine (deterministic
+  * head-sample initialization); the registered query uses it, and a
+  * production pipeline would persist the fitted centroids + assignments
+  * offline and reuse them per query. Recall vs brute force and k-means
+  * convergence are asserted in ExtSpec.
   */
 object Ivf {
 
@@ -120,7 +120,7 @@ object Ivf {
     * re-rank inside them.
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = sampleCentroids(emb, nCentroids)
+    val centroids = kmeansFit(emb, nCentroids, iters = 2)
     val qVec = emb
       .filter(col("vec_id") === queryId)
       .select("embedding")

@@ -48,8 +48,11 @@ object SimHash {
     sig
   }
 
+  /** Locale.ROOT so signatures are reproducible across JVM locales — and
+    * stay consistent with the oracle's `lower()` (ASCII-stable).
+    */
   def tokenize(text: String): Iterator[String] =
-    text.toLowerCase.split(" ", -1).iterator
+    text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).iterator
 
   /** documents -> (doc_id, simhash) via a typed map. */
   def signatures(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -25,8 +25,12 @@ import graft.queries.Q
   */
 object Winnow {
 
-  private val Base = 257L
-  private val Mod  = (1L << 61) - 1 // Mersenne prime; products fit via mulmod
+  // Base must exceed the UTF-16 alphabet (65535): with a smaller base,
+  // k-grams related by (…,c,d,…) vs (…,c+1,d-base,…) collide by
+  // construction on non-ASCII text. Exposed for the spec's direct
+  // polynomial cross-check.
+  private[graft] val Base = 1000003L
+  private[graft] val Mod  = (1L << 61) - 1 // Mersenne prime; products fit via mulmod
 
   /** (a*b) mod 2^61-1 via the 128-bit product and a Mersenne fold:
     * x = hi·2^64 + lo and 2^64 ≡ 2^3 (mod 2^61-1), so
@@ -46,7 +50,9 @@ object Winnow {
     * `w`. Deterministic; empty for texts shorter than k.
     */
   def fingerprints(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
-    val s = text.toLowerCase
+    // Locale.ROOT: default-locale lowercasing (e.g. tr-TR dotless i) would
+    // make fingerprints non-reproducible across JVMs
+    val s = text.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     if (n < k) return Array.empty
     val m      = n - k + 1

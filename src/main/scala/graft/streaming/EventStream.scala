@@ -94,11 +94,12 @@ object EventStream {
 
   /** Stream-static enrichment join: each micro-batch hash-joins against the
     * (broadcastable) static dimension — no streaming state at all, the
-    * static side is re-planned per batch. The standard shape for decorating
-    * an event stream with user/document metadata at ingest.
+    * static side is re-planned per batch. Left join by default: an event
+    * whose key is missing from the dimension snapshot (e.g. a brand-new
+    * user) passes through with null metadata instead of silently dropping.
     */
-  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+  def enriched(events: DataFrame, dim: DataFrame, key: String, joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
 
   /** Default sink wiring: append-mode parquet with checkpointing — the shape
     * a production pipeline uses (exactly-once via checkpoint + idempotent

@@ -92,7 +92,9 @@ class ExtSpec extends SparkSpec {
           spark.createDataFrame(centroids.map { case (i, v) => (i, v) }.toSeq).toDF("cid", "cvec"),
           "cid"
         )
-        .select(call_function("graft_l2", col("embedding"), col("cvec")).as("d"))
+        // Lloyd's guarantees non-increase of SQUARED distance (the mean
+        // minimizes sum-of-squares, not sum-of-distances)
+        .select(pow(call_function("graft_l2", col("embedding"), col("cvec")), 2).as("d"))
         .agg(sum("d"))
         .collect()(0)
         .getDouble(0)

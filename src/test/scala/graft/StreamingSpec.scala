@@ -146,14 +146,14 @@ class StreamingSpec extends SparkSpec {
       input.addData(
         ev(1, "2026-01-01 10:00:00", 1, "a", 1.0),
         ev(2, "2026-01-01 10:00:10", 2, "b", 2.0),
-        ev(3, "2026-01-01 10:00:20", 9, "c", 3.0) // no dim row → dropped (inner)
+        ev(3, "2026-01-01 10:00:20", 9, "c", 3.0) // no dim row → null tier (left join)
       )
       q.processAllAvailable()
       val rows = spark
         .sql("SELECT event_id, tier FROM enriched ORDER BY event_id")
         .collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      assert(rows.toSeq == Seq((1L, "gold"), (2L, "basic")))
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "gold"), (2L, "basic"), (3L, null)))
     } finally q.stop()
   }
 

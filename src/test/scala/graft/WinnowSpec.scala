@@ -9,9 +9,10 @@ class WinnowSpec extends SparkSpec {
     // brute-force the k-gram hash with BigInt and compare to the rolled one
     val text = "the quick brown fox jumps over the lazy dog 0123456789"
     val k    = 8
-    val M    = BigInt((1L << 61) - 1)
+    val M    = BigInt(Winnow.Mod)
+    val B    = BigInt(Winnow.Base)
     val direct = (0 to text.length - k).map { i =>
-      text.toLowerCase.substring(i, i + k).foldLeft(BigInt(0))((h, c) => (h * 257 + c.toInt) % M).toLong
+      text.toLowerCase.substring(i, i + k).foldLeft(BigInt(0))((h, c) => (h * B + c.toInt) % M).toLong
     }
     // reproduce the internal hash sequence through fingerprints' minima:
     // the windowed minimum of `direct` must equal the selected fingerprints
