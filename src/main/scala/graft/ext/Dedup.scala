@@ -117,6 +117,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Character 4-grams of lowercased text (empty array below 4 chars) —
+    * same zip-of-shifted-slices shape as [[shingles3]] so the char split
+    * evaluates O(1) times per row, not per gram.
+    */
+  def charGrams4(text: Column): Column = {
+    val chars = split(lower(text), "")
+    when(
+      size(chars) >= 4,
+      transform(
+        arrays_zip(
+          slice(chars, lit(1), size(chars) - 3),
+          slice(chars, lit(2), size(chars) - 3),
+          slice(chars, lit(3), size(chars) - 3),
+          slice(chars, lit(4), size(chars) - 3)
+        ),
+        s => concat(s.getField("0"), s.getField("1"), s.getField("2"), s.getField("3"))
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
   /** Candidates verified with exact Jaccard over distinct 3-shingle sets. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     val sets = docs
@@ -221,5 +241,52 @@ object Dedup {
     )
   )
 
-  val all: Seq[Q] = Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup)
+  /** n-gram Jaccard near-dup: LSH band candidates verified by CHARACTER
+    * 4-gram Jaccard (robust to word-boundary edits, unlike the word-shingle
+    * verify of [[minhashNearDup]]). Same bucketed candidate generation;
+    * the verification is per-pair array math, no extra shuffle.
+    */
+  val ngramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sets = docs.select(col("doc_id"), array_distinct(charGrams4(col("text"))).as("gset"))
+      candidatePairs(docs)
+        .join(sets.select(col("doc_id").as("d1"), col("gset").as("g1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("gset").as("g2")), "d2")
+        .withColumn(
+          "jaccard",
+          size(array_intersect(col("g1"), col("g2"))).cast("double") /
+            size(array_union(col("g1"), col("g2")))
+        )
+        .filter(col("jaccard") >= 0.3)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    },
+    Some(
+      s"""WITH sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |gsets AS (
+         |  SELECT doc_id, list_distinct(
+         |    list_transform(range(1, greatest(length(lower(text))-3, 0)+1),
+         |                   i -> substr(lower(text), CAST(i AS INT), 4))) AS gset
+         |  FROM documents)
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(s1.gset, s2.gset)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(s1.gset, s2.gset))) AS jaccard
+         |FROM cand
+         |JOIN gsets s1 ON s1.doc_id = d1
+         |JOIN gsets s2 ON s2.doc_id = d2
+         |WHERE CAST(len(list_intersect(s1.gset, s2.gset)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(s1.gset, s2.gset))) >= 0.3
+         |ORDER BY d1, d2""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, ngramJaccard)
 }
