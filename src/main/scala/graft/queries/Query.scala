@@ -7,6 +7,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 /** One engine query: a Spark implementation plus (where SQL-expressible) an
   * equivalent DuckDB oracle over the same parquet tables. Queries without an
   * oracle get the driver's weaker rows-only check.
+  *
+  * Note on trailing `orderBy`: queries whose output is one row per input
+  * row end in a global sort SOLELY so the cross-engine hash compare is
+  * deterministic. It is verification plumbing, not part of the operator's
+  * semantics — a production consumer of the same plan drops the final sort
+  * (and Catalyst with it, the range-partition exchange). Aggregate queries'
+  * small-result sorts are post-shuffle and cost nothing at scale.
   */
 final case class Q(
     name: String,
