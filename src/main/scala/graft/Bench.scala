@@ -24,13 +24,25 @@ object Bench {
       }
 
     // Warm up JIT/codegen/shuffle AND the parquet reader stack so the
-    // alphabetically-first query doesn't absorb one-time JVM/IO init
-    // (~10s codegen + ~2s vectorized-reader/codec setup) in its timing.
+    // alphabetically-first query doesn't absorb one-time JVM/IO init in its
+    // timing (BENCH_r02: `grep` = 24.5s of which ~24s was first-query init).
+    // Every fixture table is scanned once (string/array/timestamp column
+    // codecs each have their own first-use cost), plus one sort (range-
+    // partitioner machinery) and one native vector expression (codegen).
     try {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{call_function, col}
       spark.range(1000000).groupBy((col("id") % 100).as("k")).count()
         .write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      for (t <- tables)
+        spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .orderBy("doc_id").limit(5)
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
     val results: Seq[(String, Double, Option[String])] =

@@ -32,7 +32,11 @@ object Submit {
       numMappers = if (pos.length > 4) pos(4).toInt else 4,
       numReducers = if (pos.length > 5) pos(5).toInt else 1
     )
-    val engine = new Engine(SparkEnv.session("graft-submit"), parityMode = flags.contains("--parity"))
+    val engine = new Engine(
+      SparkEnv.session("graft-submit"),
+      parityMode = flags.contains("--parity"),
+      ownsSession = true // the CLI created this session solely for the job
+    )
     try {
       val res = engine.runJob(spec)
       println(s"job ${res.jobId} done: ${res.outputFiles.mkString(", ")}")

@@ -21,12 +21,14 @@ import graft.ops.{GroupStage, MapStage, ReduceStage, Sinks}
   * TCP submit and `await` is the client's join. Worker membership,
   * heartbeats, dead-task reassignment and shutdown (reference O9-O11) are
   * subsumed by Spark's scheduler/executor liveness machinery; `close()`
-  * mirrors the manager's shutdown fan-out by stopping the session.
+  * mirrors the manager's shutdown fan-out by draining the job queue, and
+  * stops the session only when this Engine owns it (`ownsSession`).
   *
   * `parityMode` selects the golden-parity rank-mod group router
   * ([[graft.ops.GroupStage.rankMod]]) instead of the scalable hash router.
   */
-final class Engine(spark: SparkSession, parityMode: Boolean = false) extends AutoCloseable {
+final class Engine(spark: SparkSession, parityMode: Boolean = false, ownsSession: Boolean = false)
+    extends AutoCloseable {
 
   private val jobIds                                   = new AtomicInteger(0)
   private val pool: ExecutionContextExecutorService    =
@@ -60,6 +62,9 @@ final class Engine(spark: SparkSession, parityMode: Boolean = false) extends Aut
     // output directories
     pool.shutdown()
     pool.awaitTermination(600, TimeUnit.SECONDS)
-    spark.stop()
+    // only stop the (process-wide, getOrCreate-shared) session if this
+    // Engine owns it — a library user's Engine must not tear down the
+    // SparkSession other components are still using
+    if (ownsSession) spark.stop()
   }
 }

@@ -75,9 +75,15 @@ object Tables {
 
   /** The one nanos→micros `ts` conversion, shared by batch and streaming
     * readers so the two paths can never diverge.
+    *
+    * The result is cast to TIMESTAMP_NTZ: `timestamp_micros` yields
+    * TimestampType (session-TZ / parquet `isAdjustedToUTC=true`), but the
+    * fixture timestamps are naive wall-clock values and the DuckDB oracle
+    * produces naive TIMESTAMPs — the session TZ is UTC, so the cast changes
+    * only the parquet logical type, not the instant.
     */
   def nanosToTimestamp(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    events.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    events.withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
   }
 }

@@ -1,8 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.core.Tables
 import graft.queries.Q
@@ -67,8 +67,23 @@ object Similarity {
     array(tables: _*)
   }
 
-  /** Brute-force top-k cosine neighbors of the vector with `queryId`. */
-  def topKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+  /** 1-based rank column for an ALREADY-ORDERED ≤k-row result. The heavy
+    * ordering work happened upstream (TakeOrderedAndProject); rank is just
+    * the row's position, so a `zipWithIndex` over the tiny result replaces
+    * the unpartitioned window that would otherwise (correctly but
+    * misleadingly) warn about single-partition movement.
+    */
+  private def withRank(ordered: DataFrame): DataFrame = {
+    val out = StructType(StructField("rank", LongType, nullable = false) +: ordered.schema.fields)
+    val rdd = ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    ordered.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** The distributed part of [[topKCosine]]: scan → score → top-k, ending
+    * in TakeOrderedAndProject. Exposed so PlanSpec can assert the physical
+    * plan (the final rank attach converts to an RDD and hides it).
+    */
+  def topKCosineScored(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
     emb
       .crossJoin(broadcast(qv)) // 1-row broadcast: a BroadcastNestedLoopJoin over a single row, not a shuffle
@@ -76,9 +91,12 @@ object Similarity {
       .select("vec_id", "label", "cos")
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
-      .select("rank", "vec_id", "label")
   }
+
+  /** Brute-force top-k cosine neighbors of the vector with `queryId`. */
+  def topKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame =
+    withRank(topKCosineScored(emb, queryId, k).select("vec_id", "label"))
+      .select("rank", "vec_id", "label")
 
   /** ANN top-k: candidates = vectors sharing any LSH table bucket with the
     * query (hash join on (table_id, bucket) after an explode — the shuffle
@@ -92,7 +110,7 @@ object Similarity {
     val qRows = keyed
       .filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"), col("table_id").as("qt"), col("bucket").as("qb"))
-    keyed
+    val top = keyed
       .join(broadcast(qRows), col("table_id") === col("qt") && col("bucket") === col("qb"))
       .select("vec_id", "label", "embedding", "qv")
       .dropDuplicates("vec_id") // candidate may match in several tables
@@ -100,8 +118,8 @@ object Similarity {
       .select("vec_id", "label", "cos")
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
-      .select("rank", "vec_id", "label")
+      .select("vec_id", "label")
+    withRank(top).select("rank", "vec_id", "label")
   }
 
   /** Embedding near-duplicate pairs: same bucket in ANY LSH table AND
@@ -165,11 +183,57 @@ object Similarity {
     None
   )
 
-  /** LSH-bucketed embedding near-dup pairs (rows-only + plan test). */
+  /** DuckDB oracle for [[nearDupPairs]]: the seeded hyperplanes are emitted
+    * as DOUBLE literals so the oracle replays the exact sign-LSH bucketing
+    * (identical float→double products and left-to-right fold as `graft_dot`,
+    * whose cross-engine bit-parity `q_ann_topk` already demonstrates) and
+    * the exact-cosine threshold — making the approximate operator fully
+    * hash-checkable, like the SimHash oracle.
+    */
+  def nearDupOracleSql(tau: Double, nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): String = {
+    def arr(p: Array[Float]) = p.map(_.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]")
+    val tableSelects = (0 until nTables)
+      .map { t =>
+        val bucket = hyperplanes(nPlanes, dim, seed = 42L + t)
+          .map(p => s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"  SELECT vec_id, $t AS table_id, $bucket AS bucket FROM e"
+      }
+      .mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |$tableSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+       |  FROM b a JOIN b b2
+       |    ON a.table_id = b2.table_id AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |)
+       |SELECT v1, v2 FROM cand
+       |JOIN e e1 ON e1.vec_id = cand.v1
+       |JOIN e e2 ON e2.vec_id = cand.v2
+       |WHERE list_dot_product(e1.v, e2.v)
+       |      / (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v)))
+       |      >= CAST($tau AS DOUBLE)
+       |ORDER BY v1, v2""".stripMargin
+  }
+
+  /** Cosine threshold for the near-dup query: the synthetic fixture's max
+    * pairwise cosine is ≈0.51 (sf0.01), so the old τ=0.8 made the check
+    * vacuous (0 rows). τ=0.4 sits inside the fixture's actual similarity
+    * range and no fixture pair lands near the boundary.
+    */
+  val NearDupTau = 0.4
+
+  /** LSH-bucketed embedding near-dup pairs, hash-checked end-to-end against
+    * the hyperplane-replay oracle. `cos` is excluded from the output (pairs
+    * are the semantics; the score is asserted in ExtSpec) so the hash never
+    * depends on emitting a raw double.
+    */
   val embedNearDup: Q = Q(
     "q_embed_neardup",
-    (s, dir) => nearDupPairs(Tables(s, dir).embeddings, 0.8).orderBy("v1", "v2"),
-    None
+    (s, dir) => nearDupPairs(Tables(s, dir).embeddings, NearDupTau).select("v1", "v2").orderBy("v1", "v2"),
+    Some(nearDupOracleSql(NearDupTau))
   )
 
   val all: Seq[Q] = Seq(annTopK, annLsh, embedNearDup)

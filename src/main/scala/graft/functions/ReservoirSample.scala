@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions.udaf
   * Classic Algorithm R, made MERGEABLE for Spark's partial aggregation:
   * each partial buffer keeps its reservoir plus the count of items it has
   * seen. Merging draws k slots without replacement, each draw weighted by
-  * the input mass a reservoir slot represents (seen/|reservoir|): exactly
-  * uniform when both reservoirs are full, and exact concatenation when the
-  * combined buffers fit in k. State per group is O(k) — the aggregation
+  * the input mass a reservoir slot represents (seen/|reservoir|). The
+  * sequential weighted draws condition each pick on the previous removals,
+  * so merged inclusion probabilities are APPROXIMATELY uniform (an exact
+  * merge would hypergeometrically split the k slots between the two
+  * reservoirs first); concatenation is exact when the combined buffers fit
+  * in k. State per group is O(k) — the aggregation
   * shuffles one k-element buffer per group per map partition, never the
   * group's rows.
   *

@@ -45,6 +45,15 @@ object GroupStage {
     * (`readlines()` + `sort()`, `/root/reference/mapreduce/worker/__main__.py:180-182`),
     * which flips the order of a line that is a proper prefix of another
     * continuing with '\t' (0x09 < 0x0A) — so we append '\n' to the sort key.
+    *
+    * Known parity limitation: the reference keeps the REAL trailing bytes,
+    * so a final unterminated line "foo" sorts/distincts separately from
+    * "foo\n". Spark's textFile strips newlines before we re-append one
+    * uniformly, merging the two and (in rank-mod parity mode) shifting
+    * subsequent bucket assignments for inputs whose files lack a trailing
+    * newline. All golden fixtures are newline-terminated, so parity holds
+    * there; byte parity on unterminated files would need a per-line
+    * has-newline marker carried from a custom input format.
     */
   private def sortKey(l: String): String                 = l + "\n"
   private implicit val lineOrd: Ordering[(Int, String)] = Ordering.by(t => sortKey(t._2))

@@ -23,7 +23,7 @@ object MapStage {
     * including empties (an empty input line yields the empty-string key).
     */
   def wcMap(line: String): Iterator[String] =
-    line.toLowerCase
+    line.toLowerCase(java.util.Locale.ROOT) // ASCII tr semantics regardless of JVM default locale (tr-TR dotless-ı hazard)
       .split("[ \t\\[\\]]", -1)
       .iterator
       .map(tok => tok + "\t1")
@@ -34,7 +34,7 @@ object MapStage {
     */
   def grepMap(query: String)(line: String): Iterator[String] = {
     val stripped = line.trim
-    if (stripped.nonEmpty && stripped.toLowerCase.contains(query)) Iterator("1\t" + stripped)
+    if (stripped.nonEmpty && stripped.toLowerCase(java.util.Locale.ROOT).contains(query)) Iterator("1\t" + stripped)
     else Iterator.empty
   }
 

@@ -83,15 +83,21 @@ object TemporalJoins {
       keys: Seq[String] = Nil
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val lb = left.withColumn("__bucket", (col(ts).cast("long") / bucketWidth).cast("long"))
+    // `div` (IntegralDivide) not `/`: Spark's long '/' is DOUBLE division,
+    // which above 2^53 (epoch-nanos) rounds and can silently drop matching
+    // pairs. Truncation-toward-zero is consistent between both sides, so
+    // negative timestamps bucket correctly too (trunc is monotone).
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c.cast("long"), lit(bucketWidth))
+    val lb = left.withColumn("__bucket", bucketOf(col(ts)))
     val rb = right.withColumn(
       "__bucket",
       explode(
         sequence(
-          (col(start).cast("long") / bucketWidth).cast("long"),
+          bucketOf(col(start)),
           // end is exclusive, but an interval ending exactly on a bucket
           // edge still overlaps that bucket's start — ceil via (end-1)
-          ((col(end).cast("long") - 1) / bucketWidth).cast("long")
+          bucketOf(col(end).cast("long") - 1)
         )
       )
     )
@@ -99,8 +105,10 @@ object TemporalJoins {
       .map(k => lb(k) === rb(k))
       .reduce(_ && _) &&
       lb(ts) >= rb(start) && lb(ts) < rb(end)
-    lb.join(rb, joinCond)
+    val joined = lb.join(rb, joinCond)
       .drop(lb("__bucket"))
       .drop(rb("__bucket"))
+    // the equi-keys are equal by the join condition — keep one copy
+    keys.foldLeft(joined)((d, k) => d.drop(rb(k)))
   }
 }

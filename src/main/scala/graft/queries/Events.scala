@@ -61,7 +61,7 @@ object EventQueries {
         .orderBy("event_type"),
     Some(
       """SELECT event_type,
-        |  SUM(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS cnt_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     )
@@ -96,7 +96,9 @@ object EventQueries {
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables(s, dir).events
-        .select(col("user_id"), col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
+        // ts is TIMESTAMP_NTZ (naive); unix_micros needs TIMESTAMP — the
+        // session TZ is UTC so the cast keeps the same microsecond value
+        .select(col("user_id"), col("ts"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
         .withColumn("prev_us", lag("us", 1).over(w))
         .withColumn(
           "new_session",
@@ -107,7 +109,7 @@ object EventQueries {
         .orderBy("user_id")
     },
     Some(
-      """SELECT user_id, SUM(new_session) AS sessions, COUNT(*) AS n_events
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions, COUNT(*) AS n_events
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -453,7 +453,7 @@ object Relational {
     """SELECT COUNT(*) AS n_rows,
       |  COUNT(DISTINCT l_orderkey) AS n_orders,
       |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
-      |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+      |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags,
       |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
       |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
       |FROM lineitem""".stripMargin

@@ -74,9 +74,10 @@ object TextQueries {
         )
         .orderBy("lang", "source"),
     Some(
-      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-        |  SUM(len(string_split(text, ' '))) AS sum_tokens
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
     )
   )
@@ -112,7 +113,7 @@ object TextQueries {
          |       THEN 'en' ELSE 'unk' END AS lang_pred
          |FROM (
          |  SELECT doc_id, COUNT(*) AS tok_cnt,
-         |         SUM(CASE WHEN w IN $StopList THEN 1 ELSE 0 END) AS stop_cnt
+         |         CAST(SUM(CASE WHEN w IN $StopList THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
          |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
          |        FROM documents)
          |  GROUP BY doc_id)

@@ -81,6 +81,43 @@ class ExtSpec extends SparkSpec {
     assert((exact intersect ann).size >= 2, s"recall too low: ${(exact intersect ann).size}/10")
   }
 
+  test("embedding near-dup pairs: non-vacuous, sound, and exact-dup complete") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf).embeddings
+    val pairs = Similarity.nearDupPairs(emb, Similarity.NearDupTau).collect()
+    // non-vacuous: the fixture has 66 pairs with cos >= 0.4 at sf0.001 and
+    // 4x6-plane LSH catches each with p ~ 0.23 — P(zero rows) ~ 1e-7
+    assert(pairs.nonEmpty, "near-dup query returned 0 rows — vacuous check")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= Similarity.NearDupTau)
+    }
+    // soundness: every reported pair must be a true >= tau pair under
+    // brute-force exact cosine (independent of the LSH bucketing)
+    val reported = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = emb.alias("a")
+      .join(emb.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("v1"),
+        col("b.vec_id").as("v2"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos")
+      )
+      .filter(col("cos") >= Similarity.NearDupTau)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(reported.subsetOf(truth), s"false positives: ${reported.diff(truth)}")
+    // completeness on exact duplicates: an identical vector lands in the
+    // same bucket in EVERY table, so the pair MUST be reported
+    val dup = emb.filter(col("vec_id") === 0L).select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val withDup = emb.select("vec_id", "embedding").union(dup)
+    val dupPairs = Similarity.nearDupPairs(withDup, Similarity.NearDupTau)
+      .filter(col("v1") === 0L && col("v2") === 10000L)
+      .collect()
+    assert(dupPairs.length == 1, "injected exact duplicate pair not reported")
+    assert(math.abs(dupPairs(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("k-means fit converges: within-cluster L2 does not increase over iterations") {
     import org.apache.spark.sql.functions._
     val emb = Tables(spark, sf).embeddings

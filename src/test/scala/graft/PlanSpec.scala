@@ -49,13 +49,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("embedding near-dup pair generation joins on the LSH bucket, no cartesian") {
-    val p = plan(Similarity.nearDupPairs(graft.core.Tables(spark, sf).embeddings, 0.8))
+    val p = plan(Similarity.nearDupPairs(graft.core.Tables(spark, sf).embeddings, Similarity.NearDupTau))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("exact top-k cosine: only the single-row query vector is broadcast") {
-    val df = Similarity.topKCosine(graft.core.Tables(spark, sf).embeddings, 0L, 10)
+    val df = Similarity.topKCosineScored(graft.core.Tables(spark, sf).embeddings, 0L, 10)
     val p  = plan(df)
     // the scan side must NOT be exchanged into a shuffle before the limit
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

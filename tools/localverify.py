@@ -54,9 +54,25 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"{status} {name}: rows={len(spark_df)}")
             continue
         try:
-            oracle_df = con.sql(sql).df()
+            oracle_rel = con.sql(sql)
+            oracle_df = oracle_rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # dtype-strict schema compare at the DuckDB level (catches BIGINT vs
+        # HUGEINT sums and TIMESTAMP vs TIMESTAMP WITH TIME ZONE, which the
+        # driver's dtype-sensitive hash flags but a lax pandas compare hides)
+        spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        spark_types = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+        oracle_types = dict(zip(oracle_rel.columns, map(str, oracle_rel.types)))
+        if spark_types != oracle_types:
+            diff = {
+                c: (spark_types.get(c), oracle_types.get(c))
+                for c in set(spark_types) | set(oracle_types)
+                if spark_types.get(c) != oracle_types.get(c)
+            }
+            print(f"FAIL {name}: dtype mismatch (spark, oracle): {diff}")
             n_fail += 1
             continue
         a, b = canon(spark_df), canon(oracle_df)
@@ -69,7 +85,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
             print(f"PASS {name}: rows={len(a)}")
             n_pass += 1
         except AssertionError as e:
