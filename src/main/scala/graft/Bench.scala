@@ -43,7 +43,7 @@ object Bench {
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     val results: Seq[(String, Double, Option[String])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -72,10 +72,18 @@ object Similarity {
     * the row's position, so a `zipWithIndex` over the tiny result replaces
     * the unpartitioned window that would otherwise (correctly but
     * misleadingly) warn about single-partition movement.
+    *
+    * `DataFrame.rdd` preserving the top-k order is not a documented planner
+    * contract, so the callers pass the ordering keys and we re-assert the
+    * order per partition — O(k log k) on ≤k rows, and with the upstream
+    * single sorted partition a no-op in practice. (q_ann_topk's hash-checked
+    * oracle would also catch a rank regression.)
     */
-  private def withRank(ordered: DataFrame): DataFrame = {
-    val out = StructType(StructField("rank", LongType, nullable = false) +: ordered.schema.fields)
-    val rdd = ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+  private def withRank(ordered: DataFrame, orderingCols: Column*): DataFrame = {
+    val reasserted =
+      if (orderingCols.isEmpty) ordered else ordered.sortWithinPartitions(orderingCols: _*)
+    val out = StructType(StructField("rank", LongType, nullable = false) +: reasserted.schema.fields)
+    val rdd = reasserted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
     ordered.sparkSession.createDataFrame(rdd, out)
   }
 
@@ -95,7 +103,7 @@ object Similarity {
 
   /** Brute-force top-k cosine neighbors of the vector with `queryId`. */
   def topKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame =
-    withRank(topKCosineScored(emb, queryId, k).select("vec_id", "label"))
+    withRank(topKCosineScored(emb, queryId, k), col("cos").desc, col("vec_id"))
       .select("rank", "vec_id", "label")
 
   /** ANN top-k: candidates = vectors sharing any LSH table bucket with the
@@ -118,8 +126,7 @@ object Similarity {
       .select("vec_id", "label", "cos")
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-      .select("vec_id", "label")
-    withRank(top).select("rank", "vec_id", "label")
+    withRank(top, col("cos").desc, col("vec_id")).select("rank", "vec_id", "label")
   }
 
   /** Embedding near-duplicate pairs: same bucket in ANY LSH table AND

@@ -27,7 +27,10 @@ object EventQueries {
     (s, dir) =>
       Tables(s, dir).events
         .groupBy(
-          date_trunc("hour", col("ts")).as("win_start"),
+          // date_trunc yields TIMESTAMP (LTZ) even for an NTZ input; cast
+          // back so the written parquet stays naive like the oracle's
+          // (session TZ is UTC — the instant is unchanged)
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("win_start"),
           col("event_type")
         )
         .agg(
@@ -36,7 +39,7 @@ object EventQueries {
         )
         .orderBy("win_start", "event_type"),
     Some(
-      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

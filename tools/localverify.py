@@ -63,15 +63,28 @@ def main(sf_dir: str, out_dir: str) -> int:
         # dtype-strict schema compare at the DuckDB level (catches BIGINT vs
         # HUGEINT sums and TIMESTAMP vs TIMESTAMP WITH TIME ZONE, which the
         # driver's dtype-sensitive hash flags but a lax pandas compare hides)
+        # list-of-pairs (not dict) so duplicate column names can't mask a
+        # dtype mismatch; sorted by name to mirror the driver's column sort.
+        # Plain integer widths are normalized to one family: the driver's
+        # value hash treats INT32 == INT64 (q_window INTEGER-vs-BIGINT was
+        # driver-green in r03) but NOT HUGEINT (pandas object/float) nor
+        # timestamp flavors (naive/tz/ns all hash differently) — keep those
+        # distinct.
+        INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                      "UTINYINT", "USMALLINT", "UINTEGER"}
+
+        def norm(t: str) -> str:
+            return "INT-FAMILY" if t in INT_FAMILY else t
+
         spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        spark_types = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
-        oracle_types = dict(zip(oracle_rel.columns, map(str, oracle_rel.types)))
+        spark_types = sorted(zip(spark_rel.columns, (norm(str(t)) for t in spark_rel.types)))
+        oracle_types = sorted(zip(oracle_rel.columns, (norm(str(t)) for t in oracle_rel.types)))
         if spark_types != oracle_types:
-            diff = {
-                c: (spark_types.get(c), oracle_types.get(c))
-                for c in set(spark_types) | set(oracle_types)
-                if spark_types.get(c) != oracle_types.get(c)
-            }
+            diff = [
+                (s, o)
+                for s, o in zip(spark_types, oracle_types)
+                if s != o
+            ] or [("len", len(spark_types)), ("len", len(oracle_types))]
             print(f"FAIL {name}: dtype mismatch (spark, oracle): {diff}")
             n_fail += 1
             continue
@@ -85,7 +98,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+            # dtype gate is the DuckDB-level compare above (with the int-width
+            # normalization); here int32-vs-int64 frames must still be able to
+            # value-compare, so dtype is off but values are exact
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"PASS {name}: rows={len(a)}")
             n_pass += 1
         except AssertionError as e:
