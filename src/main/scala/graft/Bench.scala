@@ -45,8 +45,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case scala.util.control.NonFatal(_) => () }
 
+    // Optional comma-separated subset for local iteration (SPARK_GRAFT_ONLY);
+    // the driver never sets it, so the driver path is always the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val results: Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // steady-state hygiene: collect the previous query's garbage outside
+        // the timed region so one query's heap pressure doesn't show up as a
+        // GC pause inside the next query's timing (BENCH_r03: q_rollup read
+        // 7.6 s in sequence vs 0.96 s in isolation)
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

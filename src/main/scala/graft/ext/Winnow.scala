@@ -119,12 +119,68 @@ object Winnow {
       .filter(col("shared") >= minShared)
   }
 
-  // rows-only: the rolling hash is engine-local bit math; correctness is
-  // property-tested in WinnowSpec (shared-substring guarantee, determinism)
+  /** DuckDB replay of [[summary]]: the mod-2^61-1 Rabin-Karp needs no mulmod
+    * trick in DuckDB — intermediate `h*Base + c` is < 2^81, well inside
+    * HUGEINT — so each position's hash is a k-deep fold expression, and
+    * winnowing is a sliding MIN window + a rightmost-tie join. The fixture is
+    * ASCII (verified), so `ord`(codepoint) == Java `charAt` and `lower()`
+    * == `toLowerCase(Locale.ROOT)`.
+    */
+  def summaryOracleSql(k: Int = 8, w: Int = 4): String = {
+    val fold = (0 until k).foldLeft("0::HUGEINT") { (acc, j) =>
+      s"(($acc) * $Base + ord(substr(s, p + $j, 1))) % $Mod"
+    }
+    s"""WITH d AS (SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents),
+       |pos AS (
+       |  SELECT doc_id, s, n - $k + 1 AS m,
+       |    unnest(generate_series(1, n - $k + 1)) AS p
+       |  FROM d WHERE n >= $k
+       |),
+       |h AS (
+       |  SELECT doc_id, m, p, $fold AS hash FROM pos
+       |),
+       |wmin AS (
+       |  SELECT doc_id, p AS win, m,
+       |    MIN(hash) OVER (PARTITION BY doc_id ORDER BY p
+       |                    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh
+       |  FROM h
+       |),
+       |sel AS (
+       |  SELECT w.doc_id, w.win, MAX(h2.p) AS selp
+       |  FROM (SELECT * FROM wmin WHERE win <= m - $w + 1) w
+       |  JOIN h h2 ON h2.doc_id = w.doc_id AND h2.p BETWEEN w.win AND w.win + ${w - 1}
+       |            AND h2.hash = w.mh
+       |  GROUP BY w.doc_id, w.win
+       |),
+       |fps AS (
+       |  SELECT DISTINCT s2.doc_id, h3.hash
+       |  FROM (SELECT DISTINCT doc_id, selp FROM sel) s2
+       |  JOIN h h3 ON h3.doc_id = s2.doc_id AND h3.p = s2.selp
+       |),
+       |big AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps, CAST(MIN(hash) AS BIGINT) AS min_fp
+       |  FROM fps GROUP BY doc_id
+       |),
+       |small AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS n_fps, CAST(MIN(hash) AS BIGINT) AS min_fp
+       |  FROM h WHERE m <= $w GROUP BY doc_id
+       |),
+       |tiny AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS n_fps, CAST(-1 AS BIGINT) AS min_fp
+       |  FROM d WHERE n < $k
+       |)
+       |SELECT * FROM big UNION ALL SELECT * FROM small UNION ALL SELECT * FROM tiny
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Winnowed-fingerprint summary, hash-checked end-to-end against the
+    * HUGEINT Rabin-Karp replay oracle (was rows-only until round 4; the
+    * shared-substring guarantee remains property-tested in WinnowSpec).
+    */
   val rollingFp: Q = Q(
     "q_rolling_fp",
     (s, dir) => summary(s, Tables(s, dir).documents).orderBy("doc_id"),
-    None
+    Some(summaryOracleSql())
   )
 
   val all: Seq[Q] = Seq(rollingFp)

@@ -152,6 +152,84 @@ object Relational {
       .orderBy("o_orderpriority", "l_returnflag")
   }
 
+  /** TPC-H Q3 shape (shipping priority): selective dim filter broadcast into
+    * the fact-fact join, then a grouped top-k. Plan at 100 TB: customer is
+    * filtered FIRST (1/5 of the dim) and broadcast into orders; the only
+    * big exchange is lineitem ⋈ orders on the order key, carrying rows that
+    * survived both date filters; the final ordering is a TakeOrderedAndProject
+    * (per-partition heaps, k-row driver merge) — never a global sort.
+    */
+  val qTpchQ3: Q = q(
+    "q_tpch_q3",
+    """SELECT l_orderkey,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val t      = Tables(s, dir)
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    t.orders
+      .filter(col("o_orderdate") < cutoff)
+      .join(
+        broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey")
+      )
+      .join(t.lineitem.filter(col("l_shipdate") > cutoff), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-way join. region/nation/
+    * supplier/customer are broadcast dims; lineitem ⋈ orders is the single
+    * fact-fact shuffle. The c_nationkey = s_nationkey co-nation constraint
+    * rides the supplier broadcast join as a post-join filter — no extra
+    * exchange. Catalyst orders the broadcasts below the shuffle so the fact
+    * side is filtered to ASIA/1996-97 before it moves.
+    */
+  val qTpchQ5: Q = q(
+    "q_tpch_q5",
+    """SELECT n_name,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.orders
+      .filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      )
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Left-semi join (EXISTS): customers that have at least one order. */
   val qSemiJoin: Q = q(
     "q_semi_join",
@@ -471,9 +549,9 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qSemiJoin,
-    qAntiJoin, qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow,
-    qRollup, qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot, qProfile
+    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
+    qSemiJoin, qAntiJoin, qDistinct, qTopK, qIntersect, qExcept, qUnion,
+    qWindow, qRollup, qAggStats, qCube, qAsofJoin, qApproxDistinct,
+    qApproxQuantiles, qGroupingSets, qPivot, qProfile
   )
 }
