@@ -180,14 +180,36 @@ object Similarity {
     )
   )
 
-  /** LSH-bucketed ANN (approximate scale path) — no SQL oracle (the bucket
-    * assignment depends on engine-local hyperplanes); rows-only check +
-    * plan/recall assertions live in SimilaritySpec.
+  /** DuckDB replay of [[annTopKLsh]]: same hyperplane-literal bucket
+    * assignment as [[nearDupOracleSql]], then the query's buckets select the
+    * candidate set and the exact-cosine re-rank runs over candidates only —
+    * the whole approximate path (bucketing, candidate dedup, re-rank, rank
+    * attach) is hash-checked, not just row-counted.
+    */
+  def annLshOracleSql(queryId: Long, k: Int, nTables: Int = 4, nPlanes: Int = 4, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |${bucketSelects(nTables, nPlanes, dim)}
+       |),
+       |q AS (SELECT table_id, bucket FROM b WHERE vec_id = $queryId),
+       |qv AS (SELECT v AS qvec FROM e WHERE vec_id = $queryId),
+       |cand AS (SELECT DISTINCT b.vec_id FROM b JOIN q USING (table_id, bucket)),
+       |sc AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_dot_product(e.v, qvec)
+       |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qvec, qvec))) AS cos
+       |  FROM cand JOIN e ON e.vec_id = cand.vec_id, qv)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank, vec_id, label
+       |FROM sc ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+
+  /** LSH-bucketed ANN (approximate scale path), hash-checked end-to-end
+    * against the hyperplane-replay oracle (was rows-only until round 4);
+    * plan/recall assertions live in ExtSpec.
     */
   val annLsh: Q = Q(
     "q_ann_lsh",
     (s, dir) => annTopKLsh(Tables(s, dir).embeddings, 0L, 10),
-    None
+    Some(annLshOracleSql(0L, 10))
   )
 
   /** DuckDB oracle for [[nearDupPairs]]: the seeded hyperplanes are emitted
@@ -197,9 +219,15 @@ object Similarity {
     * the exact-cosine threshold — making the approximate operator fully
     * hash-checkable, like the SimHash oracle.
     */
-  def nearDupOracleSql(tau: Double, nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): String = {
+  /** The `b` CTE body shared by the LSH oracles: per-table sign-LSH bucket
+    * assignment with the seeded hyperplanes emitted as DOUBLE literals, so
+    * DuckDB replays the exact engine bucketing (identical float→double
+    * products and left-to-right fold as `graft_dot`). Expects a CTE `e` with
+    * `(vec_id, …, v DOUBLE[])` in scope.
+    */
+  private def bucketSelects(nTables: Int, nPlanes: Int, dim: Int): String = {
     def arr(p: Array[Float]) = p.map(_.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]")
-    val tableSelects = (0 until nTables)
+    (0 until nTables)
       .map { t =>
         val bucket = hyperplanes(nPlanes, dim, seed = 42L + t)
           .map(p => s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN '1' ELSE '0' END)")
@@ -207,6 +235,10 @@ object Similarity {
         s"  SELECT vec_id, $t AS table_id, $bucket AS bucket FROM e"
       }
       .mkString("\n  UNION ALL\n")
+  }
+
+  def nearDupOracleSql(tau: Double, nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): String = {
+    val tableSelects = bucketSelects(nTables, nPlanes, dim)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (
        |$tableSelects

@@ -123,5 +123,53 @@ object EventQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize)
+  /** View→click funnel: each click joined to the views it follows within 10
+    * minutes for the same user — the registered face of
+    * [[graft.ops.TemporalJoins.rangeJoin]] (bucketized interval join: views
+    * explode onto 10-minute buckets, clicks hash-join on (user_id, bucket),
+    * the exact interval predicate filters after — one equi exchange, never a
+    * nested loop). Timestamps compared as epoch micros so both engines do
+    * exact integer arithmetic. The streaming dual (stream-stream interval
+    * join with watermark-bounded state) is
+    * [[graft.streaming.EventStream.viewClickFunnel]].
+    */
+  val rangeJoinFunnel: Q = Q(
+    "q_range_join",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+      val horizonUs = 600000000L // 10 minutes
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("event_id").as("view_id"),
+          col("user_id"),
+          col("us").as("v_start"),
+          (col("us") + horizonUs).as("v_end")
+        )
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("us").as("c_us"))
+      graft.ops.TemporalJoins
+        .rangeJoin(clicks, views, ts = "c_us", start = "v_start", end = "v_end",
+          bucketWidth = horizonUs, keys = Seq("user_id"))
+        .select("user_id", "view_id", "click_id")
+        .orderBy("user_id", "view_id", "click_id")
+    },
+    Some(
+      """SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(c.ts) <  epoch_us(v.ts) + 600000000
+        |ORDER BY 1, 2, 3""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel)
 }

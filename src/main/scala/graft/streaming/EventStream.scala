@@ -92,6 +92,34 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: clicks matched to the views they follow
+    * within `horizon` for the same user. Both sides carry watermarks and the
+    * join condition is time-bounded in BOTH directions, so Spark can evict
+    * buffered rows once the watermark passes — state is bounded by the
+    * horizon, not the stream's lifetime. This is the streaming dual of the
+    * batch `q_range_join` (bucketized interval join in
+    * [[graft.ops.TemporalJoins.rangeJoin]]); the batch query's DuckDB-green
+    * hash check certifies the interval semantics.
+    */
+  def viewClickFunnel(events: DataFrame, horizon: String = "10 minutes"): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", horizon)
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    views
+      .join(
+        clicks,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr(s"INTERVAL $horizon")
+      )
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Stream-static enrichment join: each micro-batch hash-joins against the
     * (broadcastable) static dimension — no streaming state at all, the
     * static side is re-planned per batch. Left join by default: an event

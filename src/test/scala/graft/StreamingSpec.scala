@@ -157,6 +157,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to in-horizon views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .viewClickFunnel(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("funnel")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "view", 0.0),
+        ev(2, "2026-01-01 10:04:00", 1, "click", 0.0), // +4 min  → joins
+        ev(3, "2026-01-01 10:20:00", 1, "click", 0.0), // +20 min → outside horizon
+        ev(4, "2026-01-01 10:00:00", 2, "view", 0.0),
+        ev(5, "2026-01-01 10:05:00", 3, "click", 0.0)  // other user → no join
+      )
+      q.processAllAvailable()
+      // advance both watermarks so joined results flush in append mode
+      input.addData(
+        ev(6, "2026-01-01 11:00:00", 9, "view", 0.0),
+        ev(7, "2026-01-01 11:00:00", 9, "click", 0.0)
+      )
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT user_id, view_id, click_id FROM funnel WHERE user_id = 1")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 1L, 2L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("batch and streaming viewClickFunnel agree on the same data") {
+    import spark.implicits._
+    val batch = Seq(
+      ev(1, "2026-01-01 10:00:00", 1, "view", 0.0),
+      ev(2, "2026-01-01 10:04:00", 1, "click", 0.0),
+      ev(3, "2026-01-01 10:20:00", 1, "click", 0.0),
+      ev(4, "2026-01-01 10:10:30", 1, "view", 0.0) // click id=3 is +9:30 after → joins
+    ).toDF()
+    val got = EventStream
+      .viewClickFunnel(batch)
+      .select("user_id", "view_id", "click_id")
+      .orderBy("view_id", "click_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 4L, 3L)))
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
