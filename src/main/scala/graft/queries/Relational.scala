@@ -230,6 +230,68 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Salted skew join, registered: same semantics as a plain
+    * lineitem ⋈ supplier equi-join (the oracle IS the plain join), executed
+    * through [[graft.ops.Bucketing.saltedJoin]] — big side salted randomly,
+    * small side exploded `salt` times, join on (key, salt). The per-row salt
+    * values are engine-local randomness, but the join's row MULTISET is
+    * salt-invariant, so the aggregated result is hash-checkable. This gives
+    * the pathological-skew path a driver-gate correctness row.
+    */
+  val qJoinSalted: Q = q(
+    "q_join_salted",
+    """SELECT s_nationkey,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_rev,
+      |  COUNT(*) AS cnt
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+  ) { (s, dir) =>
+    val t     = Tables(s, dir)
+    val small = t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.ops.Bucketing
+      .saltedJoin(
+        t.lineitem.select("l_suppkey", "l_extendedprice", "l_discount"),
+        small,
+        "l_suppkey",
+        salt = 8
+      )
+      .groupBy("s_nationkey")
+      .agg(
+        dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_rev"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("s_nationkey")
+  }
+
+  /** Exact discrete percentiles (SQL-standard `percentile_disc`): unlike the
+    * [[qApproxQuantiles]] sketch these pick actual data elements — no
+    * interpolation arithmetic, so the values are bit-identical across
+    * engines and fully hash-checkable. At 100 TB exact percentiles cost a
+    * per-group sort; the approx sketch stays the scale path, and this query
+    * is the ground truth it is judged against (SketchSpec bounds).
+    */
+  val qPercentile: Q = q(
+    "q_percentile",
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.25) AS p25,
+      |  quantile_disc(l_quantity, 0.50) AS p50,
+      |  quantile_disc(l_quantity, 0.75) AS p75,
+      |  quantile_disc(l_quantity, 0.95) AS p95,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)").as("p95"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_returnflag")
+  }
+
   /** Left-semi join (EXISTS): customers that have at least one order. */
   val qSemiJoin: Q = q(
     "q_semi_join",
@@ -550,8 +612,9 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
-    qSemiJoin, qAntiJoin, qDistinct, qTopK, qIntersect, qExcept, qUnion,
-    qWindow, qRollup, qAggStats, qCube, qAsofJoin, qApproxDistinct,
-    qApproxQuantiles, qGroupingSets, qPivot, qProfile
+    qJoinSalted, qPercentile, qSemiJoin, qAntiJoin, qDistinct, qTopK,
+    qIntersect, qExcept, qUnion, qWindow, qRollup, qAggStats, qCube,
+    qAsofJoin, qApproxDistinct, qApproxQuantiles, qGroupingSets, qPivot,
+    qProfile
   )
 }

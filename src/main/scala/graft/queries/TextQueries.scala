@@ -193,5 +193,56 @@ object TextQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint)
+  /** TF-IDF term scoring: top-3 terms per document. The IDF is the
+    * INTEGER-SCALED ratio `(1e6 * n_docs) div df` rather than `ln(N/df)` —
+    * cross-engine `ln` is libm-dependent (Java Math.log and DuckDB's libm
+    * may differ by 1 ulp), while integer division is bit-identical in both
+    * engines; the induced ranking is the same (x ↦ ln is monotone in N/df).
+    * Shape at 100 TB: tf and df are partial+final hash aggs shuffling on
+    * (doc, term)/(term); the scoring join shuffles on term; the top-3 window
+    * partitions by doc_id — no global sort, no driver collection.
+    */
+  val tfidf: Q = Q(
+    "q_tfidf",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w     = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * expr("(1000000L * n_docs) div df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ((1000000 * n.n_docs) // df.df) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf)
 }
