@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 import graft.ext.{Dedup, SimHash, Similarity}
-import graft.queries.Relational
+import graft.queries.{EventQueries, Relational}
 
 /** Physical-plan shape assertions — the 100 TB posture checks. A query can
   * be value-correct at sf0.001 and still be a scale-killer; these tests pin
@@ -60,6 +60,26 @@ class PlanSpec extends SparkSpec {
     // the scan side must NOT be exchanged into a shuffle before the limit
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_tpch_q3 broadcasts the filtered customer dim and ends in TakeOrderedAndProject") {
+    val p = plan(Relational.qTpchQ3.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "grouped top-k must not be a global sort:\n" + p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q_tpch_q5 plans exactly one fact-fact shuffle join; all dims broadcast") {
+    val p = plan(Relational.qTpchQ5.fn(spark, sf))
+    // lineitem ⋈ orders is the one allowed non-broadcast join
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_range_join is a bucketized equi join, never a nested loop") {
+    val p = plan(EventQueries.rangeJoinFunnel.fn(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q1_agg plans partial+final hash aggregation (map-side combine)") {
