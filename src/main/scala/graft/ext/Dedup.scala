@@ -151,6 +151,44 @@ object Dedup {
       .select("d1", "d2", "inter", "uni", "jaccard")
   }
 
+  /** Incremental near-dedup: flag NEW docs that near-duplicate the SEEN
+    * corpus — the shape of a production ingest gate, where each day's batch
+    * is checked against everything already accepted. Candidates come from a
+    * band hash join of the new side against the seen side only (new⋈new
+    * pairs are deliberately out of scope here — run [[nearDuplicates]] on
+    * the batch for those), then exact-Jaccard verify, keeping each flagged
+    * doc's best seen partner (max jaccard, ties to the smallest id). At
+    * 100 TB the seen side's band table is a materialized incremental index
+    * (append-only, bucketed by band_val) and the day's batch is small enough
+    * that its band side broadcasts.
+    */
+  def incrementalNearDups(docs: DataFrame, isNew: Column, threshold: Double): DataFrame = {
+    val allBands = bands(signatures(docs)).join(docs.select(col("doc_id"), isNew.as("is_new")), "doc_id")
+    val cand = allBands.filter(col("is_new")).alias("n")
+      .join(
+        allBands.filter(!col("is_new")).alias("s"),
+        col("n.band_id") === col("s.band_id") && col("n.band_val") === col("s.band_val")
+      )
+      .select(col("n.doc_id").as("new_id"), col("s.doc_id").as("seen_id"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), array_distinct(shingles3(tokens(col("text")))).as("sset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id")
+      .orderBy(col("jaccard").desc, col("seen_id"))
+    cand
+      .join(sets.select(col("doc_id").as("new_id"), col("sset").as("s1")), "new_id")
+      .join(sets.select(col("doc_id").as("seen_id"), col("sset").as("s2")), "seen_id")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))
+      )
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("seen_id").as("dup_of"), col("jaccard"))
+  }
+
   // ---- SQL fragments shared by the DuckDB oracles -------------------------
 
   private val sqlShingles =
@@ -288,5 +326,39 @@ object Dedup {
     )
   )
 
-  val all: Seq[Q] = Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, ngramJaccard)
+  /** Incremental ingest gate over the fixture: docs with id >= 400 are "the
+    * new batch", everything below is the seen corpus.
+    */
+  val dedupIncremental: Q = Q(
+    "q_dedup_incremental",
+    (s, dir) =>
+      incrementalNearDups(Tables(s, dir).documents, col("doc_id") >= 400, 0.2)
+        .orderBy("new_id"),
+    Some(
+      s"""WITH sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS seen_id
+         |  FROM bands n JOIN bands s
+         |    ON n.band_id = s.band_id AND n.band_val = s.band_val
+         |   AND n.doc_id >= 400 AND s.doc_id < 400),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM ($sqlShingles)),
+         |scored AS (
+         |  SELECT new_id, seen_id AS dup_of,
+         |    CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) AS jaccard
+         |  FROM cand
+         |  JOIN sets s1 ON s1.doc_id = new_id
+         |  JOIN sets s2 ON s2.doc_id = seen_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+         |                               ORDER BY jaccard DESC, dup_of) AS rn
+         |  FROM scored WHERE jaccard >= 0.2)
+         |SELECT new_id, dup_of, jaccard FROM ranked WHERE rn = 1
+         |ORDER BY new_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, ngramJaccard, dedupIncremental)
 }

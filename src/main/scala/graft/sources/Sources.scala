@@ -70,4 +70,28 @@ object Sources {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Compacted partitioned write — the small-files guard. A naive
+    * partitionBy write emits one file per (shuffle partition × partition
+    * value): with 32 tasks and 1000 dates that is 32,000 files per write,
+    * and at 100 TB the metadata alone throttles every downstream scan.
+    * Repartitioning BY the partition columns first routes each value to one
+    * task (one file per value), while `maxRecordsPerFile` re-splits values
+    * too large for a single healthy file. Skewed partition values that
+    * overwhelm even that get salted by the caller before the write.
+    */
+  def writeParquetCompacted(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      maxRecordsPerFile: Long
+  ): Unit = {
+    require(partitionBy.nonEmpty, "compacted write needs partition columns")
+    df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
 }

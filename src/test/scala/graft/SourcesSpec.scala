@@ -75,4 +75,26 @@ class SourcesSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [") && scan.contains("day"), scan)
   }
+
+  test("compacted partitioned write emits one file per value, re-split by record cap") {
+    import spark.implicits._
+    // 100 rows over 2 partition values, on a multi-partition source df
+    val df = spark.range(100).select(
+      col("id"),
+      (col("id") % 2).cast("string").as("bucket")
+    ).repartition(8)
+    val out = tmp("compact")
+    Sources.writeParquetCompacted(df, out, partitionBy = Seq("bucket"), maxRecordsPerFile = 1000)
+    def parts(v: String) = new java.io.File(s"$out/bucket=$v")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    // without the repartition this would be up to 8 files per value
+    assert(parts("0").length == 1, parts("0").mkString(","))
+    assert(parts("1").length == 1, parts("1").mkString(","))
+    // the record cap re-splits an oversized partition value
+    val out2 = tmp("compact2")
+    Sources.writeParquetCompacted(df, out2, partitionBy = Seq("bucket"), maxRecordsPerFile = 20)
+    val n0 = new java.io.File(s"$out2/bucket=0").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n0 == 3, s"50 rows at cap 20 should split into 3 files, got $n0") // ceil(50/20)
+    assert(Sources.parquet(spark, out2).count() == 100)
+  }
 }
