@@ -230,6 +230,71 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): HAVING on an aggregate feeds
+    * a semi join back into the fact table. The qualifying-order set is tiny
+    * (aggregate → filter), so at 100 TB it broadcasts into the semi join;
+    * lineitem is scanned twice but shuffled only on l_orderkey both times —
+    * with the engine's bucketed-layout helper ([[graft.ops.Bucketing]]) both
+    * passes would be exchange-free.
+    */
+  val qTpchQ18: Q = q(
+    "q_tpch_q18",
+    """SELECT c_name, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(l_quantity) > 200)
+      |GROUP BY 1, 2, 3
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val bigOrders = t.lineitem
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("s"))
+      .filter(col("s") > 200)
+      .select("l_orderkey")
+    t.orders
+      .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_name", "o_orderkey", "o_orderdate")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Cumulative window frame: per-customer running spend over order history
+    * (ROWS UNBOUNDED PRECEDING → CURRENT ROW). The accumulation is exact
+    * decimal inside the frame — the running values are order-defined, so
+    * they hash-match across engines; one exchange on o_custkey, sort within
+    * partitions.
+    */
+  val qRunningTotal: Q = q(
+    "q_running_total",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        sum(col("o_totalprice").cast(Money)).over(w).cast("double").as("running_spend")
+      )
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** Salted skew join, registered: same semantics as a plain
     * lineitem ⋈ supplier equi-join (the oracle IS the plain join), executed
     * through [[graft.ops.Bucketing.saltedJoin]] — big side salted randomly,
@@ -612,9 +677,9 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
-    qJoinSalted, qPercentile, qSemiJoin, qAntiJoin, qDistinct, qTopK,
-    qIntersect, qExcept, qUnion, qWindow, qRollup, qAggStats, qCube,
-    qAsofJoin, qApproxDistinct, qApproxQuantiles, qGroupingSets, qPivot,
-    qProfile
+    qTpchQ18, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qRollup,
+    qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
+    qGroupingSets, qPivot, qProfile
   )
 }
