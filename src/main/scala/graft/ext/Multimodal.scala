@@ -12,12 +12,16 @@ import graft.queries.Q
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages as per-partition batch transforms.
   *
-  * The actual codecs are NOT in this container, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`): it fabricates plausible
-  * metadata purely from the bytes. Everything around it — the schema, the
-  * Dataset encoders, the mapPartitions batch shape (one reusable
-  * MessageDigest per partition, streaming iterator, no materialization) —
-  * is the real 100 TB-shaped plumbing a production decode would drop into.
+  * Image DIMENSION extraction is REAL: [[Multimodal.imageDims]] byte-parses
+  * PNG/GIF/JPEG container headers (pure JVM, no codec library — production
+  * metadata extraction works the same way to avoid decompressing pixels).
+  * Pixel-level work (full decode, resize, feature extraction) would need
+  * codec libraries that are NOT in this container, so those stages are
+  * clearly-marked DETERMINISTIC STUBS fabricating plausible values from the
+  * bytes. Everything around them — the schema, the Dataset encoders, the
+  * mapPartitions batch shape (one reusable MessageDigest per partition,
+  * streaming iterator, no materialization) — is the real 100 TB-shaped
+  * plumbing a production pipeline would drop into.
   */
 object Multimodal {
 
@@ -63,34 +67,38 @@ object Multimodal {
       // JPEG marker walk: segments are FF <marker> <be16 length incl. itself>
       var i = 2
       while (i + 9 < b.length && u8(i) == 0xff) {
-        val m = u8(i + 1)
+        // ITU T.81 §B.1.1.2 allows any number of 0xFF fill bytes before the
+        // marker byte — consume them so a fill byte is never read as a marker
+        var j = i + 1
+        while (j + 8 < b.length && u8(j) == 0xff) j += 1
+        val m = u8(j)
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-          return Some((be16(i + 7), be16(i + 5)))
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone marker
-        else i += 2 + be16(i + 2)
+          return Some((be16(j + 6), be16(j + 4)))
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i = j + 1 // TEM/RSTn/SOI/EOI: standalone
+        else i = j + 1 + be16(j + 1)
       }
       None
     } else None
   }
 
-  /** Decode stage: REAL header-derived dimensions where the payload is a
-    * recognized image container, and the clearly-marked deterministic STUB
-    * arithmetic for everything else (audio/video codecs are not in this
-    * container). Same partition-batched shape either way.
+  /** STUB dims: fake-but-deterministic dimensions from the payload bytes —
+    * the path for payloads with no recognized container (audio/video codecs
+    * are not in this container).
     */
-  def decode(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+  private def stubDims(media: Array[Byte]): (Int, Int) = {
+    val b0 = if (media.nonEmpty) media(0) & 0xff else 0
+    val b1 = if (media.length > 1) media(1) & 0xff else 0
+    (16 + (b0 % 16) * 16, 16 + (b1 % 16) * 16)
+  }
+
+  private def decodeWith(records: Dataset[MediaRecord])(dims: Array[Byte] => (Int, Int)): Dataset[MediaMeta] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val md = MessageDigest.getInstance("SHA-256") // one per partition, reused
       it.map { r =>
         md.reset()
-        val sha = md.digest(r.media).map("%02x".format(_)).mkString
-        val (w, h) = imageDims(r.media).getOrElse {
-          // STUB fallback: fake-but-deterministic dims from the payload bytes
-          val b0 = if (r.media.nonEmpty) r.media(0) & 0xff else 0
-          val b1 = if (r.media.length > 1) r.media(1) & 0xff else 0
-          (16 + (b0 % 16) * 16, 16 + (b1 % 16) * 16)
-        }
+        val sha    = md.digest(r.media).map("%02x".format(_)).mkString
+        val (w, h) = dims(r.media)
         MediaMeta(
           id = r.id,
           kind = r.kind,
@@ -104,10 +112,21 @@ object Multimodal {
     }
   }
 
-  /** Former name of [[decode]], kept for the specs that exercise the stub
-    * arithmetic explicitly.
+  /** Decode stage: REAL header-derived dimensions where the payload is a
+    * recognized image container, [[stubDims]] for everything else. Same
+    * partition-batched shape either way.
     */
-  def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaMeta] = decode(records)
+  def decode(records: Dataset[MediaRecord]): Dataset[MediaMeta] =
+    decodeWith(records)(m => imageDims(m).getOrElse(stubDims(m)))
+
+  /** Pure-stub decode (never header-parses): the registered
+    * `q_multimodal_pipeline` runs THIS path because its DuckDB oracle
+    * replicates the stub byte arithmetic — routing its text payloads through
+    * the container sniff would silently diverge from the oracle if a future
+    * fixture's text happened to start with an image signature.
+    */
+  def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaMeta] =
+    decodeWith(records)(stubDims)
 
   /** A minimal syntactically-valid PNG prefix (signature + IHDR) carrying
     * the given dimensions — 33 deterministic bytes; CRC left zeroed (header
@@ -208,7 +227,7 @@ object Multimodal {
       val recs = Tables(s, dir).documents
         .select(col("doc_id").as("id"), lit("image").as("kind"), col("text").cast("binary").as("media"))
         .as[MediaRecord]
-      resizeStub(decode(recs), 64).toDF().orderBy("id")
+      resizeStub(decodeStub(recs), 64).toDF().orderBy("id")
     },
     Some(
       """SELECT id, kind, "nBytes", "width", "height", "nFrames", sha FROM (

@@ -212,13 +212,6 @@ object Similarity {
     Some(annLshOracleSql(0L, 10))
   )
 
-  /** DuckDB oracle for [[nearDupPairs]]: the seeded hyperplanes are emitted
-    * as DOUBLE literals so the oracle replays the exact sign-LSH bucketing
-    * (identical float→double products and left-to-right fold as `graft_dot`,
-    * whose cross-engine bit-parity `q_ann_topk` already demonstrates) and
-    * the exact-cosine threshold — making the approximate operator fully
-    * hash-checkable, like the SimHash oracle.
-    */
   /** The `b` CTE body shared by the LSH oracles: per-table sign-LSH bucket
     * assignment with the seeded hyperplanes emitted as DOUBLE literals, so
     * DuckDB replays the exact engine bucketing (identical float→double
@@ -237,6 +230,13 @@ object Similarity {
       .mkString("\n  UNION ALL\n")
   }
 
+  /** DuckDB oracle for [[nearDupPairs]]: the seeded hyperplanes are emitted
+    * as DOUBLE literals so the oracle replays the exact sign-LSH bucketing
+    * (identical float→double products and left-to-right fold as `graft_dot`,
+    * whose cross-engine bit-parity `q_ann_topk` already demonstrates) and
+    * the exact-cosine threshold — making the approximate operator fully
+    * hash-checkable, like the SimHash oracle.
+    */
   def nearDupOracleSql(tau: Double, nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): String = {
     val tableSelects = bucketSelects(nTables, nPlanes, dim)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

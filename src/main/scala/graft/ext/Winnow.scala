@@ -147,7 +147,9 @@ object Winnow {
        |),
        |sel AS (
        |  SELECT w.doc_id, w.win, MAX(h2.p) AS selp
-       |  FROM (SELECT * FROM wmin WHERE win <= m - $w + 1) w
+       |  -- m > w strictly: m == w takes the single-min 'small' branch below,
+       |  -- exactly like the Scala fingerprints() early return
+       |  FROM (SELECT * FROM wmin WHERE win <= m - $w + 1 AND m > $w) w
        |  JOIN h h2 ON h2.doc_id = w.doc_id AND h2.p BETWEEN w.win AND w.win + ${w - 1}
        |            AND h2.hash = w.mh
        |  GROUP BY w.doc_id, w.win

@@ -208,11 +208,10 @@ object TextQueries {
       val docs = Tables(s, dir).documents
       val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
       val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks
-        .select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(count(lit(1)).as("df"))
+      // tf already has exactly one row per (doc_id, term), so the document
+      // frequency is a reaggregation of tf — NOT a second scan+explode of
+      // the corpus text (at 100 TB that would be a full extra pass)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w     = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")

@@ -209,6 +209,16 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.imageDims(Array.empty[Byte]).isEmpty)
   }
 
+  test("JPEG walk tolerates ITU T.81 fill bytes before a marker") {
+    // FF D8 (SOI), then FF FF FF C0 (two fill bytes before SOF0),
+    // len=0x0011, precision 8, height 0x0102, width 0x0304
+    val b = Array(
+      0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x11, 0x08,
+      0x01, 0x02, 0x03, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00
+    ).map(_.toByte)
+    assert(Multimodal.imageDims(b).contains((0x0304, 0x0102)))
+  }
+
   test("pngHeaderBytes round-trips through the real IHDR parse and the JDK reader") {
     import javax.imageio.ImageIO
     val b = Multimodal.pngHeaderBytes(1024, 768)

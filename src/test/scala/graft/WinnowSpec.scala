@@ -59,5 +59,8 @@ class WinnowSpec extends SparkSpec {
   test("short texts: empty below k, single fingerprint when m <= w") {
     assert(Winnow.fingerprints("short", 8, 4).isEmpty)
     assert(Winnow.fingerprints("exactly8", 8, 4).length == 1)
+    // m == w boundary exactly (n = k+w-1 = 11): still the single-min branch —
+    // the SQL oracle's windowed path must exclude m == w or it double-counts
+    assert(Winnow.fingerprints("abcdefghijk", 8, 4).length == 1)
   }
 }

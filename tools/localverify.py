@@ -80,11 +80,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         spark_types = sorted(zip(spark_rel.columns, (norm(str(t)) for t in spark_rel.types)))
         oracle_types = sorted(zip(oracle_rel.columns, (norm(str(t)) for t in oracle_rel.types)))
         if spark_types != oracle_types:
-            diff = [
-                (s, o)
-                for s, o in zip(spark_types, oracle_types)
-                if s != o
-            ] or [("len", len(spark_types)), ("len", len(oracle_types))]
+            # diff by column name (not positionally — a missing column would
+            # misalign every later pair): multiset of types per name
+            from collections import defaultdict
+
+            by_name = defaultdict(lambda: ([], []))
+            for c, t in spark_types:
+                by_name[c][0].append(t)
+            for c, t in oracle_types:
+                by_name[c][1].append(t)
+            diff = {c: (s_t, o_t) for c, (s_t, o_t) in sorted(by_name.items()) if s_t != o_t}
             print(f"FAIL {name}: dtype mismatch (spark, oracle): {diff}")
             n_fail += 1
             continue
