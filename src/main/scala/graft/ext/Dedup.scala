@@ -163,10 +163,15 @@ object Dedup {
     * that its band side broadcasts.
     */
   def incrementalNearDups(docs: DataFrame, isNew: Column, threshold: Double): DataFrame = {
-    val allBands = bands(signatures(docs)).join(docs.select(col("doc_id"), isNew.as("is_new")), "doc_id")
-    val cand = allBands.filter(col("is_new")).alias("n")
+    // split BEFORE computing signatures: the predicate pushes down to the
+    // scan on each side (no band→docs join to tag rows, no extra shuffle),
+    // and per-doc signatures are identical regardless of which side computes
+    // them
+    val bNew  = bands(signatures(docs.filter(isNew)))
+    val bSeen = bands(signatures(docs.filter(!isNew)))
+    val cand = bNew.alias("n")
       .join(
-        allBands.filter(!col("is_new")).alias("s"),
+        bSeen.alias("s"),
         col("n.band_id") === col("s.band_id") && col("n.band_val") === col("s.band_val")
       )
       .select(col("n.doc_id").as("new_id"), col("s.doc_id").as("seen_id"))
