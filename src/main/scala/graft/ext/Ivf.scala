@@ -86,9 +86,9 @@ object Ivf {
   }
 
   private def centroidArrayLit(centroids: Array[(Int, Array[Float])]): Column =
-    array(centroids.map { case (i, v) =>
-      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cvec"))
-    }: _*)
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(centroids.map { case (i, v) =>
+      struct(lit(i).as("cid"), array(scala.collection.immutable.ArraySeq.unsafeWrapArray(v.map(lit)): _*).as("cvec"))
+    }): _*)
 
   /** Assign every vector to its nearest centroid: per-row argmax via
     * array_max over (cos, cid) structs (struct ordering compares cos
@@ -135,7 +135,7 @@ object Ivf {
       .toSeq
     // the query vector is already on the driver — score against a literal
     // array instead of re-scanning the table for a 1-row broadcast
-    val qvLit = array(qVec.map(lit): _*)
+    val qvLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(qVec.map(lit)): _*)
     assign(emb, centroids)
       .filter(col("cid").isInCollection(probes))
       .withColumn("cos", call_function("graft_cosine", col("embedding"), qvLit))

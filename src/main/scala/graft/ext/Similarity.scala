@@ -47,10 +47,10 @@ object Similarity {
   /** Bucket key: concatenated sign bits of projections onto the planes. */
   def lshBucket(emb: Column, planes: Array[Array[Float]]): Column = {
     val bits = planes.map { p =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
       when(dot(emb, planeCol) >= 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
+    concat(scala.collection.immutable.ArraySeq.unsafeWrapArray(bits): _*)
   }
 
   /** Multi-table LSH buckets: `(table_id, bucket)` rows, one per table.
@@ -83,7 +83,7 @@ object Similarity {
     val reasserted =
       if (orderingCols.isEmpty) ordered else ordered.sortWithinPartitions(orderingCols: _*)
     val out = StructType(StructField("rank", LongType, nullable = false) +: reasserted.schema.fields)
-    val rdd = reasserted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    val rdd = reasserted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
     ordered.sparkSession.createDataFrame(rdd, out)
   }
 
