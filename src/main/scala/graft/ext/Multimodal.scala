@@ -279,5 +279,31 @@ object Multimodal {
     )
   )
 
-  val all: Seq[Q] = Seq(multimodalMeta, multimodalPipeline, multimodalDecode)
+  /** Registered query: video-kind decode + declarative frame sampling.
+    * Text bytes stand in for video payloads (no video codec in the
+    * container), so nFrames is the stub's deterministic 1 + nBytes % 120;
+    * the sampled-frame arithmetic (`sequence` + `filter`, every 5th index)
+    * is fully real and the oracle derives the expected count independently
+    * from the byte length.
+    */
+  val multimodalFrames: Q = Q(
+    "q_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir).documents
+        .select(col("doc_id").as("id"), lit("video").as("kind"), col("text").cast("binary").as("media"))
+        .as[MediaRecord]
+      sampleFrames(decodeStub(recs).toDF(), stride = 5)
+        .select(col("id"), col("nFrames"), size(col("sampled_frames")).cast("long").as("n_sampled"))
+        .orderBy("id")
+    },
+    Some(
+      """SELECT doc_id AS id,
+        |  CAST(1 + octet_length(CAST(text AS BLOB)) % 120 AS INT) AS "nFrames",
+        |  CAST((1 + octet_length(CAST(text AS BLOB)) % 120 - 1) // 5 + 1 AS BIGINT) AS n_sampled
+        |FROM documents ORDER BY id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalFrames)
 }

@@ -243,6 +243,27 @@ class ExtSpec extends SparkSpec {
     assert((out(1).width, out(1).height) == ((16 + (110 % 16) * 16, 16 + (111 % 16) * 16)))
   }
 
+  test("incremental dedup flags exactly the cross-boundary near-dup docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    val flagged = Dedup
+      .incrementalNearDups(docs, col("doc_id") >= 400, 0.2)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    // same bands, same threshold: a new doc is flagged iff nearDuplicates
+    // finds a pair linking it to a seen doc (pairs are d1 < d2, so the new
+    // side of a cross-boundary pair is always d2)
+    val expected = Dedup
+      .nearDuplicates(docs, 0.2)
+      .filter(col("d1") < 400 && col("d2") >= 400)
+      .collect()
+      .map(_.getLong(1))
+      .toSet
+    assert(flagged == expected, s"flagged $flagged vs expected $expected")
+    assert(flagged.nonEmpty, "fixture must produce at least one cross-boundary near-dup")
+  }
+
   test("frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val df = Seq((1L, "video", 10), (2L, "image", 1))
