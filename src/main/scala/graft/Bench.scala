@@ -33,9 +33,7 @@ object Bench {
       import org.apache.spark.sql.functions.{call_function, col}
       spark.range(1000000).groupBy((col("id") % 100).as("k")).count()
         .write.format("noop").mode("overwrite").save()
-      val tables = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      for (t <- tables)
+      for (t <- Sql.tableNames) // single source of truth for the fixture set
         spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/documents.parquet")
         .orderBy("doc_id").limit(5)

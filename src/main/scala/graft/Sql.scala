@@ -16,17 +16,26 @@ object Sql {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  /** Create (or replace) temp views for all tables under `dir`. */
-  def createViews(spark: SparkSession, dir: String): Unit = {
-    val t = Tables(spark, dir)
-    tableNames.foreach { n =>
-      val df = n match {
-        case "events" => t.events // nanos→micros conversion applied
-        case other    => t.t(other)
+  /** Create (or replace) temp views for all tables under `dir`. Memoized per
+    * (session, dir): repeated calls (e.g. a benchmarked query invoking
+    * [[query]] every run) would otherwise re-read all ten parquet footers
+    * each time.
+    */
+  def createViews(spark: SparkSession, dir: String): Unit = registered.synchronized {
+    if (!registered.get(spark).contains(dir)) {
+      val t = Tables(spark, dir)
+      tableNames.foreach { n =>
+        val df = n match {
+          case "events" => t.events // nanos→micros conversion applied
+          case other    => t.t(other)
+        }
+        df.createOrReplaceTempView(n)
       }
-      df.createOrReplaceTempView(n)
+      registered(spark) = dir
     }
   }
+
+  private val registered = scala.collection.mutable.WeakHashMap.empty[SparkSession, String]
 
   /** Views + query in one call. */
   def query(spark: SparkSession, dir: String, sql: String): DataFrame = {

@@ -61,7 +61,13 @@ final class Engine(spark: SparkSession, parityMode: Boolean = false, ownsSession
     // stop()ing mid-job would fail their Futures and leave half-written
     // output directories
     pool.shutdown()
-    pool.awaitTermination(600, TimeUnit.SECONDS)
+    val drained = pool.awaitTermination(600, TimeUnit.SECONDS)
+    if (!drained)
+      throw new IllegalStateException(
+        "Engine.close(): jobs still running after 600s drain — refusing to " +
+          "stop the SparkSession under them (would fail their Futures and " +
+          "leave half-written output directories)"
+      )
     // only stop the (process-wide, getOrCreate-shared) session if this
     // Engine owns it — a library user's Engine must not tear down the
     // SparkSession other components are still using

@@ -70,41 +70,36 @@ object Ivf {
     centroids
   }
 
-  /** Assignment by L2 (k-means metric): argmin distance == argmax of
-    * negated distance via the same array_max struct trick.
+  /** argmax-by-score centroid pick: array_max over (score, cid) structs
+    * (struct ordering compares score first) — shared by both metrics so the
+    * tie/ordering behavior can never diverge between them.
     */
-  def assignL2(emb: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame = {
+  private def assignBy(emb: DataFrame, centroids: Array[(Int, Array[Float])])(
+      score: Column => Column
+  ): DataFrame = {
     val scored = transform(
       centroidArrayLit(centroids),
-      c =>
-        struct(
-          (-call_function("graft_l2", col("embedding"), c.getField("cvec"))).as("negDist"),
-          c.getField("cid").as("cid")
-        )
+      c => struct(score(c.getField("cvec")).as("score"), c.getField("cid").as("cid"))
     )
     emb.withColumn("cid", array_max(scored).getField("cid"))
   }
+
+  /** Assignment by L2 (k-means metric): argmin distance == argmax of
+    * negated distance.
+    */
+  def assignL2(emb: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame =
+    assignBy(emb, centroids)(cvec => -call_function("graft_l2", col("embedding"), cvec))
 
   private def centroidArrayLit(centroids: Array[(Int, Array[Float])]): Column =
     array(scala.collection.immutable.ArraySeq.unsafeWrapArray(centroids.map { case (i, v) =>
       struct(lit(i).as("cid"), array(scala.collection.immutable.ArraySeq.unsafeWrapArray(v.map(lit)): _*).as("cvec"))
     }): _*)
 
-  /** Assign every vector to its nearest centroid: per-row argmax via
-    * array_max over (cos, cid) structs (struct ordering compares cos
-    * first). Adds a `cid` column.
+  /** Assign every vector to its nearest centroid by cosine. Adds a `cid`
+    * column.
     */
-  def assign(emb: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame = {
-    val scored = transform(
-      centroidArrayLit(centroids),
-      c =>
-        struct(
-          call_function("graft_cosine", col("embedding"), c.getField("cvec")).as("cos"),
-          c.getField("cid").as("cid")
-        )
-    )
-    emb.withColumn("cid", array_max(scored).getField("cid"))
-  }
+  def assign(emb: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame =
+    assignBy(emb, centroids)(cvec => call_function("graft_cosine", col("embedding"), cvec))
 
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -41,8 +41,11 @@ object ReservoirSample {
       if (b.items.length < k) b.items = b.items :+ x
       else {
         val j = rng(b).nextLong() % b.seen
-        val idx = (if (j < 0) j + b.seen else j).toInt
-        if (idx < k) b.items(idx) = x
+        // compare as Long BEFORE narrowing: for groups past 2^31 rows the
+        // Int truncation of a large index could wrap negative (passing
+        // `< k` and crashing) or alias into [0, k) with the wrong probability
+        val idxLong = if (j < 0) j + b.seen else j
+        if (idxLong < k) b.items(idxLong.toInt) = x
       }
       b
     }

@@ -38,29 +38,34 @@ object TemporalJoins {
       payload: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    // carry each side's row as a nullable struct so any schema unions cleanly
+    // carry each side's row as a nullable struct so any schema unions cleanly.
+    // __tie: deterministic order among right rows sharing (key, ts) — without
+    // it, `last(__p)` would pick whichever row the shuffle happened to sort
+    // last, flipping the match across runs/retries. The payload hash is an
+    // arbitrary but STABLE rule (ties resolve to the max-hash payload).
     val rTagged = right.select(
       col(key).as("__k"),
       col(rightTs).as("__ts"),
       lit(0).as("__src"),
       struct(payload.map(col): _*).as("__p")
-    )
+    ).withColumn("__tie", xxhash64(col("__p")))
     val lTagged = left.select(
       col(key).as("__k"),
       col(leftTs).as("__ts"),
       lit(1).as("__src"),
       lit(null).cast(rTagged.schema("__p").dataType).as("__p"),
+      lit(0L).as("__tie"),
       struct(leftCols.map(col): _*).as("__l")
     )
     val rWithL = rTagged.withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
 
     val w = Window
       .partitionBy("__k")
-      .orderBy(col("__ts"), col("__src")) // right(0) before left(1) on ties
+      .orderBy(col("__ts"), col("__src"), col("__tie")) // right(0) before left(1) on ties
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = lTagged
-      .union(rWithL.select("__k", "__ts", "__src", "__p", "__l"))
+      .union(rWithL.select("__k", "__ts", "__src", "__p", "__tie", "__l"))
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
 

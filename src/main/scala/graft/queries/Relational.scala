@@ -49,7 +49,7 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) { (s, dir) =>
     val li = Tables(s, dir).lineitem
-    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+    li.filter(col("l_shipdate") <= lit(java.time.LocalDateTime.parse("1998-09-02T00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -77,8 +77,8 @@ object Relational {
   ) { (s, dir) =>
     Tables(s, dir).lineitem
       .filter(
-        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
-          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00")) &&
           col("l_discount") >= 0.05 && col("l_quantity") < 10
       )
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
@@ -174,7 +174,7 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
   ) { (s, dir) =>
     val t      = Tables(s, dir)
-    val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val cutoff = lit(java.time.LocalDateTime.parse("1998-01-01T00:00:00"))
     t.orders
       .filter(col("o_orderdate") < cutoff)
       .join(
@@ -214,8 +214,8 @@ object Relational {
     val t = Tables(s, dir)
     t.orders
       .filter(
-        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
-          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+        col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.parse("1998-01-01T00:00:00"))
       )
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))

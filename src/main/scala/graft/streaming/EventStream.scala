@@ -56,12 +56,14 @@ object EventStream {
   /** Per-user running state for [[runningTotals]]. */
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Custom keyed state via mapGroupsWithState: per-user running event count
-    * and value total, emitted on every trigger. State is evicted 30 min of
-    * EVENT time after a user's last event (watermark-driven
+  /** Custom keyed state via flatMapGroupsWithState: per-user running event
+    * count and value total, emitted on every trigger with new data. State is
+    * evicted 30 min of EVENT time after a user's last event (watermark-driven
     * EventTimeTimeout) — unlike a processing-time timeout this fires no
     * extra no-data micro-batches and scales with the watermark, not the
-    * wall clock.
+    * wall clock. The timeout branch emits NOTHING (flatMap, not map): the
+    * final aggregate was already emitted when its last event arrived, so a
+    * timeout re-emission would duplicate it for downstream consumers.
     */
   def runningTotals(events: Dataset[Event]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
@@ -69,26 +71,27 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
-          if (state.hasTimedOut) {
-            val last = state.get
-            state.remove()
-            last
-          } else {
-            val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
-            var maxTs = 0L
-            var n     = prev.n_events
-            var v     = prev.total_value
-            batch.foreach { e =>
-              n += 1; v += e.value
-              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
-            }
-            val next = UserAgg(userId, n, v)
-            state.update(next)
-            state.setTimeoutTimestamp(maxTs + 30L * 60 * 1000)
-            next
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+          var maxTs = 0L
+          var n     = prev.n_events
+          var v     = prev.total_value
+          batch.foreach { e =>
+            n += 1; v += e.value
+            if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
           }
+          val next = UserAgg(userId, n, v)
+          state.update(next)
+          state.setTimeoutTimestamp(maxTs + 30L * 60 * 1000)
+          Iterator.single(next)
+        }
       }
   }
 

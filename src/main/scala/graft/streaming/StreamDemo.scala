@@ -34,7 +34,13 @@ object StreamDemo {
       .start()
     q.awaitTermination()
     val n = spark.read.parquet(s"$outDir/data").count()
-    println(s"streamed hourly windows written: $n")
+    // Append mode emits a window only once the watermark passes its end, and
+    // a finite AvailableNow run's final watermark stops 10 min behind the
+    // last event — so the trailing hour window(s) intentionally remain in
+    // state and are NOT in the output (they would flush on the next run of a
+    // live stream). The batch q_events_window over the same fixture has the
+    // complete set; don't diff the two without accounting for the tail.
+    println(s"streamed hourly windows written: $n (trailing unclosed windows withheld by watermark)")
     spark.stop()
   }
 }
