@@ -295,6 +295,42 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** TPC-H Q14 shape (promotion effect): conditional aggregation over a
+    * broadcast part join — per month, the revenue share of one part class.
+    * The share divides the two already-rounded emitted doubles, so both
+    * engines do one identical IEEE division. Covers the `part` table and
+    * the filtered-CASE aggregate pattern.
+    */
+  val qPromoShare: Q = q(
+    "q_promo_share",
+    """SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS mo,
+      |  CAST(round(SUM(CASE WHEN p_type = 'ECONOMY'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+      |    ELSE 0 END), 2) AS DOUBLE) AS promo_rev,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS total_rev,
+      |  100.0 * CAST(round(SUM(CASE WHEN p_type = 'ECONOMY'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+      |    ELSE 0 END), 2) AS DOUBLE)
+      |    / CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val t   = Tables(s, dir)
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        year(col("l_shipdate")).cast("int").as("yr"),
+        month(col("l_shipdate")).cast("int").as("mo")
+      )
+      .agg(
+        dsumExpr(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0))).as("promo_rev"),
+        dsumExpr(rev).as("total_rev")
+      )
+      .withColumn("promo_pct", lit(100.0) * col("promo_rev") / col("total_rev"))
+      .orderBy("yr", "mo")
+  }
+
   /** Salted skew join, registered: same semantics as a plain
     * lineitem ⋈ supplier equi-join (the oracle IS the plain join), executed
     * through [[graft.ops.Bucketing.saltedJoin]] — big side salted randomly,
@@ -677,7 +713,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
-    qTpchQ18, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qTpchQ18, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qRollup,
     qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile
