@@ -1,8 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState,
+  GroupStateTimeout,
+  OutputMode,
+  StatefulProcessor,
+  TTLConfig,
+  TimeMode,
+  TimerValues,
+  ValueState
+}
 
 /** Structured Streaming surface over the `events` stream. The reference is
   * batch-only (`/root/reference/mapreduce/manager/__main__.py:346-361` runs
@@ -93,6 +102,46 @@ object EventStream {
           Iterator.single(next)
         }
       }
+  }
+
+  /** Spark 4 arbitrary-state v2: the same per-user running totals as
+    * [[runningTotals]], expressed as a [[StatefulProcessor]] with typed
+    * `ValueState` — the API that supersedes mapGroupsWithState (independent
+    * typed state variables, timers, TTL eviction, and state-schema
+    * evolution, all on the RocksDB state store).
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Event, UserAgg] {
+    @transient private var agg: ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[UserAgg] = {
+      val prev = if (agg.exists()) agg.get() else UserAgg(user, 0L, 0.0)
+      var n    = prev.n_events
+      var v    = prev.total_value
+      rows.foreach { e => n += 1; v += e.value }
+      val next = UserAgg(user, n, v)
+      agg.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningTotals]] on the transformWithState v2 API. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`) — transformWithState does not run
+    * on the default HDFS-backed store.
+    */
+  def runningTotalsV2(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream interval join: clicks matched to the views they follow

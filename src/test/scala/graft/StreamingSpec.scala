@@ -105,6 +105,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState v2 keeps running totals on the RocksDB store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .runningTotalsV2(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("running_v2")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      input.addData(ev(1, "2026-01-01 10:00:00", 1, "a", 1.5), ev(2, "2026-01-01 10:01:00", 1, "a", 2.5))
+      q.processAllAvailable()
+      input.addData(ev(3, "2026-01-01 10:02:00", 1, "a", 1.0), ev(4, "2026-01-01 10:02:30", 2, "a", 7.0))
+      q.processAllAvailable()
+      val byUser = spark
+        .sql("SELECT user_id, max(n_events), max(total_value) FROM running_v2 GROUP BY user_id ORDER BY user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(byUser.toSeq == Seq((1L, 3L, 5.0), (2L, 1L, 7.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
