@@ -88,18 +88,40 @@ object Dedup {
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Shuffle-free signature computation: same VALUES as [[signatures]]
+    * (asserted in ExtSpec) but per-row — no explode, no groupBy exchange.
+    * The md5 runs inside HOF lambdas (CodegenFallback, interpreted), which
+    * measured ~1.7x SLOWER than the codegen'd explode+groupBy path at
+    * sf0.1 — so the BATCH queries keep [[signatures]]. This variant exists
+    * for STREAMING ingest: a streaming source cannot run the stateful
+    * explode+groupBy without watermark-managed aggregation state, while a
+    * per-row projection is stateless per micro-batch. Empty-shingle docs
+    * yield null mins, matching explode_outer + min.
+    */
+  def signaturesNarrow(docs: DataFrame): DataFrame = {
+    val withHashes = docs.select(
+      col("doc_id"),
+      transform(shingles3(tokens(col("text"))), x => baseHash(x)).as("hs")
+    )
+    val mins = (0 until K).map { i =>
+      when(size(col("hs")) > 0, array_min(transform(col("hs"), h => (h * A(i) + B(i)) % P)))
+        .as(s"mh$i")
+    }
+    withHashes.select(col("doc_id") +: mins: _*)
+  }
+
   /** (doc_id, band_id, band_val): 4 bands of 2 signature rows each. Docs
     * with null signatures (no shingles) are excluded — an empty doc is not
     * a near-dup candidate of other empty docs by shingle definition.
     */
-  def bands(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until K / 2).map(b =>
-      concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-    )
+  def bands(sig: DataFrame): DataFrame =
     sig
       .filter(col("mh0").isNotNull)
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
-  }
+      .select(col("doc_id"), posexplode(array(bandValCols: _*)).as(Seq("band_id", "band_val")))
+
+  /** Band values over the mh0..mh7 columns: 4 bands of 2 signature rows. */
+  private def bandValCols: Seq[Column] =
+    (0 until K / 2).map(b => concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
 
   /** Candidate pairs (d1 < d2) sharing at least one LSH band — a hash join
     * on (band_id, band_val), never a cartesian product.
@@ -192,6 +214,54 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("new_id"), col("seen_id").as("dup_of"), col("jaccard"))
+  }
+
+  /** STREAMING ingest gate: [[incrementalNearDups]] as a continuously
+    * running pipeline — `newDocs` is a STREAMING DataFrame of documents,
+    * `seen` the static accepted corpus. Every stage is stateless per
+    * micro-batch, so the query runs in append mode with NO state store:
+    * per-row [[signaturesNarrow]] + band explode on the stream, then two
+    * stream-static joins (band index, then shingle sets — both
+    * broadcastable / re-planned per batch), then the exact-Jaccard filter.
+    *
+    * Emits one row per (new_id, dup_of, jaccard) per MATCHING BAND — the
+    * per-pair dedup that batch mode does with `distinct()` would be a
+    * stateful stream aggregation, so it is deliberately left to the
+    * consumer (an idempotent sink keyed on the pair, or a per-batch
+    * `dropDuplicates` inside foreachBatch).
+    */
+  def streamingIngestGate(newDocs: DataFrame, seen: DataFrame, threshold: Double): DataFrame = {
+    val seenBands = bands(signatures(seen))
+      .select(col("doc_id").as("seen_id"), col("band_id"), col("band_val"))
+    val seenSets = seen
+      .select(col("doc_id").as("seen_id2"), array_distinct(shingles3(tokens(col("text")))).as("s2"))
+    // ONE per-row projection carries the shingle set alongside the
+    // signature (joining bands back to newDocs would be a stateful
+    // stream-stream self-join — exactly what this pipeline must avoid)
+    val sh = shingles3(tokens(col("text")))
+    val hashed = newDocs.select(
+      col("doc_id"),
+      array_distinct(sh).as("s1"),
+      transform(sh, x => baseHash(x)).as("hs")
+    )
+    val mins = (0 until K).map { i =>
+      when(size(col("hs")) > 0, array_min(transform(col("hs"), h => (h * A(i) + B(i)) % P)))
+        .as(s"mh$i")
+    }
+    val newKeyed = hashed
+      .select(col("doc_id") +: col("s1") +: mins: _*)
+      .filter(col("mh0").isNotNull)
+      .select(col("doc_id"), col("s1"), posexplode(array(bandValCols: _*)).as(Seq("band_id", "band_val")))
+    newKeyed
+      .join(broadcast(seenBands), Seq("band_id", "band_val"))
+      .join(broadcast(seenSets), col("seen_id") === col("seen_id2"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id").as("new_id"), col("seen_id").as("dup_of"), col("jaccard"))
   }
 
   // ---- SQL fragments shared by the DuckDB oracles -------------------------

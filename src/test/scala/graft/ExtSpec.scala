@@ -243,6 +243,18 @@ class ExtSpec extends SparkSpec {
     assert((out(1).width, out(1).height) == ((16 + (110 % 16) * 16, 16 + (111 % 16) * 16)))
   }
 
+  test("signaturesNarrow equals the explode+groupBy signatures exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    val a = Dedup.signatures(docs).orderBy("doc_id").collect()
+    val b = Dedup.signaturesNarrow(docs).orderBy("doc_id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    // and it must plan NO exchange (the whole point: a narrow map)
+    val p = Dedup.signaturesNarrow(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("incremental dedup flags exactly the cross-boundary near-dup docs") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents

@@ -243,6 +243,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 4L, 3L)))
   }
 
+  test("streaming ingest gate flags near-dups of the seen corpus, stateless append") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text about spark streaming state")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val gate = graft.ext.Dedup.streamingIngestGate(
+      input.toDF().toDF("doc_id", "text"),
+      seen,
+      threshold = 0.5
+    )
+    assert(gate.isStreaming)
+    val q = gate.writeStream
+      .format("memory")
+      .queryName("ingest_gate")
+      .outputMode(OutputMode.Append) // works ONLY because every stage is stateless
+      .start()
+    try {
+      input.addData(
+        (100L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of seen 1
+        (101L, "some brand new unique document with novel wording here")
+      )
+      q.processAllAvailable()
+      input.addData(
+        (102L, "completely different text about spark streaming state") // dup of seen 2, later batch
+      )
+      q.processAllAvailable()
+      val flagged = spark
+        .sql("SELECT DISTINCT new_id, dup_of FROM ingest_gate")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(flagged == Set((100L, 1L), (102L, 2L)), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
