@@ -59,7 +59,14 @@ object Multimodal {
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
 
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-    if (b.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)))
+    // the first chunk MUST be IHDR with a 13-byte payload (ISO/IEC 15948
+    // §11.2.2) — verify the tag and length rather than trusting the fixed
+    // offsets, so a payload that merely starts with the 8-byte signature
+    // yields None instead of garbage dimensions
+    if (
+      b.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+      be32(8) == 13 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+    )
       Some((be32(16), be32(20)))
     else if (b.length >= 10 && b.startsWith("GIF87a".getBytes) || b.length >= 10 && b.startsWith("GIF89a".getBytes))
       Some((le16(6), le16(8)))

@@ -75,13 +75,17 @@ object Similarity {
     *
     * `DataFrame.rdd` preserving the top-k order is not a documented planner
     * contract, so the callers pass the ordering keys and we re-assert the
-    * order per partition — O(k log k) on ≤k rows, and with the upstream
-    * single sorted partition a no-op in practice. (q_ann_topk's hash-checked
+    * order on a SINGLE partition — `coalesce(1)` first, because a
+    * per-partition sort alone would still rank wrong if the ≤k rows ever
+    * materialized as >1 partition whose partition order is not the global
+    * order. One partition of ≤k rows makes rank well-defined by
+    * construction, and is free at this size. (q_ann_topk's hash-checked
     * oracle would also catch a rank regression.)
     */
   private def withRank(ordered: DataFrame, orderingCols: Column*): DataFrame = {
     val reasserted =
-      if (orderingCols.isEmpty) ordered else ordered.sortWithinPartitions(orderingCols: _*)
+      if (orderingCols.isEmpty) ordered
+      else ordered.coalesce(1).sortWithinPartitions(orderingCols: _*)
     val out = StructType(StructField("rank", LongType, nullable = false) +: reasserted.schema.fields)
     val rdd = reasserted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
     ordered.sparkSession.createDataFrame(rdd, out)

@@ -94,26 +94,37 @@ object TemporalJoins {
     // negative timestamps bucket correctly too (trunc is monotone).
     def bucketOf(c: org.apache.spark.sql.Column) =
       call_function("div", c.cast("long"), lit(bucketWidth))
+    // Rename EVERY right-side column before the join: both sides often
+    // descend from the same scan (e.g. views/clicks split off one events
+    // table), and a `lb(k) === rb(k)` over shared lineage leans on Spark's
+    // dataset-id disambiguation — the exact pattern that logs "trivially
+    // true equals predicate" warnings and can silently become a cross join
+    // on a planner change. With disjoint names the condition is unambiguous
+    // by construction; original names are restored on the way out.
+    val rRenamed =
+      right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
     val lb = left.withColumn("__bucket", bucketOf(col(ts)))
-    val rb = right.withColumn(
-      "__bucket",
+    val rb = rRenamed.withColumn(
+      "__r_bucket",
       explode(
         sequence(
-          bucketOf(col(start)),
+          bucketOf(col(s"__r_$start")),
           // end is exclusive, but an interval ending exactly on a bucket
           // edge still overlaps that bucket's start — ceil via (end-1)
-          bucketOf(col(end).cast("long") - 1)
+          bucketOf(col(s"__r_$end").cast("long") - 1)
         )
       )
     )
-    val joinCond = (keys :+ "__bucket")
-      .map(k => lb(k) === rb(k))
-      .reduce(_ && _) &&
-      lb(ts) >= rb(start) && lb(ts) < rb(end)
-    val joined = lb.join(rb, joinCond)
-      .drop(lb("__bucket"))
-      .drop(rb("__bucket"))
-    // the equi-keys are equal by the join condition — keep one copy
-    keys.foldLeft(joined)((d, k) => d.drop(rb(k)))
+    val joinCond = (keys.map(k => col(k) === col(s"__r_$k")) :+
+      (col("__bucket") === col("__r_bucket"))).reduce(_ && _) &&
+      col(ts) >= col(s"__r_$start") && col(ts) < col(s"__r_$end")
+    val joined = lb
+      .join(rb, joinCond)
+      .drop("__bucket", "__r_bucket")
+    // the equi-keys are equal by the join condition — keep the left copy
+    val deduped = keys.foldLeft(joined)((d, k) => d.drop(s"__r_$k"))
+    right.columns
+      .filterNot(keys.contains)
+      .foldLeft(deduped)((d, c) => d.withColumnRenamed(s"__r_$c", c))
   }
 }

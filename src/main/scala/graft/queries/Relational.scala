@@ -266,6 +266,67 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): correlated EXISTS
+    * + NOT EXISTS against the SAME fact table — the classic join-shape
+    * torture test (reference contract
+    * `/root/reference/mapreduce/manager/__main__.py:560-593` is generic;
+    * this is its hardest relational instantiation). Adapted to the fixture
+    * schema: `l_returnflag = 'R'` stands in for the late-delivery predicate
+    * (no receipt/commit dates in the fixtures) and `o_orderstatus = 'F'`
+    * scopes to finished orders, preserving the exact subquery structure.
+    *
+    * Plan shape: EXISTS → left-semi, NOT EXISTS → left-anti, both equi on
+    * l_orderkey with the `<>` as a join residual — three shuffles on the
+    * same fact key, supplier broadcast, top-k as TakeOrderedAndProject. No
+    * correlated per-row subquery execution survives into the physical plan.
+    */
+  val qTpchQ21: Q = q(
+    "q_tpch_q21",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val t  = Tables(s, dir)
+    val l1 = t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val others = t.lineitem
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val otherFails = t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    l1
+      .join(
+        others,
+        col("l_orderkey") === col("o2_orderkey") && col("l_suppkey") =!= col("o2_suppkey"),
+        "left_semi"
+      )
+      .join(
+        otherFails,
+        col("l_orderkey") === col("o3_orderkey") && col("l_suppkey") =!= col("o3_suppkey"),
+        "left_anti"
+      )
+      .join(
+        t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"),
+        "left_semi"
+      )
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** Cumulative window frame: per-customer running spend over order history
     * (ROWS UNBOUNDED PRECEDING → CURRENT ROW). The accumulation is exact
     * decimal inside the frame — the running values are order-defined, so
@@ -607,40 +668,70 @@ object Relational {
       .orderBy("event_id")
   }
 
-  /** HLL sketch: approx_count_distinct per group. Not cross-engine
-    * hash-matchable (different sketch impls) → rows-only check here; the
-    * accuracy bound (<5% error vs exact) is asserted in SketchSpec.
+  /** HLL sketch WITH a checked row: the sketch value itself is not
+    * cross-engine hash-matchable (different sketch impls), so the query
+    * emits the exact distinct count alongside and reduces the sketch to the
+    * deterministic boolean |approx − exact| / exact < 0.05 — the oracle
+    * hash-checks the exact columns and asserts the bound is TRUE, so a
+    * sketch accuracy regression turns this row red instead of hiding behind
+    * a rows-only check. Raw sketch-value bounds stay in SketchSpec.
     */
-  val qApproxDistinct: Q = Q(
+  val qApproxDistinct: Q = q(
     "q_approx_distinct",
-    (s, dir) =>
-      Tables(s, dir)
-        .lineitem
-        .groupBy("l_returnflag")
-        .agg(
-          // rsd 0.02: the default 0.05 can exceed a 5% check; 2% target
-          // keeps the sketch small (~4 KB) and the SketchSpec bound honest
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          count(lit(1)).as("cnt")
-        )
-        .orderBy("l_returnflag"),
-    None
-  )
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders, TRUE AS hll_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        // rsd 0.02: the default 0.05 can exceed the 5% bound; 2% target
+        // keeps the sketch small (~4 KB) and the bound honest
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx")
+      )
+      .select(
+        col("l_returnflag"),
+        col("cnt"),
+        col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")).cast("double") / col("exact_orders") < 0.05)
+          .as("hll_ok")
+      )
+      .orderBy("l_returnflag")
+  }
 
-  /** Approximate percentiles (t-digest-class sketch); rows-only + spec. */
-  val qApproxQuantiles: Q = Q(
+  /** Approximate percentiles (KLL-class sketch), same hybrid shape as
+    * [[qApproxDistinct]]: exact `percentile_disc` companions are
+    * hash-checked, the sketch reduces to per-quantile relative-error
+    * booleans the oracle asserts TRUE. accuracy=10000 bounds rank error at
+    * n/10000, far inside 5% relative value error on these distributions.
+    */
+  val qApproxQuantiles: Q = q(
     "q_approx_quantiles",
-    (s, dir) =>
-      Tables(s, dir)
-        .lineitem
-        .groupBy("l_returnflag")
-        .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95")
-        )
-        .orderBy("l_returnflag"),
-    None
-  )
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.50) AS exact_p50,
+      |  quantile_disc(l_extendedprice, 0.95) AS exact_p95,
+      |  TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p95"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95")
+      )
+      .select(
+        col("l_returnflag"),
+        col("exact_p50"),
+        col("exact_p95"),
+        (abs(col("a50") - col("exact_p50")) / col("exact_p50") < 0.05).as("p50_ok"),
+        (abs(col("a95") - col("exact_p95")) / col("exact_p95") < 0.05).as("p95_ok")
+      )
+      .orderBy("l_returnflag")
+  }
 
   /** Explicit GROUPING SETS (SQL-only surface in Spark → via the Sql entry
     * point): per-flag and per-status subtotals, no cross combination.
@@ -713,7 +804,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
-    qTpchQ18, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qTpchQ18, qTpchQ21, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qRollup,
     qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile

@@ -109,12 +109,23 @@ object EventStream {
     * `ValueState` — the API that supersedes mapGroupsWithState (independent
     * typed state variables, timers, TTL eviction, and state-schema
     * evolution, all on the RocksDB state store).
+    *
+    * Eviction posture matches v1's: a user idle for 30 minutes has their
+    * state dropped, so state size tracks the active-user set, not the
+    * stream's lifetime. v2 TTL is store-managed and PROCESSING-time based
+    * (the TTLConfig API has no event-time flavor), vs v1's watermark-driven
+    * event-time timeout — same bound under live ingest, where processing
+    * time tracks event time to within the watermark delay.
     */
   class RunningTotalsProcessor extends StatefulProcessor[Long, Event, UserAgg] {
     @transient private var agg: ValueState[UserAgg] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      agg = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg], TTLConfig.NONE)
+      agg = getHandle.getValueState[UserAgg](
+        "agg",
+        Encoders.product[UserAgg],
+        TTLConfig(java.time.Duration.ofMinutes(30))
+      )
 
     override def handleInputRows(
         user: Long,
@@ -135,13 +146,14 @@ object EventStream {
     * RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass =
     * ...state.RocksDBStateStoreProvider`) — transformWithState does not run
-    * on the default HDFS-backed store.
+    * on the default HDFS-backed store. TimeMode.ProcessingTime is required
+    * for the 30-minute state TTL in [[RunningTotalsProcessor]].
     */
   def runningTotalsV2(events: Dataset[Event]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningTotalsProcessor, TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Stream-stream interval join: clicks matched to the views they follow

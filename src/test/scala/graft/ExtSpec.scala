@@ -120,23 +120,18 @@ class ExtSpec extends SparkSpec {
 
   test("k-means fit converges: within-cluster L2 does not increase over iterations") {
     import org.apache.spark.sql.functions._
-    val emb = Tables(spark, sf).embeddings
-    def cost(centroids: Array[(Int, Array[Float])]): Double =
+    val q = graft.ext.Ivf.quantized(Tables(spark, sf).embeddings)
+    // Lloyd's guarantees non-increase of total SQUARED distance (the mean
+    // minimizes sum-of-squares); rounding means back to the integer grid
+    // perturbs that by a relative ~1e-10, absorbed by the 1.0001 slack
+    def cost(centroids: Array[(Int, Array[Long])]): Double =
       graft.ext.Ivf
-        .assignL2(emb, centroids)
-        .select(col("cid"), col("embedding"))
-        .join(
-          spark.createDataFrame(centroids.map { case (i, v) => (i, v) }.toSeq).toDF("cid", "cvec"),
-          "cid"
-        )
-        // Lloyd's guarantees non-increase of SQUARED distance (the mean
-        // minimizes sum-of-squares, not sum-of-distances)
-        .select(pow(call_function("graft_l2", col("embedding"), col("cvec")), 2).as("d"))
-        .agg(sum("d"))
+        .assignScored(q, centroids)
+        .agg(sum(col("d2").cast("double")))
         .collect()(0)
         .getDouble(0)
-    val init   = graft.ext.Ivf.sampleCentroids(emb, 8)
-    val fitted = graft.ext.Ivf.kmeansFit(emb, 8, iters = 3)
+    val init   = graft.ext.Ivf.sampleCentroids(q, 8)
+    val fitted = graft.ext.Ivf.kmeansFit(q, 8, iters = 3)
     assert(cost(fitted) <= cost(init) * 1.0001, "k-means must not increase total distance")
   }
 
