@@ -150,6 +150,12 @@ object Ivf {
     * table is written `PARTITIONED BY (cid)` through the compacted writer
     * (one file per cell at fixture scale), so a probe's
     * `cid IN (...)` filter prunes non-probed cells at file-listing time.
+    *
+    * Staleness contract (same as [[graft.Sql.createViews]]): the memoized
+    * index reflects the embeddings as of the first call for `dir` in this
+    * JVM; a caller that rewrites the fixture must drop the entry (restart
+    * or a new dir) — exactly the semantics of a production index that is
+    * rebuilt on a schedule, not per write.
     */
   def indexFor(spark: SparkSession, dir: String): Index = built.synchronized {
     built.getOrElseUpdate(

@@ -110,22 +110,26 @@ object EventStream {
     * typed state variables, timers, TTL eviction, and state-schema
     * evolution, all on the RocksDB state store).
     *
-    * Eviction posture matches v1's: a user idle for 30 minutes has their
-    * state dropped, so state size tracks the active-user set, not the
-    * stream's lifetime. v2 TTL is store-managed and PROCESSING-time based
-    * (the TTLConfig API has no event-time flavor), vs v1's watermark-driven
-    * event-time timeout — same bound under live ingest, where processing
-    * time tracks event time to within the watermark delay.
+    * Eviction posture — DELIBERATE divergence from v1: this demo keeps
+    * per-user state for the stream's lifetime (`TTLConfig.NONE`,
+    * `TimeMode.None`). v2's TTL is processing-time only, and running the
+    * query in `TimeMode.ProcessingTime` to enable it makes the stream
+    * re-trigger for timer housekeeping instead of idling between data
+    * batches (observed: `processAllAvailable` never returns under
+    * MemoryStream). A production deployment that needs bounded state picks
+    * one of: (a) this processor in ProcessingTime mode with
+    * `TTLConfig(Duration.ofMinutes(30))` — correct under a real
+    * always-on trigger, unsuitable for a drain-and-assert harness; or
+    * (b) [[runningTotals]] (the v1 flatMapGroupsWithState form), whose
+    * watermark-driven EVENT-time timeout both bounds state and idles
+    * cleanly — which is why v1 remains the engine's recommended shape and
+    * v2 here demonstrates the typed-state API surface only.
     */
   class RunningTotalsProcessor extends StatefulProcessor[Long, Event, UserAgg] {
     @transient private var agg: ValueState[UserAgg] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      agg = getHandle.getValueState[UserAgg](
-        "agg",
-        Encoders.product[UserAgg],
-        TTLConfig(java.time.Duration.ofMinutes(30))
-      )
+      agg = getHandle.getValueState[UserAgg]("agg", Encoders.product[UserAgg], TTLConfig.NONE)
 
     override def handleInputRows(
         user: Long,
@@ -146,14 +150,14 @@ object EventStream {
     * RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass =
     * ...state.RocksDBStateStoreProvider`) — transformWithState does not run
-    * on the default HDFS-backed store. TimeMode.ProcessingTime is required
-    * for the 30-minute state TTL in [[RunningTotalsProcessor]].
+    * on the default HDFS-backed store. See [[RunningTotalsProcessor]] for
+    * the state-eviction tradeoff (TimeMode.None here on purpose).
     */
   def runningTotalsV2(events: Dataset[Event]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .transformWithState(new RunningTotalsProcessor, TimeMode.ProcessingTime(), OutputMode.Update())
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream interval join: clicks matched to the views they follow

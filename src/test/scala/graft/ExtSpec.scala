@@ -148,6 +148,24 @@ class ExtSpec extends SparkSpec {
     assert((exact intersect ivf).size >= 3, s"recall too low: ${(exact intersect ivf).size}/10")
   }
 
+  test("IVF persisted-index probe returns exactly the inline fit+probe result") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf).embeddings
+    val inline = graft.ext.Ivf.ivfTopK(emb, 0L, 10).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val index  = graft.ext.Ivf.indexFor(spark, sf)
+    val qRow = graft.ext.Ivf
+      .quantized(emb)
+      .filter(col("vec_id") === 0L)
+      .select("embedding", "qv")
+      .collect()(0)
+    val probed = graft.ext.Ivf
+      .probe(spark, index, qRow.getSeq[Float](0).toArray, qRow.getSeq[Long](1).toArray, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSeq
+    assert(probed == inline, "parquet round-trip of the index must not change the top-k")
+  }
+
   test("multimodal stub pipeline: deterministic dims, resize bounds respected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -87,6 +87,47 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  /** Shuffle exchanges in the (pre-AQE) physical plan string. Broadcast
+    * exchanges don't count ("BroadcastExchange HashedRelation..." never
+    * matches the lowercase partitioning forms); ReusedExchange echoes its
+    * target's description and so counts like the original — acceptable for
+    * a regression pin.
+    */
+  private def shuffleCount(p: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition|roundrobin)".r.findAllIn(p).size
+
+  test("q_ann_ivf probe prunes the cid-partitioned index at file-listing level") {
+    val p = plan(graft.ext.Ivf.annIvf.fn(spark, sf))
+    assert(p.contains("graft-ivf-index"), "probe must read the persisted index:\n" + p)
+    assert(
+      """PartitionFilters: \[[^\]]*cid""".r.findFirstIn(p).isDefined,
+      "index scan must carry a cid partition filter:\n" + p
+    )
+  }
+
+  test("exchange budgets: a refactor that adds a shuffle to a heavy query fails here") {
+    // budgets pin today's plan shapes (see BENCH top-5); a future change
+    // that sneaks in an extra exchange should fail a test, not a bench
+    // eyeball. Counts are of the pre-AQE plan at sf0.001. The dedup
+    // queries' counts vary a little with cache state (a materialized
+    // InMemoryRelation's size statistics flip shuffled joins to broadcast),
+    // so their budgets carry cold-plan headroom; the join-shape queries are
+    // pinned tight.
+    val budgets = Seq(
+      ("q_tpch_q18", Relational.qTpchQ18, 3),
+      ("q_tpch_q21", Relational.qTpchQ21, 2),
+      ("q_minhash_neardup", Dedup.minhashNearDup, 7),
+      ("q_ngram_jaccard", Dedup.ngramJaccard, 7),
+      ("q_dedup_incremental", Dedup.dedupIncremental, 9),
+      ("q_embed_neardup", Similarity.embedNearDup, 4)
+    )
+    budgets.foreach { case (name, q, budget) =>
+      val n = shuffleCount(plan(q.fn(spark, sf)))
+      info(s"$name: $n exchanges (budget $budget)")
+      assert(n <= budget, s"$name now plans $n shuffle exchanges (budget $budget)")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // the exact top-k cosine intentionally BNLJ-broadcasts a single query
     // row; nothing may plan an actual cartesian product
