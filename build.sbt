@@ -9,6 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Style gate (the analog of the reference's tests/test_style.py tier —
+// scalafmt artifacts are not in the offline cache, so the compiler's lint +
+// unused analysis promoted to errors IS the gate: `sbt compile` fails on a
+// style regression the way the reference's pylint gate fails its suite).
+ThisBuild / scalacOptions ++= Seq(
+  "-Xlint",
+  "-Wunused:imports,privates,locals",
+  "-deprecation",
+  "-feature",
+  "-Werror"
+)
 Test / fork := true
 // suites share (and sometimes restart) one SparkSession — keep them serial
 Test / parallelExecution := false

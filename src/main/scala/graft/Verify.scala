@@ -8,7 +8,8 @@ import graft.core.SparkEnv
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length == 2, "usage: Verify <sfDir> <outDir>")
+    val (sfDir, outDir) = (args(0), args(1))
     val spark = SparkEnv.session("graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = 0

@@ -2,7 +2,7 @@ package graft.ext
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables

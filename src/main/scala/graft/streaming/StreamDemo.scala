@@ -13,7 +13,8 @@ import graft.core.SparkEnv
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length == 2, "usage: StreamDemo <sfDir> <outDir>")
+    val (sfDir, outDir) = (args(0), args(1))
     val spark = SparkEnv.session("graft-stream-demo")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val events = graft.core.Tables.nanosToTimestamp(

@@ -257,7 +257,6 @@ class ExtSpec extends SparkSpec {
   }
 
   test("signaturesNarrow equals the explode+groupBy signatures exactly") {
-    import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents
     val a = Dedup.signatures(docs).orderBy("doc_id").collect()
     val b = Dedup.signaturesNarrow(docs).orderBy("doc_id").collect()

@@ -77,7 +77,6 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("compacted partitioned write emits one file per value, re-split by record cap") {
-    import spark.implicits._
     // 100 rows over 2 partition values, on a multi-partition source df
     val df = spark.range(100).select(
       col("id"),

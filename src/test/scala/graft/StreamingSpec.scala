@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
-import graft.streaming.EventStream.{Event, UserAgg}
+import graft.streaming.EventStream.Event
 
 /** Streaming semantics via MemoryStream: watermark-driven window closure,
   * late-data handling, session windows, and custom keyed state.
