@@ -336,7 +336,7 @@ object Dedup {
 
   // ---- SQL fragments shared by the DuckDB oracles -------------------------
 
-  private val sqlShingles =
+  private[graft] val sqlShingles =
     """SELECT doc_id,
       |  list_transform(range(1, greatest(len(t)-2, 0)+1),
       |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
@@ -345,11 +345,11 @@ object Dedup {
   private def sqlMh(i: Int): String =
     s"list_aggregate(list_transform(sh, x -> (CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) * ${A(i)} + ${B(i)}) % $P), 'min') AS mh$i"
 
-  private val sqlSig =
+  private[graft] val sqlSig =
     s"""SELECT doc_id, ${(0 until K).map(sqlMh).mkString(",\n  ")}
        |FROM ($sqlShingles)""".stripMargin
 
-  private val sqlBands =
+  private[graft] val sqlBands =
     (0 until K / 2)
       .map(b =>
         s"SELECT doc_id, $b AS band_id, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS band_val FROM sig WHERE mh0 IS NOT NULL"

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.Dedup
+
+/** Corpus-preparation pipeline queries — the composition layer a
+  * large-scale training-data pipeline runs on top of the individual text
+  * operators (SURVEY.md §7.2 step 8). The reference has no analog (its
+  * pipeline is "run another MapReduce job"); here each pipeline is ONE
+  * declarative plan, so Catalyst fuses the stages instead of a job chain
+  * re-reading intermediate files.
+  */
+object Pipeline {
+
+  /** Deterministic train/val/test assignment: md5-hash bucket of the
+    * doc_id, 80/10/10. Hash-based splits are the production norm — stable
+    * under corpus growth (a doc's split never changes when other docs are
+    * added or the table is repartitioned), reproducible across engines,
+    * and skew-free. Contrast sampling by rand(): irreproducible, and
+    * TABLESAMPLE: partition-layout-dependent. Per-row expression only —
+    * no shuffle at all beyond the verification sort.
+    */
+  val splitAssign: Q = Q(
+    "q_split_assign",
+    (s, dir) => {
+      val bucket =
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
+          .cast("long") % 100
+      Tables(s, dir).documents
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn(
+          "split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Stopword list shared with q_langid's heuristic (kept literal here so
+    * the oracle fragment below can't drift from the Spark expression).
+    */
+  private val StopWords = Seq("the", "of", "and", "to", "in", "a", "is")
+  private val StopList  = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** C4-style corpus cleaning as ONE plan: language-ID gate → quality gate
+    * → exact-dedup keep-first → MinHash near-dup drop, emitting one row
+    * per document with each stage's verdict and the final keep flag — the
+    * audit view a data pipeline materializes next to the cleaned corpus.
+    *
+    * Stage shapes at 100 TB: lang/quality are scan-stage expressions;
+    * exact_keep is one window over the fingerprint (one exchange);
+    * the near-dup drop set is the bucketed LSH candidate join from
+    * [[graft.ext.Dedup.nearDuplicates]] (cached feature tables, no
+    * cartesian) left-joined back — the drop set is pair-bounded and
+    * broadcastable. No stage re-reads the corpus from disk: the per-doc
+    * features ride the single `documents` scan and the dedup caches.
+    *
+    * Drop rule: a doc is dropped as a near-duplicate when it is the
+    * LARGER id of any pair with Jaccard >= 0.2 — deterministic and
+    * independent of its partner's own gate verdicts (the simple rule
+    * production gates use, keeping the earliest-ingested copy).
+    */
+  val cleanCorpus: Q = Q(
+    "q_clean_corpus",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = split(lower(col("text")), " ", -1)
+      val langOk = size(toks) > 0 &&
+        size(filter(toks, x => x.isInCollection(StopWords))).cast("double") / size(toks) >= 0.03
+      val nTok  = size(split(col("text"), " ", -1))
+      val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+      val qualityOk =
+        nTok.between(5, 10000) && punct.cast("double") / length(col("text")) < 0.1
+      val staged = docs.select(
+        col("doc_id"),
+        langOk.as("lang_ok"),
+        qualityOk.as("quality_ok"),
+        Fingerprint.of(col("text")).as("fp")
+      )
+      val wFp   = Window.partitionBy("fp")
+      val drops = Dedup
+        .nearDuplicates(docs, 0.2)
+        .select(col("d2").as("doc_id"))
+        .distinct()
+        .withColumn("neardup_drop", lit(true))
+      staged
+        .withColumn("exact_keep", min("doc_id").over(wFp) === col("doc_id"))
+        .join(drops, Seq("doc_id"), "left")
+        .withColumn("neardup_drop", coalesce(col("neardup_drop"), lit(false)))
+        .withColumn(
+          "keep",
+          col("lang_ok") && col("quality_ok") && col("exact_keep") && !col("neardup_drop")
+        )
+        .select("doc_id", "lang_ok", "quality_ok", "exact_keep", "neardup_drop", "keep")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH sig AS (${Dedup.sqlSig}),
+         |bands AS (${Dedup.sqlBands}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM (${Dedup.sqlShingles})),
+         |drops AS (
+         |  SELECT DISTINCT d2 AS doc_id FROM cand
+         |  JOIN sets s1 ON s1.doc_id = d1
+         |  JOIN sets s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) >= 0.2),
+         |lang AS (
+         |  SELECT doc_id,
+         |    (tok_cnt > 0 AND CAST(stop_cnt AS DOUBLE) / tok_cnt >= 0.03) AS lang_ok
+         |  FROM (
+         |    SELECT doc_id, COUNT(*) AS tok_cnt,
+         |      CAST(SUM(CASE WHEN w IN $StopList THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
+         |    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |    GROUP BY doc_id)),
+         |qual AS (
+         |  SELECT doc_id,
+         |    (len(string_split(text, ' ')) BETWEEN 5 AND 10000 AND
+         |     CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |       / length(text) < 0.1) AS quality_ok
+         |  FROM documents),
+         |fpx AS (
+         |  SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY ${Fingerprint.sql}) = doc_id AS exact_keep
+         |  FROM documents)
+         |SELECT d.doc_id, lang.lang_ok, qual.quality_ok, fpx.exact_keep,
+         |  (drops.doc_id IS NOT NULL) AS neardup_drop,
+         |  (lang.lang_ok AND qual.quality_ok AND fpx.exact_keep
+         |   AND drops.doc_id IS NULL) AS keep
+         |FROM documents d
+         |JOIN lang USING (doc_id)
+         |JOIN qual USING (doc_id)
+         |JOIN fpx USING (doc_id)
+         |LEFT JOIN drops USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(splitAssign, cleanCorpus)
+}

@@ -13,6 +13,7 @@ object Registry {
   val all: Seq[Q] =
     Relational.all ++
       TextQueries.all ++
+      Pipeline.all ++
       EventQueries.all ++
       Dedup.all ++
       Similarity.all ++
