@@ -154,5 +154,89 @@ object Pipeline {
     )
   )
 
-  val all: Seq[Q] = Seq(splitAssign, cleanCorpus)
+  /** PII scrubbing: regex redaction of emails and phone-shaped digit runs —
+    * the pre-training privacy pass every corpus pipeline runs. The fixture
+    * text carries no PII (verified: zero '@'/digit occurrences), so the
+    * query first APPENDS a deterministic synthetic contact line per doc and
+    * then scrubs it — making the redaction observably non-vacuous (the
+    * oracle independently reconstructs both the dirty and the scrubbed
+    * text, and n_redacted == 2 for every row is part of the hash).
+    * Patterns stay in the RE2-compatible subset (no backrefs/lookarounds)
+    * so Java regex and DuckDB RE2 agree.
+    */
+  val piiScrub: Q = Q(
+    "q_pii_scrub",
+    (s, dir) => {
+      val dirty = concat(
+        col("text"),
+        lit(" contact user"),
+        col("doc_id").cast("string"),
+        lit("@example.com tel 555-"),
+        lpad(col("doc_id").cast("string"), 4, "0")
+      )
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3,4}"
+      Tables(s, dir).documents
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(
+          col("doc_id"),
+          (size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))) +
+            size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0))))
+            .cast("long")
+            .as("n_redacted"),
+          md5(
+            regexp_replace(
+              regexp_replace(col("dirty"), emailRe, "[EMAIL]"),
+              phoneRe,
+              "[PHONE]"
+            ).cast("binary")
+          ).as("clean_fp")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(dirty, '[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_redacted,
+        |  md5(regexp_replace(
+        |        regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '[0-9]{3}-[0-9]{3,4}', '[PHONE]', 'g')) AS clean_fp
+        |FROM (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com tel 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS dirty
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Deterministic stratified sampling: per language stratum, the k=20 docs
+    * with the smallest md5(doc_id) — reproducible across engines, runs,
+    * and partitionings (unlike rand()/TABLESAMPLE), and per-stratum
+    * balanced regardless of stratum skew. One exchange on the stratum key;
+    * the per-stratum top-k window never materializes a global sort.
+    */
+  val stratifiedSample: Q = Q(
+    "q_stratified_sample",
+    (s, dir) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("lang"), col("doc_id"), h.as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    },
+    Some(
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample)
 }
