@@ -23,6 +23,14 @@ object Bench {
         case c            => c.toString
       }
 
+    // Optional comma-separated subset for local iteration (SPARK_GRAFT_ONLY);
+    // the driver never sets it, so the driver path is always the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // true when the full set runs OR the subset contains a matching query —
+    // gates the offline builds below so SPARK_GRAFT_ONLY=q1_agg iteration
+    // doesn't pay an IVF fit + dedup cache materialization it never uses
+    def subsetNeeds(p: String => Boolean): Boolean = only.forall(_.exists(p))
+
     // Warm up JIT/codegen/shuffle AND the parquet reader stack so the
     // alphabetically-first query doesn't absorb one-time JVM/IO init in its
     // timing (BENCH_r02: `grep` = 24.5s of which ~24s was first-query init).
@@ -48,15 +56,22 @@ object Bench {
       // signature/gram caches (production: the materialized append-only
       // band index described in ext/Dedup.scala). The first probing query
       // would otherwise absorb the whole build into its timing.
-      graft.ext.Ivf.indexFor(spark, sfDir)
-      val docs = graft.core.Tables(spark, sfDir).documents
-      graft.ext.Dedup.signatures(docs).write.format("noop").mode("overwrite").save()
-      graft.ext.Dedup.gramSets(docs).write.format("noop").mode("overwrite").save()
-    } catch { case scala.util.control.NonFatal(_) => () }
+      if (subsetNeeds(_ == "q_ann_ivf"))
+        graft.ext.Ivf.indexFor(spark, sfDir)
+      if (subsetNeeds(n => n.contains("minhash") || n.contains("lsh") || n.contains("dedup") ||
+            n.contains("jaccard") || n == "q_clean_corpus")) {
+        val docs = graft.core.Tables(spark, sfDir).documents
+        graft.ext.Dedup.signatures(docs).write.format("noop").mode("overwrite").save()
+        graft.ext.Dedup.gramSets(docs).write.format("noop").mode("overwrite").save()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // keep benching (a warm-up failure must not zero the whole run), but
+        // SAY so: an index build that silently fails here would re-run inside
+        // q_ann_ivf's timed region and masquerade as a probe regression
+        System.err.println(s"[bench] warm-up failed (timings may include one-time init): $e")
+    }
 
-    // Optional comma-separated subset for local iteration (SPARK_GRAFT_ONLY);
-    // the driver never sets it, so the driver path is always the full set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries

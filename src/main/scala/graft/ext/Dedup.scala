@@ -83,7 +83,7 @@ object Dedup {
     ).otherwise(array().cast("array<string>"))
 
   /** 28-bit base hash of one shingle: first 7 hex digits of md5. */
-  private def baseHash(x: Column): Column =
+  private[graft] def baseHash(x: Column): Column =
     conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long")
 
   /** Cached (doc_id, sset) distinct-3-shingle sets — the ONE `documents`

@@ -164,9 +164,13 @@ object Ivf {
         val centroids = kmeansFit(q, NCentroids, Iters)
         val digest    = java.security.MessageDigest.getInstance("MD5")
         val tag       = digest.digest(dir.getBytes).map("%02x".format(_)).mkString.take(12)
+        // pid in the path: the index is per-JVM (the memo above is), so two
+        // processes working the same fixture dir must not Overwrite/scan one
+        // shared directory concurrently — and on a multi-user box one user
+        // must not collide with another's files
         val path = new java.io.File(
           System.getProperty("java.io.tmpdir"),
-          s"graft-ivf-index-$tag"
+          s"graft-ivf-index-$tag-p${ProcessHandle.current().pid()}"
         ).getAbsolutePath
         graft.sources.Sources.writeParquetCompacted(
           assignQ(q, centroids).select("vec_id", "label", "embedding", "cid"),

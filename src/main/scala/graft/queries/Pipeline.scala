@@ -26,9 +26,10 @@ object Pipeline {
   val splitAssign: Q = Q(
     "q_split_assign",
     (s, dir) => {
-      val bucket =
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
-          .cast("long") % 100
+      // the ONE md5-prefix→int64 hash (shared with MinHash's shingle
+      // hashing) so the Spark expression and its DuckDB mirror can't drift
+      // per call site
+      val bucket = Dedup.baseHash(col("doc_id").cast("string")) % 100
       Tables(s, dir).documents
         .select(col("doc_id"), bucket.as("bucket"))
         .withColumn(

@@ -94,7 +94,16 @@ class PlanSpec extends SparkSpec {
     * a regression pin.
     */
   private def shuffleCount(p: String): Int =
-    "Exchange (hashpartitioning|rangepartitioning|SinglePartition|roundrobin)".r.findAllIn(p).size
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)".r
+      .findAllIn(p)
+      .size
+
+  test("shuffleCount recognizes every ShuffleExchange partitioning flavor") {
+    // regression guard for the counter itself: a repartition(n) plans
+    // 'Exchange RoundRobinPartitioning(n)' and MUST count
+    val df = graft.core.Tables(spark, sf).lineitem.repartition(4).groupBy("l_returnflag").count()
+    assert(shuffleCount(plan(df)) >= 2, plan(df))
+  }
 
   test("q_ann_ivf probe prunes the cid-partitioned index at file-listing level") {
     val p = plan(graft.ext.Ivf.annIvf.fn(spark, sf))

@@ -58,4 +58,41 @@ class SqlSpec extends SparkSpec {
     )
     assert(df.count() == 5)
   }
+
+  test("createViews(refresh = true) re-reads fixtures rewritten under the same dir") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft-sql-refresh").toFile
+    tmp.deleteOnExit()
+    Sql.tableNames.foreach { t =>
+      Files.copy(
+        Paths.get(s"$sf/$t.parquet"),
+        Paths.get(tmp.getAbsolutePath, s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING
+      )
+    }
+    val dir = tmp.getAbsolutePath
+    val before =
+      Sql.query(spark, dir, "SELECT COUNT(*) AS c FROM documents").collect()(0).getLong(0)
+    assert(before > 100)
+    // rewrite documents.parquet in place with a 100-row subset
+    val subsetDir = Files.createTempDirectory("graft-sql-subset").toFile
+    subsetDir.deleteOnExit()
+    spark.read
+      .parquet(s"$sf/documents.parquet")
+      .limit(100)
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(subsetDir.getAbsolutePath)
+    val part = subsetDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.copy(
+      part.toPath,
+      Paths.get(dir, "documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING
+    )
+    Sql.createViews(spark, dir, refresh = true)
+    val after =
+      Sql.query(spark, dir, "SELECT COUNT(*) AS c FROM documents").collect()(0).getLong(0)
+    assert(after == 100, s"refresh must surface the rewritten fixture (got $after)")
+  }
 }
