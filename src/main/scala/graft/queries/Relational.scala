@@ -327,6 +327,46 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): correlated SCALAR
+    * aggregate subquery — each lineitem compares against 0.2× the average
+    * quantity of ITS part. Registered in the hand-decorrelated form (the
+    * per-part thresholds are a partial+final aggregate joined back on
+    * l_partkey — exactly the rewrite Catalyst's subquery decorrelation
+    * performs, made explicit for plan clarity); the oracle keeps the
+    * correlated SQL so both formulations are pinned equal. Threshold math
+    * is the exact-decimal mean ([[Num.davg]] pattern) followed by single
+    * IEEE ops, so the comparison is bit-identical cross-engine.
+    */
+  val qTpchQ17: Q = q(
+    "q_tpch_q17",
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_type = 'ECONOMY'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  ) { (s, dir) =>
+    val t  = Tables(s, dir)
+    val li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    val thresholds = li
+      .groupBy("l_partkey")
+      .agg(
+        (lit(0.2) * (sum(col("l_quantity").cast(Money)).cast("double") / count(lit(1))))
+          .as("qty_thresh")
+      )
+    li.join(thresholds, "l_partkey")
+      .join(
+        broadcast(t.part.filter(col("p_type") === "ECONOMY").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .groupBy("p_brand")
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
   /** Cumulative window frame: per-customer running spend over order history
     * (ROWS UNBOUNDED PRECEDING → CURRENT ROW). The accumulation is exact
     * decimal inside the frame — the running values are order-defined, so
@@ -819,7 +859,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qTpchQ17, qTpchQ18, qTpchQ21, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qRollup,
     qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile
