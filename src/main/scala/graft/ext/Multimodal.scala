@@ -88,6 +88,68 @@ object Multimodal {
     } else None
   }
 
+  /** Typed audio metadata extracted from a WAV container header. */
+  final case class AudioMeta(
+      id: Long,
+      nBytes: Long,
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      durationMs: Long
+  )
+
+  /** REAL audio-metadata extraction from RIFF/WAVE headers — the audio
+    * analog of [[imageDims]]: pure-JVM chunk walk, no codec. Verifies the
+    * "RIFF"/"WAVE" signatures, then walks chunks (4CC + LE32 size) to the
+    * "fmt " chunk and reads channels (LE16 at +2), sample rate (LE32 at
+    * +4), and bits/sample (LE16 at +14); duration derives from the "data"
+    * chunk size (RIFF spec / MS WAVE format). Returns None for anything
+    * that is not a well-formed WAV header.
+    */
+  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    @inline def u8(i: Int): Int   = b(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int, t: String): Boolean =
+      i + 4 <= b.length && t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i                                 = 12
+    var fmt: Option[(Int, Int, Int)]      = None
+    var dataBytes: Option[Long]           = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ") && i + 8 + 16 <= b.length)
+        fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22)))
+      if (tag(i, "data")) dataBytes = Some(size)
+      // chunks are word-aligned: odd sizes carry a pad byte (RIFF spec)
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    for ((rate, ch, bits) <- fmt; data <- dataBytes if rate > 0 && ch > 0 && bits > 0)
+      yield {
+        val bytesPerMs = rate.toLong * ch * (bits / 8)
+        (rate, ch, bits, if (bytesPerMs == 0) 0L else data * 1000L / bytesPerMs)
+      }
+  }
+
+  /** A minimal canonical 44-byte WAV header (PCM fmt chunk + empty-bodied
+    * data chunk declaring `dataBytes`) — the audio analog of
+    * [[pngHeaderBytes]] for fixtures.
+    */
+  def wavHeaderBytes(sampleRate: Int, channels: Int, bitsPerSample: Int, dataBytes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+    bb.putShort(1.toShort)                       // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * (bitsPerSample / 8)) // byte rate
+    bb.putShort((channels * (bitsPerSample / 8)).toShort)  // block align
+    bb.putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes).putInt(dataBytes)
+    bb.array()
+  }
+
   /** STUB dims: fake-but-deterministic dimensions from the payload bytes —
     * the path for payloads with no recognized container (audio/video codecs
     * are not in this container).
@@ -286,6 +348,58 @@ object Multimodal {
     )
   )
 
+  /** Audio decode stage: same partition-batched shape as [[decode]],
+    * REAL RIFF/WAVE header parsing via [[wavMeta]]; unparseable payloads
+    * yield zeroed metadata rather than dropping the row (a pipeline wants
+    * the audit row either way).
+    */
+  def decodeAudio(records: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val (rate, ch, bits, dur) = wavMeta(r.media).getOrElse((0, 0, 0, 0L))
+      AudioMeta(r.id, r.media.length.toLong, rate, ch, bits, dur)
+    })
+  }
+
+  /** Registered query: REAL audio-container decode end-to-end, the audio
+    * analog of [[multimodalDecode]] — each document yields a synthesized
+    * WAV header whose parameters derive from its columns, the Spark side
+    * byte-parses them back, and the oracle recomputes the expected values
+    * (including the integer-division duration) independently.
+    */
+  val multimodalAudio: Q = Q(
+    "q_multimodal_audio",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          MediaRecord(
+            id,
+            "audio",
+            wavHeaderBytes(
+              sampleRate = (8000 * (1 + id % 6)).toInt,
+              channels = (1 + id % 2).toInt,
+              bitsPerSample = if (id % 3 == 0) 8 else 16,
+              dataBytes = (nChars * 100).toInt
+            )
+          )
+        }
+      decodeAudio(recs).toDF().orderBy("id")
+    },
+    Some(
+      """SELECT doc_id AS id, CAST(44 AS BIGINT) AS "nBytes",
+        |  CAST(8000 * (1 + doc_id % 6) AS INT) AS "sampleRate",
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS "bitsPerSample",
+        |  CAST((n_chars * 100 * 1000)
+        |       // (8000 * (1 + doc_id % 6) * (1 + doc_id % 2)
+        |          * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)) AS BIGINT) AS "durationMs"
+        |FROM documents ORDER BY id""".stripMargin
+    )
+  )
+
   /** Registered query: video-kind decode + declarative frame sampling.
     * Text bytes stand in for video payloads (no video codec in the
     * container), so nFrames is the stub's deterministic 1 + nBytes % 120;
@@ -312,5 +426,6 @@ object Multimodal {
     )
   )
 
-  val all: Seq[Q] = Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalFrames)
+  val all: Seq[Q] =
+    Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalAudio, multimodalFrames)
 }

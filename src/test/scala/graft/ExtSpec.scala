@@ -148,6 +148,18 @@ class ExtSpec extends SparkSpec {
     assert((exact intersect ivf).size >= 3, s"recall too low: ${(exact intersect ivf).size}/10")
   }
 
+  test("wavMeta parses a canonical RIFF/WAVE header and rejects non-WAV payloads") {
+    // 88200 data bytes at 44100 Hz × 2 ch × 16 bit = 176400 B/s → 500 ms
+    val b = Multimodal.wavHeaderBytes(44100, 2, 16, 88200)
+    assert(Multimodal.wavMeta(b).contains((44100, 2, 16, 500L)))
+    // RIFF signature but not WAVE → None (the documented contract)
+    val notWave = "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "NOPE".getBytes ++ Array.fill[Byte](32)(0)
+    assert(Multimodal.wavMeta(notWave).isEmpty)
+    assert(Multimodal.wavMeta(Array.emptyByteArray).isEmpty)
+    // truncated header → None, no exception
+    assert(Multimodal.wavMeta(b.take(20)).isEmpty)
+  }
+
   test("IVF persisted-index probe returns exactly the inline fit+probe result") {
     import org.apache.spark.sql.functions.col
     val emb = Tables(spark, sf).embeddings
