@@ -471,6 +471,55 @@ object Dedup {
     )
   )
 
+  /** Edit-distance near-dup tier: the same bucketed LSH candidates verified
+    * by RELATIVE Levenshtein distance (dist / max(len)) — the
+    * character-level verifier that catches reorder-free edits shingle
+    * Jaccard underweights. Both engines implement the identical classic DP
+    * edit distance, so dist is exactly equal cross-engine and the ratio is
+    * one IEEE division of equal ints. Cost is O(len²) per CANDIDATE pair —
+    * bounded by the band join's output, never all-pairs, which is what
+    * keeps a quadratic verifier viable at 100 TB (τ=0.4 keeps 25/31
+    * candidates at sf0.01 — the threshold does real filtering work and no
+    * fixture pair sits near the boundary).
+    */
+  val editNearDup: Q = Q(
+    "q_edit_neardup",
+    (s, dir) => {
+      val docs  = Tables(s, dir).documents
+      val texts = docs.select(col("doc_id"), col("text"))
+      candidatePairs(docs)
+        .join(texts.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+        .join(texts.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .withColumn(
+          "rel",
+          col("dist").cast("double") / greatest(length(col("t1")), length(col("t2")))
+        )
+        .filter(col("rel") <= 0.4)
+        .select("d1", "d2", "dist", "rel")
+        .orderBy("d1", "d2")
+    },
+    Some(
+      s"""WITH sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT d1, d2,
+         |  CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS dist,
+         |  CAST(levenshtein(t1.text, t2.text) AS DOUBLE)
+         |    / greatest(length(t1.text), length(t2.text)) AS rel
+         |FROM cand
+         |JOIN documents t1 ON t1.doc_id = d1
+         |JOIN documents t2 ON t2.doc_id = d2
+         |WHERE CAST(levenshtein(t1.text, t2.text) AS DOUBLE)
+         |    / greatest(length(t1.text), length(t2.text)) <= 0.4
+         |ORDER BY d1, d2""".stripMargin
+    )
+  )
+
   /** Incremental ingest gate over the fixture: docs with id >= 400 are "the
     * new batch", everything below is the seen corpus.
     */
@@ -505,5 +554,5 @@ object Dedup {
   )
 
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, ngramJaccard, dedupIncremental)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, ngramJaccard, editNearDup, dedupIncremental)
 }
