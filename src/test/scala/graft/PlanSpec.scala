@@ -123,12 +123,15 @@ class PlanSpec extends SparkSpec {
     // so their budgets carry cold-plan headroom; the join-shape queries are
     // pinned tight.
     val budgets = Seq(
+      ("q_tpch_q17", Relational.qTpchQ17, 4),
       ("q_tpch_q18", Relational.qTpchQ18, 3),
       ("q_tpch_q21", Relational.qTpchQ21, 2),
       ("q_minhash_neardup", Dedup.minhashNearDup, 7),
       ("q_ngram_jaccard", Dedup.ngramJaccard, 7),
+      ("q_edit_neardup", Dedup.editNearDup, 9),
       ("q_dedup_incremental", Dedup.dedupIncremental, 9),
-      ("q_embed_neardup", Similarity.embedNearDup, 4)
+      ("q_embed_neardup", Similarity.embedNearDup, 4),
+      ("q_clean_corpus", graft.queries.Pipeline.cleanCorpus, 11)
     )
     budgets.foreach { case (name, q, budget) =>
       val n = shuffleCount(plan(q.fn(spark, sf)))
