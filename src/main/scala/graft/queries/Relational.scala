@@ -367,6 +367,50 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q22 shape (global-sales-opportunity): an UNCORRELATED scalar
+    * aggregate subquery (the global positive-balance average) feeding a
+    * filter, plus NOT EXISTS against orders — the remaining classic
+    * subquery form next to Q17's correlated scalar and Q21's
+    * correlated EXISTS. The scalar lands as a 1-row broadcast (a
+    * BroadcastNestedLoopJoin over a single row — the same shape as the
+    * ANN query-vector attach, not a real cartesian); the threshold is the
+    * exact-decimal mean so both engines compare against bit-identical
+    * doubles.
+    */
+  val qTpchQ22: Q = q(
+    "q_tpch_q22",
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val avgBal = t.customer
+      .filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(Money)).cast("double") / count(lit(1))).as("avg_bal"))
+    t.customer
+      .crossJoin(broadcast(avgBal)) // 1-row scalar: BNLJ broadcast, not a shuffle
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(
+        // every fixture customer has SOME order, so the classic "no orders
+        // at all" form is vacuous here; "no urgent order" keeps the exact
+        // NOT-EXISTS-on-fact shape and returns 67/662/6894 rows across the
+        // three scales (filter pushed below the anti join's exchange)
+        t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Cumulative window frame: per-customer running spend over order history
     * (ROWS UNBOUNDED PRECEDING → CURRENT ROW). The accumulation is exact
     * decimal inside the frame — the running values are order-defined, so
@@ -859,7 +903,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
-    qTpchQ17, qTpchQ18, qTpchQ21, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qRollup,
     qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile
