@@ -170,5 +170,48 @@ object EventQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel)
+  /** Time-series gap fill + resample: per-user DAILY event counts with the
+    * missing days materialized as explicit zero rows (sequence + explode
+    * over each user's [first, last] day span — the declarative resample),
+    * then a cumulative count over the now-dense series. Real consumers:
+    * training-data freshness dashboards, per-source ingest monitoring —
+    * anything that must distinguish "no data that day" from "day absent
+    * from the result". Explode factor is bounded by span/bucket-width per
+    * key (≤30 here), the standard resample shape that holds at 100 TB;
+    * one exchange for the counts, one for the per-user window.
+    */
+  val gapFill: Q = Q(
+    "q_gap_fill",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("user_id"),
+        call_function("div", unix_micros(col("ts").cast("timestamp")), lit(86400000000L))
+          .as("day")
+      )
+      val counts = ev.groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+      val span   = counts.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
+      val dense  = span.select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w      = Window.partitionBy("user_id").orderBy("day")
+      dense
+        .join(counts, Seq("user_id", "day"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("cum_cnt", sum("cnt").over(w))
+        .orderBy("user_id", "day")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |counts AS (SELECT user_id, day, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM counts GROUP BY 1),
+        |dense AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM span)
+        |SELECT d.user_id, d.day, COALESCE(c.cnt, 0) AS cnt,
+        |  CAST(SUM(COALESCE(c.cnt, 0))
+        |         OVER (PARTITION BY d.user_id ORDER BY d.day) AS BIGINT) AS cum_cnt
+        |FROM dense d LEFT JOIN counts c ON c.user_id = d.user_id AND c.day = d.day
+        |ORDER BY d.user_id, d.day""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill)
 }
