@@ -212,6 +212,55 @@ object EventQueries {
     )
   )
 
+  /** Forward fill (LOCF — last observation carried forward) over the
+    * gap-filled daily series: each user-day carries the value of its day's
+    * LAST event (max_by over the unique event_id — deterministic, and
+    * DuckDB's arg_max is the exact same rule), and empty days inherit the
+    * most recent prior day's value via an IGNORE NULLS running last. The
+    * imputation pass every time-series feature pipeline runs; the value
+    * rides through untouched (no float arithmetic), so the fill is
+    * bit-identical cross-engine.
+    */
+  val locf: Q = Q(
+    "q_locf",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("user_id"),
+        call_function("div", unix_micros(col("ts").cast("timestamp")), lit(86400000000L))
+          .as("day"),
+        col("event_id"),
+        col("value")
+      )
+      val lastPerDay =
+        ev.groupBy("user_id", "day").agg(max_by(col("value"), col("event_id")).as("day_val"))
+      val span  = lastPerDay.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
+      val dense = span.select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense
+        .join(lastPerDay, Seq("user_id", "day"), "left")
+        .withColumn("filled", last(col("day_val"), ignoreNulls = true).over(w))
+        .select("user_id", "day", "day_val", "filled")
+        .orderBy("user_id", "day")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_id, value FROM events),
+        |lastv AS (
+        |  SELECT user_id, day, arg_max(value, event_id) AS day_val FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM lastv GROUP BY 1),
+        |dense AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM span)
+        |SELECT d.user_id, d.day, l.day_val,
+        |  last_value(l.day_val IGNORE NULLS)
+        |    OVER (PARTITION BY d.user_id ORDER BY d.day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM dense d LEFT JOIN lastv l ON l.user_id = d.user_id AND l.day = d.day
+        |ORDER BY d.user_id, d.day""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill)
+    Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf)
 }
