@@ -474,8 +474,13 @@ object Dedup {
   /** Edit-distance near-dup tier: the same bucketed LSH candidates verified
     * by RELATIVE Levenshtein distance (dist / max(len)) — the
     * character-level verifier that catches reorder-free edits shingle
-    * Jaccard underweights. Both engines implement the identical classic DP
-    * edit distance, so dist is exactly equal cross-engine and the ratio is
+    * Jaccard underweights. Both engines implement the classic DP edit
+    * distance, so dist is exactly equal cross-engine ON ASCII TEXT — which
+    * the fixtures are (verified octet_length == length at all scales).
+    * CAVEAT for non-ASCII corpora: Spark edits CODE POINTS while DuckDB's
+    * levenshtein edits UTF-8 BYTES ('ä'→'b' is distance 1 vs 2), so this
+    * oracle is only valid for single-byte text; a multilingual deployment
+    * would normalize or use a code-point-consistent verifier. The ratio is
     * one IEEE division of equal ints. Cost is O(len²) per CANDIDATE pair —
     * bounded by the band join's output, never all-pairs, which is what
     * keeps a quadratic verifier viable at 100 TB (τ=0.4 keeps 25/31

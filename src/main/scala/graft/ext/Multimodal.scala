@@ -114,16 +114,25 @@ object Multimodal {
     def tag(i: Int, t: String): Boolean =
       i + 4 <= b.length && t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i                                 = 12
+    // Long cursor: a chunk's LE32 size is unsigned (0..4 GiB) and a
+    // malformed/huge size truncated to Int can go negative — which would
+    // stall the walk (step 0) or index out of bounds. With an unsigned
+    // Long size the step is always >= 8, so progress (and termination) is
+    // guaranteed and the cursor never goes backwards.
+    var i: Long                           = 12L
     var fmt: Option[(Int, Int, Int)]      = None
     var dataBytes: Option[Long]           = None
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
-      val size = le32(i + 4)
-      if (tag(i, "fmt ") && i + 8 + 16 <= b.length)
-        fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22)))
-      if (tag(i, "data")) dataBytes = Some(size)
+      val at   = i.toInt
+      val size = le32(at + 4)
+      // the fmt chunk must DECLARE at least the 16 PCM bytes — a shorter
+      // declared size means the reads at +10..+23 would be the next
+      // chunk's bytes, i.e. fabricated metadata, not a parse
+      if (tag(at, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((le32(at + 12).toInt, le16(at + 10), le16(at + 22)))
+      if (tag(at, "data")) dataBytes = Some(size)
       // chunks are word-aligned: odd sizes carry a pad byte (RIFF spec)
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     for ((rate, ch, bits) <- fmt; data <- dataBytes if rate > 0 && ch > 0 && bits > 0)
       yield {

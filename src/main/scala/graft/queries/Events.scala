@@ -170,6 +170,23 @@ object EventQueries {
     )
   )
 
+  /** Days-since-epoch bucket (truncating integer division of epoch micros —
+    * `//` flooring in the DuckDB mirrors agrees for the fixtures' positive
+    * epochs). ONE definition shared by the resample queries so the
+    * bucketing rule can never diverge between them.
+    */
+  private def dayOf(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("div", unix_micros(ts.cast("timestamp")), lit(86400000000L))
+
+  /** The dense (user_id, day) grid spanning each user's [first, last] day —
+    * the sequence+explode resample scaffold shared by [[gapFill]] and
+    * [[locf]]. Input needs (user_id, day) columns.
+    */
+  private def denseDays(perDay: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val span = perDay.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
+    span.select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+  }
+
   /** Time-series gap fill + resample: per-user DAILY event counts with the
     * missing days materialized as explicit zero rows (sequence + explode
     * over each user's [first, last] day span — the declarative resample),
@@ -183,16 +200,10 @@ object EventQueries {
   val gapFill: Q = Q(
     "q_gap_fill",
     (s, dir) => {
-      val ev = Tables(s, dir).events.select(
-        col("user_id"),
-        call_function("div", unix_micros(col("ts").cast("timestamp")), lit(86400000000L))
-          .as("day")
-      )
+      val ev     = Tables(s, dir).events.select(col("user_id"), dayOf(col("ts")).as("day"))
       val counts = ev.groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
-      val span   = counts.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
-      val dense  = span.select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
       val w      = Window.partitionBy("user_id").orderBy("day")
-      dense
+      denseDays(counts)
         .join(counts, Seq("user_id", "day"), "left")
         .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
         .withColumn("cum_cnt", sum("cnt").over(w))
@@ -214,32 +225,29 @@ object EventQueries {
 
   /** Forward fill (LOCF — last observation carried forward) over the
     * gap-filled daily series: each user-day carries the value of its day's
-    * LAST event (max_by over the unique event_id — deterministic, and
-    * DuckDB's arg_max is the exact same rule), and empty days inherit the
-    * most recent prior day's value via an IGNORE NULLS running last. The
-    * imputation pass every time-series feature pipeline runs; the value
-    * rides through untouched (no float arithmetic), so the fill is
-    * bit-identical cross-engine.
+    * LAST NON-NULL-valued event (max_by over the unique event_id), and
+    * empty days inherit the most recent prior day's value via an IGNORE
+    * NULLS running last. Null values are filtered BEFORE the aggregate on
+    * BOTH sides: Spark's max_by returns the value at the max key even when
+    * that value is null, while DuckDB's arg_max skips null arguments — the
+    * explicit filter makes the two rules coincide (and "carry the last
+    * real observation" is the LOCF semantics anyway). The value rides
+    * through untouched (no float arithmetic), so the fill is bit-identical
+    * cross-engine.
     */
   val locf: Q = Q(
     "q_locf",
     (s, dir) => {
-      val ev = Tables(s, dir).events.select(
-        col("user_id"),
-        call_function("div", unix_micros(col("ts").cast("timestamp")), lit(86400000000L))
-          .as("day"),
-        col("event_id"),
-        col("value")
-      )
+      val ev = Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), dayOf(col("ts")).as("day"), col("event_id"), col("value"))
       val lastPerDay =
         ev.groupBy("user_id", "day").agg(max_by(col("value"), col("event_id")).as("day_val"))
-      val span  = lastPerDay.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
-      val dense = span.select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
       val w = Window
         .partitionBy("user_id")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dense
+      denseDays(lastPerDay)
         .join(lastPerDay, Seq("user_id", "day"), "left")
         .withColumn("filled", last(col("day_val"), ignoreNulls = true).over(w))
         .select("user_id", "day", "day_val", "filled")
@@ -247,7 +255,8 @@ object EventQueries {
     },
     Some(
       """WITH ev AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_id, value FROM events),
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
         |lastv AS (
         |  SELECT user_id, day, arg_max(value, event_id) AS day_val FROM ev GROUP BY 1, 2),
         |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM lastv GROUP BY 1),

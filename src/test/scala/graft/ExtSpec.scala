@@ -158,6 +158,20 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.wavMeta(Array.emptyByteArray).isEmpty)
     // truncated header → None, no exception
     assert(Multimodal.wavMeta(b.take(20)).isEmpty)
+    // malformed chunk size (0xFFFFFFF8 → Int-truncates to -8): must
+    // terminate (no stalled cursor) and return None, not spin or throw
+    val evil = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ Array[Byte](-8, -1, -1, -1) ++ Array.fill[Byte](24)(0)
+    assert(Multimodal.wavMeta(evil).isEmpty)
+    // fmt chunk DECLARING fewer than 16 bytes: the PCM field reads would
+    // land in the next chunk — must reject, not fabricate metadata
+    val shortFmt = java.nio.ByteBuffer
+      .allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    shortFmt.put("fmt ".getBytes).putInt(4).putInt(0)
+    shortFmt.put("data".getBytes).putInt(0)
+    assert(Multimodal.wavMeta(shortFmt.array()).isEmpty)
   }
 
   test("IVF persisted-index probe returns exactly the inline fit+probe result") {
