@@ -239,5 +239,76 @@ object Pipeline {
     )
   )
 
-  val all: Seq[Q] = Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample)
+  /** Train/test contamination scan — the canonical eval-integrity check:
+    * near-duplicate pairs (the MinHash/LSH candidates of
+    * [[graft.ext.Dedup.nearDuplicates]], Jaccard >= 0.2) that CROSS the
+    * [[splitAssign]] boundary, i.e. a held-out test document whose
+    * near-copy sits in train/val. Composes the cached dedup features with
+    * the hash-split assignment — one `documents` scan plus the bucketed
+    * band join, so the scan stays candidate-bounded at 100 TB exactly like
+    * the dedup queries it reuses. Output: each contaminated test doc, its
+    * leaked partner, which split the partner sits in, and the Jaccard
+    * evidence.
+    */
+  val contamination: Q = Q(
+    "q_contamination",
+    (s, dir) => {
+      val docs  = Tables(s, dir).documents
+      val bucket = Dedup.baseHash(col("doc_id").cast("string")) % 100
+      val sp = docs.select(
+        col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")
+      )
+      Dedup
+        .nearDuplicates(docs, 0.2)
+        .select("d1", "d2", "jaccard")
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+        .filter((col("s1") === "test") =!= (col("s2") === "test"))
+        .select(
+          when(col("s1") === "test", col("d1")).otherwise(col("d2")).as("test_id"),
+          when(col("s1") === "test", col("d2")).otherwise(col("d1")).as("leak_id"),
+          when(col("s1") === "test", col("s2")).otherwise(col("s1")).as("leak_split"),
+          col("jaccard")
+        )
+        .orderBy("test_id", "leak_id")
+    },
+    Some(
+      s"""WITH sig AS (${Dedup.sqlSig}),
+         |bands AS (${Dedup.sqlBands}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM (${Dedup.sqlShingles})),
+         |pairs AS (
+         |  SELECT d1, d2,
+         |    CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) AS jaccard
+         |  FROM cand
+         |  JOIN sets s1 ON s1.doc_id = d1
+         |  JOIN sets s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) >= 0.2),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT
+         |  CASE WHEN a.split = 'test' THEN d1 ELSE d2 END AS test_id,
+         |  CASE WHEN a.split = 'test' THEN d2 ELSE d1 END AS leak_id,
+         |  CASE WHEN a.split = 'test' THEN b.split ELSE a.split END AS leak_split,
+         |  jaccard
+         |FROM pairs
+         |JOIN sp a ON a.doc_id = d1
+         |JOIN sp b ON b.doc_id = d2
+         |WHERE (a.split = 'test') <> (b.split = 'test')
+         |ORDER BY test_id, leak_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, contamination)
 }
