@@ -471,6 +471,50 @@ object Dedup {
     )
   )
 
+  /** Connected components over the near-duplicate graph: each doc that
+    * appears in any verified near-dup pair gets the MIN doc_id of its
+    * component as `cluster_id` — the canonical "keep one per cluster" step
+    * after pairwise dedup (pairs alone under-dedup: a~b and b~c must
+    * collapse to ONE survivor even when a~c was never a candidate).
+    *
+    * Min-label propagation: every iteration each node takes the min of its
+    * own label and its neighbors' labels — one join + one partial+final
+    * min-aggregate per iteration, converging in graph-diameter steps
+    * (near-dup components are shallow; `maxIters` caps pathological
+    * chains). Labels are integers, the fixpoint is partitioning- and
+    * engine-independent, and the driver sees only a changed-row count per
+    * iteration — the same bounded-driver-loop discipline as
+    * [[graft.ext.Ivf.kmeansFit]]. The oracle computes the identical
+    * fixpoint as a recursive reachability CTE (min reachable node id).
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double, maxIters: Int = 10): DataFrame = {
+    val pairs = nearDuplicates(docs, threshold).select("d1", "d2")
+    val edges = cached(
+      pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
+    )
+    var labels = edges.select(col("src").as("id")).distinct().withColumn("label", col("id"))
+    var it      = 0
+    var changed = 1L
+    while (it < maxIters && changed > 0) {
+      val nbMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nb_min"))
+      val next = cached(
+        labels
+          .join(nbMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+      )
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
   /** Edit-distance near-dup tier: the same bucketed LSH candidates verified
     * by RELATIVE Levenshtein distance (dist / max(len)) — the
     * character-level verifier that catches reorder-free edits shingle
@@ -525,6 +569,39 @@ object Dedup {
     )
   )
 
+  /** Near-dup clusters as a registered query; the oracle replays the
+    * fixpoint as recursive reachability (min reachable node) over the same
+    * verified pair set.
+    */
+  val dedupClusters: Q = Q(
+    "q_dedup_clusters",
+    (s, dir) => nearDupClusters(Tables(s, dir).documents, 0.2),
+    Some(
+      s"""WITH RECURSIVE sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM ($sqlShingles)),
+         |pairs AS (
+         |  SELECT d1, d2 FROM cand
+         |  JOIN sets s1 ON s1.doc_id = d1
+         |  JOIN sets s2 ON s2.doc_id = d2
+         |  WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) >= 0.2),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Incremental ingest gate over the fixture: docs with id >= 400 are "the
     * new batch", everything below is the seen corpus.
     */
@@ -559,5 +636,5 @@ object Dedup {
   )
 
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, ngramJaccard, editNearDup, dedupIncremental)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, ngramJaccard, editNearDup, dedupClusters, dedupIncremental)
 }
