@@ -481,7 +481,11 @@ object Dedup {
     * own label and its neighbors' labels — one join + one partial+final
     * min-aggregate per iteration, converging in graph-diameter steps
     * (near-dup components are shallow; `maxIters` caps pathological
-    * chains). Labels are integers, the fixpoint is partitioning- and
+    * chains — NOTE a cap hit before convergence returns partial labels
+    * that differ from the true components/oracle, so size `maxIters`
+    * above the expected diameter; the loop exits early on convergence,
+    * which the fixtures reach in 2-3 steps). Labels are integers, the
+    * fixpoint is partitioning- and
     * engine-independent, and the driver sees only a changed-row count per
     * iteration — the same bounded-driver-loop discipline as
     * [[graft.ext.Ivf.kmeansFit]]. The oracle computes the identical
