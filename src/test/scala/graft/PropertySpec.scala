@@ -61,4 +61,33 @@ class PropertySpec extends SparkSpec {
       keys == expect
     })
   }
+
+  // ---- binary header parsers: total functions over arbitrary bytes ------
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 256).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  /** Adversarial payloads: valid magic prefixes followed by random bytes —
+    * the inputs most likely to walk a parser off a cliff.
+    */
+  private val magicBytesGen: Gen[Array[Byte]] = for {
+    magic <- Gen.oneOf(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      "GIF89a".getBytes,
+      Array(0xff, 0xd8, 0xff).map(_.toByte),
+      "RIFF0000WAVE".getBytes
+    )
+    tail <- Gen.listOfN(64, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield magic ++ tail.toArray
+
+  test("imageDims and wavMeta never throw and terminate on arbitrary bytes") {
+    check(Prop.forAll(Gen.oneOf(bytesGen, magicBytesGen)) { b =>
+      // totality is the property: any exception fails the prop; a hang
+      // fails the suite timeout. Returned values are checked by the
+      // golden/oracle tests — here only "parses or declines cleanly".
+      graft.ext.Multimodal.imageDims(b)
+      graft.ext.Multimodal.wavMeta(b)
+      Prop.passed
+    }, minSuccessful = 200)
+  }
 }
