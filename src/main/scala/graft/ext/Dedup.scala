@@ -356,6 +356,32 @@ object Dedup {
       )
       .mkString("\nUNION ALL\n")
 
+  /** Shared near-dup CTE bodies (expect `sig`/`bands`/`cand`/`sets` in
+    * scope per each fragment's note) — ONE definition of "candidate pair",
+    * "shingle set", and "verified pair" for every oracle that reasons
+    * about near-duplicates, so a threshold or hash tweak can never make
+    * two oracles disagree about what a near-dup is.
+    */
+  private[graft] val sqlCand =
+    """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id""".stripMargin
+
+  private[graft] val sqlSets =
+    s"SELECT doc_id, list_distinct(sh) AS sset FROM ($sqlShingles)"
+
+  /** Jaccard-verified (d1, d2, jaccard) pairs at `threshold`. */
+  private[graft] def sqlPairs(threshold: Double): String =
+    s"""SELECT d1, d2,
+       |    CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(s1.sset, s2.sset))) AS jaccard
+       |  FROM cand
+       |  JOIN sets s1 ON s1.doc_id = d1
+       |  JOIN sets s2 ON s2.doc_id = d2
+       |  WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(s1.sset, s2.sset))) >= $threshold""".stripMargin
+
   // ---- registered queries -------------------------------------------------
 
   /** Exact dedup: group identical normalized texts (shared
@@ -388,12 +414,9 @@ object Dedup {
     (s, dir) => candidatePairs(Tables(s, dir).documents).orderBy("d1", "d2"),
     Some(
       s"""WITH sig AS ($sqlSig),
-         |bands AS ($sqlBands)
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |FROM bands a JOIN bands b
-         |  ON a.band_id = b.band_id AND a.band_val = b.band_val
-         | AND a.doc_id < b.doc_id
-         |ORDER BY d1, d2""".stripMargin
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand)
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin
     )
   )
 
@@ -404,12 +427,8 @@ object Dedup {
     Some(
       s"""WITH sig AS ($sqlSig),
          |bands AS ($sqlBands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM ($sqlShingles))
+         |cand AS ($sqlCand),
+         |sets AS ($sqlSets)
          |SELECT d1, d2,
          |  CAST(len(list_intersect(s1.sset, s2.sset)) AS BIGINT) AS inter,
          |  CAST(len(list_distinct(list_concat(s1.sset, s2.sset))) AS BIGINT) AS uni,
@@ -449,11 +468,7 @@ object Dedup {
     Some(
       s"""WITH sig AS ($sqlSig),
          |bands AS ($sqlBands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id),
+         |cand AS ($sqlCand),
          |gsets AS (
          |  SELECT doc_id, list_distinct(
          |    list_transform(range(1, greatest(length(lower(text))-3, 0)+1),
@@ -512,10 +527,18 @@ object Dedup {
       changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
-        .count()
+        .count() // materializes `next`, so the superseded frame can go
+      labels.unpersist() // no-op on the (unpersisted) initial frame
       labels = next
       it += 1
     }
+    // a cap hit before convergence means PARTIAL labels that disagree with
+    // the true components (and the oracle's recursive fixpoint) — fail
+    // loudly rather than return silently wrong clusters
+    require(
+      changed == 0,
+      s"nearDupClusters did not converge in $maxIters iterations — component diameter exceeds the cap"
+    )
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
@@ -555,11 +578,7 @@ object Dedup {
     Some(
       s"""WITH sig AS ($sqlSig),
          |bands AS ($sqlBands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id)
+         |cand AS ($sqlCand)
          |SELECT d1, d2,
          |  CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS dist,
          |  CAST(levenshtein(t1.text, t2.text) AS DOUBLE)
@@ -583,18 +602,9 @@ object Dedup {
     Some(
       s"""WITH RECURSIVE sig AS ($sqlSig),
          |bands AS ($sqlBands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM ($sqlShingles)),
-         |pairs AS (
-         |  SELECT d1, d2 FROM cand
-         |  JOIN sets s1 ON s1.doc_id = d1
-         |  JOIN sets s2 ON s2.doc_id = d2
-         |  WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) >= 0.2),
+         |cand AS ($sqlCand),
+         |sets AS ($sqlSets),
+         |pairs AS (${sqlPairs(0.2)}),
          |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
          |          UNION ALL SELECT d2, d1 FROM pairs),
          |reach(id, r) AS (
@@ -622,7 +632,7 @@ object Dedup {
          |  FROM bands n JOIN bands s
          |    ON n.band_id = s.band_id AND n.band_val = s.band_val
          |   AND n.doc_id >= 400 AND s.doc_id < 400),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM ($sqlShingles)),
+         |sets AS ($sqlSets),
          |scored AS (
          |  SELECT new_id, seen_id AS dup_of,
          |    CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)

@@ -23,31 +23,41 @@ object Pipeline {
     * TABLESAMPLE: partition-layout-dependent. Per-row expression only —
     * no shuffle at all beyond the verification sort.
     */
+  // ---- THE hash-split definition (80/10/10) ------------------------------
+  // One rule for q_split_assign and every query that reasons about the
+  // split boundary (q_contamination) — on BOTH the Spark and oracle sides,
+  // so the fractions/hash can never silently diverge between them. The
+  // bucket hash is Dedup.baseHash (the shared md5-prefix→int64).
+
+  private val TrainUpper = 80
+  private val ValUpper   = 90
+
+  private[graft] def bucketOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Dedup.baseHash(id.cast("string")) % 100
+
+  private[graft] def splitOfBucket(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test")
+
+  private[graft] val sqlBucket =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100"
+
+  private[graft] val sqlSplit =
+    s"CASE WHEN $sqlBucket < $TrainUpper THEN 'train' WHEN $sqlBucket < $ValUpper THEN 'val' ELSE 'test' END"
+
   val splitAssign: Q = Q(
     "q_split_assign",
-    (s, dir) => {
-      // the ONE md5-prefix→int64 hash (shared with MinHash's shingle
-      // hashing) so the Spark expression and its DuckDB mirror can't drift
-      // per call site
-      val bucket = Dedup.baseHash(col("doc_id").cast("string")) % 100
+    (s, dir) =>
       Tables(s, dir).documents
-        .select(col("doc_id"), bucket.as("bucket"))
-        .withColumn(
-          "split",
-          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")
-        )
-        .orderBy("doc_id")
-    },
+        .select(col("doc_id"), bucketOf(col("doc_id")).as("bucket"))
+        .withColumn("split", splitOfBucket(col("bucket")))
+        .orderBy("doc_id"),
     Some(
-      """SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 80 THEN 'train'
-        |       WHEN bucket < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS bucket
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < $TrainUpper THEN 'train'
+         |       WHEN bucket < $ValUpper THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $sqlBucket AS bucket FROM documents)
+         |ORDER BY doc_id""".stripMargin
     )
   )
 
@@ -112,18 +122,10 @@ object Pipeline {
     Some(
       s"""WITH sig AS (${Dedup.sqlSig}),
          |bands AS (${Dedup.sqlBands}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM (${Dedup.sqlShingles})),
-         |drops AS (
-         |  SELECT DISTINCT d2 AS doc_id FROM cand
-         |  JOIN sets s1 ON s1.doc_id = d1
-         |  JOIN sets s2 ON s2.doc_id = d2
-         |  WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) >= 0.2),
+         |cand AS (${Dedup.sqlCand}),
+         |sets AS (${Dedup.sqlSets}),
+         |pairs AS (${Dedup.sqlPairs(0.2)}),
+         |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
          |lang AS (
          |  SELECT doc_id,
          |    (tok_cnt > 0 AND CAST(stop_cnt AS DOUBLE) / tok_cnt >= 0.03) AS lang_ok
@@ -253,12 +255,13 @@ object Pipeline {
   val contamination: Q = Q(
     "q_contamination",
     (s, dir) => {
-      val docs  = Tables(s, dir).documents
-      val bucket = Dedup.baseHash(col("doc_id").cast("string")) % 100
-      val sp = docs.select(
-        col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")
-      )
+      val docs = Tables(s, dir).documents
+      // split labels derive from the CACHED shingle-set projection (it
+      // carries doc_id), not a second documents scan — the near-dup pairs
+      // and the split table ride the same single corpus pass
+      val sp = Dedup
+        .shingleSets(docs)
+        .select(col("doc_id"), splitOfBucket(bucketOf(col("doc_id"))).as("split"))
       Dedup
         .nearDuplicates(docs, 0.2)
         .select("d1", "d2", "jaccard")
@@ -276,27 +279,10 @@ object Pipeline {
     Some(
       s"""WITH sig AS (${Dedup.sqlSig}),
          |bands AS (${Dedup.sqlBands}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM (${Dedup.sqlShingles})),
-         |pairs AS (
-         |  SELECT d1, d2,
-         |    CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) AS jaccard
-         |  FROM cand
-         |  JOIN sets s1 ON s1.doc_id = d1
-         |  JOIN sets s2 ON s2.doc_id = d2
-         |  WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(s1.sset, s2.sset))) >= 0.2),
-         |sp AS (
-         |  SELECT doc_id,
-         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 80 THEN 'train'
-         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 90 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM documents)
+         |cand AS (${Dedup.sqlCand}),
+         |sets AS (${Dedup.sqlSets}),
+         |pairs AS (${Dedup.sqlPairs(0.2)}),
+         |sp AS (SELECT doc_id, $sqlSplit AS split FROM documents)
          |SELECT
          |  CASE WHEN a.split = 'test' THEN d1 ELSE d2 END AS test_id,
          |  CASE WHEN a.split = 'test' THEN d2 ELSE d1 END AS leak_id,
