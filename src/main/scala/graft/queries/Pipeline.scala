@@ -15,14 +15,6 @@ import graft.ext.Dedup
   */
 object Pipeline {
 
-  /** Deterministic train/val/test assignment: md5-hash bucket of the
-    * doc_id, 80/10/10. Hash-based splits are the production norm — stable
-    * under corpus growth (a doc's split never changes when other docs are
-    * added or the table is repartitioned), reproducible across engines,
-    * and skew-free. Contrast sampling by rand(): irreproducible, and
-    * TABLESAMPLE: partition-layout-dependent. Per-row expression only —
-    * no shuffle at all beyond the verification sort.
-    */
   // ---- THE hash-split definition (80/10/10) ------------------------------
   // One rule for q_split_assign and every query that reasons about the
   // split boundary (q_contamination) — on BOTH the Spark and oracle sides,
@@ -44,6 +36,14 @@ object Pipeline {
   private[graft] val sqlSplit =
     s"CASE WHEN $sqlBucket < $TrainUpper THEN 'train' WHEN $sqlBucket < $ValUpper THEN 'val' ELSE 'test' END"
 
+  /** Deterministic train/val/test assignment: md5-hash bucket of the
+    * doc_id, 80/10/10. Hash-based splits are the production norm — stable
+    * under corpus growth (a doc's split never changes when other docs are
+    * added or the table is repartitioned), reproducible across engines,
+    * and skew-free. Contrast sampling by rand(): irreproducible, and
+    * TABLESAMPLE: partition-layout-dependent. Per-row expression only —
+    * no shuffle at all beyond the verification sort.
+    */
   val splitAssign: Q = Q(
     "q_split_assign",
     (s, dir) =>
