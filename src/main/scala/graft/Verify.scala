@@ -12,8 +12,13 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val spark = SparkEnv.session("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Local-iteration filter, mirroring Bench's SPARK_GRAFT_ONLY: the
+    // driver never sets it, so the driver gate always dumps everything.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,7 +38,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

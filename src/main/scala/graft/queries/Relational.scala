@@ -411,6 +411,115 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q4 shape (order priority checking): EXISTS against the fact
+    * table under a date window — the semi-join-then-count report. Adapted
+    * to the fixture schema: "a lineitem shipped more than 60 days after
+    * the order date" stands in for the late-delivery predicate (no
+    * commit/receipt dates), keeping the correlated-EXISTS-with-residual
+    * structure. Plan: the date filter prunes orders BEFORE the semi join's
+    * exchange, the non-equi ship-lag residual rides the semi join, and the
+    * count is a partial+final aggregate on the tiny priority domain.
+    * Interval arithmetic on naive timestamps is identical cross-engine.
+    */
+  val qTpchQ4: Q = q(
+    "q_tpch_q4",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.orders
+      .filter(
+        col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1996-07-01T00:00:00")) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.parse("1996-10-01T00:00:00"))
+      )
+      .join(
+        t.lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi"
+      )
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): fact-fact join under a date
+    * window + return-flag filter, customer/nation broadcast dims, top-20 by
+    * exact-decimal revenue. Both filters sit below the l_orderkey exchange
+    * so only the returned lineitems of one quarter's orders ever shuffle;
+    * the top-k is TakeOrderedAndProject, never a global sort.
+    */
+  val qTpchQ10: Q = q(
+    "q_tpch_q10",
+    """SELECT c_custkey, c_name,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name, c_mktsegment
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.orders
+      .filter(
+        col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.parse("1996-04-01T00:00:00"))
+      )
+      .join(t.lineitem.filter(col("l_returnflag") === "R"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+      .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * with a predicate ON the join (customers with zero qualifying orders
+    * must survive as c_count = 0 — a WHERE would drop them), then a SECOND
+    * aggregation over the first's output. Adapted: `o_orderpriority <>
+    * '1-URGENT'` stands in for the comment NOT LIKE filter. Plan: the
+    * non-urgent filter pushes into the orders scan under the outer join,
+    * the first aggregate shuffles on c_custkey, the second on the tiny
+    * c_count domain — the histogram-of-an-aggregate pattern.
+    */
+  val qTpchQ13: Q = q(
+    "q_tpch_q13",
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.customer
+      .join(
+        t.orders.filter(col("o_orderpriority") =!= "1-URGENT").select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"),
+        "left_outer"
+      )
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Cumulative window frame: per-customer running spend over order history
     * (ROWS UNBOUNDED PRECEDING → CURRENT ROW). The accumulation is exact
     * decimal inside the frame — the running values are order-defined, so
@@ -902,8 +1011,8 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ5,
-    qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ4, qTpchQ5,
+    qTpchQ10, qTpchQ13, qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qRollup,
     qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile
