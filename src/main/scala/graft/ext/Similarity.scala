@@ -261,6 +261,100 @@ object Similarity {
        |ORDER BY v1, v2""".stripMargin
   }
 
+  /** Per-vector int8 scalar quantization (the SQ8 index tier): each vector
+    * is scaled by 127/max|x_i| and rounded, so it stores as 64 bytes instead
+    * of 256 — at 100 TB the SQ8 table is what the first-pass scan reads
+    * (4× the vectors per byte of scan bandwidth), and only re-rank
+    * candidates ever fetch full-precision rows. Determinism: the scale is
+    * one IEEE division, each code is one multiply + round (both engines
+    * round half-away-from-zero on bit-identical doubles), and quantized
+    * dot products are exact small-integer sums. The scale factor is
+    * PROJECTED before the transform lambda — referencing the array_max
+    * subtree inside the lambda would re-evaluate it per element (the
+    * O(dim²) HOF trap). Codes are stored as float (ints ≤127 are exact) so
+    * [[dot]] runs its fused codegen loop unchanged.
+    */
+  def sq8Quantized(emb: DataFrame): DataFrame =
+    emb
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m")
+      )
+      .withColumn("s", when(col("m") > 0, lit(127.0) / col("m")).otherwise(lit(0.0)))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("embedding"),
+        col("m"),
+        transform(col("embedding"), x => round(x.cast("double") * col("s")))
+          .cast("array<float>")
+          .as("qv")
+      )
+
+  /** SQ8 two-phase ANN: rank ALL vectors by the reconstructed quantized dot
+    * product (`idot · m_a · m_b / 127²` — the asymmetric-distance estimate),
+    * keep the top `rerank`, then exact-cosine re-rank those to the final k.
+    * Both phases end in TakeOrderedAndProject; the only full-precision
+    * vectors touched after the scan are the `rerank` candidates.
+    */
+  def annTopKSq8(emb: DataFrame, queryId: Long, k: Int, rerank: Int): DataFrame = {
+    val qz = sq8Quantized(emb)
+    val q = qz
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"), col("m").as("qm"), col("qv").as("qqv"))
+    val cand = qz
+      .crossJoin(broadcast(q)) // 1-row broadcast, as in topKCosineScored
+      .withColumn("approx", dot(col("qv"), col("qqv")) * col("m") * col("qm") / lit(16129.0))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rerank)
+    val top = cand
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+      .select("vec_id", "label", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+    withRank(top, col("cos").desc, col("vec_id")).select("rank", "vec_id", "label")
+  }
+
+  /** DuckDB replay of [[annTopKSq8]]: the quantization (scale, round), the
+    * reconstructed-dot candidate ranking, and the exact re-rank all replay
+    * literally — quantized dots are exact integer sums, the scales single
+    * IEEE ops, so the whole approximate path is hash-checked like the LSH
+    * and IVF oracles.
+    */
+  def annSq8OracleSql(queryId: Long, k: Int, rerank: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |mz AS (SELECT vec_id, label, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+       |qz AS (SELECT vec_id, label, v, m,
+       |         list_transform(v, x ->
+       |           round(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END))) AS qv
+       |       FROM mz),
+       |q AS (SELECT v AS qvec, m AS qm, qv AS qqv FROM qz WHERE vec_id = $queryId),
+       |cand AS (
+       |  SELECT z.vec_id, z.label, z.v,
+       |    list_dot_product(z.qv, qqv) * z.m * qm / 16129.0 AS approx
+       |  FROM qz z, q
+       |  ORDER BY approx DESC, vec_id LIMIT $rerank),
+       |rr AS (
+       |  SELECT cand.vec_id, cand.label,
+       |    list_dot_product(cand.v, qvec)
+       |      / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(qvec, qvec))) AS cos
+       |  FROM cand, q)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank, vec_id, label
+       |FROM rr ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+
+  /** SQ8-quantized ANN, hash-checked end-to-end against the quantization
+    * replay. rerank=30 over k=10 gives the estimate headroom (ExtSpec pins
+    * recall vs the exact [[annTopK]]).
+    */
+  val annSq8: Q = Q(
+    "q_ann_sq8",
+    (s, dir) => annTopKSq8(Tables(s, dir).embeddings, 0L, 10, 30),
+    Some(annSq8OracleSql(0L, 10, 30))
+  )
+
   /** Cosine threshold for the near-dup query: the synthetic fixture's max
     * pairwise cosine is ≈0.51 (sf0.01), so the old τ=0.8 made the check
     * vacuous (0 rows). τ=0.4 sits inside the fixture's actual similarity
@@ -279,5 +373,5 @@ object Similarity {
     Some(nearDupOracleSql(NearDupTau))
   )
 
-  val all: Seq[Q] = Seq(annTopK, annLsh, embedNearDup)
+  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup)
 }

@@ -270,6 +270,88 @@ object EventQueries {
     )
   )
 
+  /** Ordered conversion funnel: per user, the first view, the first click
+    * AT-OR-AFTER that view, and the first purchase at-or-after that click —
+    * the step-order constraint is what separates a funnel from three
+    * independent mins (a purchase before the click must NOT count). Output
+    * is one row per user who viewed, with nullable step timestamps, so the
+    * stage-attainment logic itself is hash-checked row by row.
+    *
+    * Plan shape: three aggregates and two joins, ALL keyed on user_id — one
+    * partitioning reused across every stage (the step-2/3 thresholds are
+    * aggregate outputs, at most one row per user, broadcastable besides).
+    * Timestamps ride as epoch micros: integer min/compare, bit-identical
+    * cross-engine. At 100 TB this funnel never shuffles anything wider than
+    * (user_id, us) pre-aggregated rows.
+    */
+  val funnel: Q = Q(
+    "q_funnel",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      val v = e.filter(col("event_type") === "view").groupBy("user_id").agg(min("us").as("v_us"))
+      val c = e
+        .filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("us") >= col("v_us"))
+        .groupBy("user_id")
+        .agg(min("us").as("c_us"))
+      val p = e
+        .filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("us") >= col("c_us"))
+        .groupBy("user_id")
+        .agg(min("us").as("p_us"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(us) AS c_us
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us >= v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(us) AS p_us
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY 1)
+        |SELECT v.user_id, v_us, c_us, p_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin
+    )
+  )
+
+  /** Cohort retention: users grouped by their FIRST-activity day (the
+    * cohort), counted by how many days after that first day they were
+    * active again — the `(cohort_day, day_offset) → distinct users` matrix
+    * every growth dashboard draws. Two aggregates (first-day per user, then
+    * the matrix) and one user_id join; day buckets are integer epoch-day
+    * arithmetic so the offsets are bit-identical cross-engine. The distinct
+    * collapses to a groupBy over (cohort, offset, user) first — partial
+    * aggregation keeps the exchange narrow at scale.
+    */
+  val retention: Q = Q(
+    "q_retention",
+    (s, dir) => {
+      val ev    = Tables(s, dir).events.select(col("user_id"), dayOf(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, "user_id")
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf)
+    Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
+      funnel, retention)
 }

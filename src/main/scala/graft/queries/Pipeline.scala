@@ -241,6 +241,61 @@ object Pipeline {
     )
   )
 
+  // ---- THE domain-mixture definition --------------------------------------
+  // Per-source keep percentages, shared between the Spark when-chain and the
+  // oracle CASE so the mixture can never diverge between engines. The mix
+  // hash salts doc_id with "#mix" so mixture membership is INDEPENDENT of
+  // the "#"-less split-assignment hash above — downsampling must not
+  // correlate with train/val/test.
+
+  private val MixPct: Seq[(String, Int)] = Seq(
+    "src0" -> 100, "src1" -> 80, "src2" -> 60, "src3" -> 50, "src4" -> 40,
+    "src5" -> 30, "src6" -> 25, "src7" -> 20, "src8" -> 10, "src9" -> 5
+  )
+
+  /** Source-weighted corpus mixing: deterministically downsample each
+    * source to a target percentage (the "data mixing" stage that rebalances
+    * web/books/code proportions before training). Hash sampling — keep a
+    * doc iff its salted md5 bucket falls below the source's target — is
+    * reproducible across engines/runs/partitionings and incremental-safe
+    * (a doc's verdict never changes as the corpus grows), unlike rand() or
+    * TABLESAMPLE. Emits EVERY doc with its bucket, target, and verdict so
+    * the mixing rule itself is hash-checked, not just the survivor set.
+    * Pure per-row expressions: zero exchanges beyond the verification sort.
+    */
+  val domainMix: Q = Q(
+    "q_domain_mix",
+    (s, dir) => {
+      val b = Dedup.baseHash(concat(col("doc_id").cast("string"), lit("#mix"))) % 100
+      val pct = MixPct.tail
+        .foldLeft(when(col("source") === MixPct.head._1, MixPct.head._2)) {
+          case (acc, (src, p)) => acc.when(col("source") === src, p)
+        }
+        .otherwise(0)
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          col("source"),
+          b.as("mix_bucket"),
+          pct.cast("long").as("target_pct")
+        )
+        .withColumn("keep", col("mix_bucket") < col("target_pct"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val cases =
+        MixPct.map { case (src, p) => s"WHEN '$src' THEN $p" }.mkString(" ")
+      s"""SELECT doc_id, source, b AS mix_bucket,
+         |  CAST(CASE source $cases ELSE 0 END AS BIGINT) AS target_pct,
+         |  b < (CASE source $cases ELSE 0 END) AS keep
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 7) AS BIGINT) % 100 AS b
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+
   /** Train/test contamination scan — the canonical eval-integrity check:
     * near-duplicate pairs (the MinHash/LSH candidates of
     * [[graft.ext.Dedup.nearDuplicates]], Jaccard >= 0.2) that CROSS the
@@ -296,5 +351,6 @@ object Pipeline {
     )
   )
 
-  val all: Seq[Q] = Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, contamination)
+  val all: Seq[Q] =
+    Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, contamination)
 }

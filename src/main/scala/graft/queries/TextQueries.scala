@@ -241,6 +241,126 @@ object TextQueries {
     )
   )
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): per document,
+    * the duplicate-word fraction, the most-frequent-word share, and the
+    * duplicate-bigram fraction — the repetition gates a quality pipeline
+    * applies after [[quality]]'s length/punctuation gates. All three are
+    * single IEEE divisions of exact integer counts, so they hash-match
+    * cross-engine.
+    *
+    * Shape: one explode per granularity feeding partial+final counts — the
+    * shuffle carries (doc_id, token, partial_count), never raw text. The
+    * bigram column zips two shifted slices of a materialized token array
+    * (an `element_at(toks, i)` lambda would re-split the text per element —
+    * the O(tokens²) HOF trap). Docs with <2 tokens keep a row with null
+    * bigram stats via the left join.
+    */
+  val repetition: Q = Q(
+    "q_repetition",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("w"))
+      val wordStats = toks
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"), max("c").as("top_cnt"))
+      val t = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("toks"))
+      val bigrams = t.select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("toks")) >= 2,
+            zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat_ws(" ", a, b)
+            )
+          ).otherwise(array().cast("array<string>"))
+        ).as("g")
+      )
+      val biStats = bigrams
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bi"), count(lit(1)).as("nd_bi"))
+      wordStats
+        .join(biStats, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          ((col("n_words") - col("n_distinct")).cast("double") / col("n_words")).as("dup_word_frac"),
+          (col("top_cnt").cast("double") / col("n_words")).as("top_word_frac"),
+          ((col("n_bi") - col("nd_bi")).cast("double") / col("n_bi")).as("dup_bigram_frac")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |words AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |         COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+        |  FROM wc GROUP BY 1),
+        |tl AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(l) - 1),
+        |                          i -> l[i] || ' ' || l[i + 1])) AS g
+        |  FROM tl),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bis AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi, COUNT(*) AS nd_bi
+        |        FROM bc GROUP BY 1)
+        |SELECT w.doc_id, n_words,
+        |  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        |  CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
+        |  CAST(n_bi - nd_bi AS DOUBLE) / n_bi AS dup_bigram_frac
+        |FROM words w LEFT JOIN bis USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Cross-document n-gram novelty: the fraction of each document's
+    * DISTINCT 3-word shingles that appear in no other document — the
+    * inter-doc complement of [[repetition]]'s intra-doc signals (a document
+    * can be internally clean yet wholly assembled from corpus boilerplate).
+    * Derives from the same cached shingle-set table as the dedup family
+    * ([[graft.ext.Dedup.shingleSets]]), so the corpus is scanned once; the
+    * gram-frequency table shuffles on the gram key with partial counts, and
+    * the join back is gram-keyed — the same bounded shape at 100 TB as the
+    * TF-IDF document-frequency pass. Docs with <3 tokens have no shingles
+    * and drop out (mirrored by unnest on both sides).
+    */
+  val ngramNovelty: Q = Q(
+    "q_ngram_novelty",
+    (s, dir) => {
+      val dg = graft.ext.Dedup
+        .shingleSets(Tables(s, dir).documents)
+        .select(col("doc_id"), explode(col("sset")).as("g"))
+      val gdf = dg.groupBy("g").agg(count(lit(1)).as("n_docs_g"))
+      dg.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs_g") >= 2, 1L).otherwise(0L)).as("n_shared")
+        )
+        .withColumn("novelty", lit(1.0) - col("n_shared").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH sets AS (${graft.ext.Dedup.sqlSets}),
+         |dg AS (SELECT doc_id, unnest(sset) AS g FROM sets),
+         |gdf AS (SELECT g, COUNT(*) AS n_docs_g FROM dg GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN n_docs_g >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  1.0 - CAST(SUM(CASE WHEN n_docs_g >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+         |FROM dg JOIN gdf USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf)
+    Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
+      repetition, ngramNovelty)
 }

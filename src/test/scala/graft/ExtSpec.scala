@@ -81,6 +81,25 @@ class ExtSpec extends SparkSpec {
     assert((exact intersect ann).size >= 2, s"recall too low: ${(exact intersect ann).size}/10")
   }
 
+  test("SQ8 ANN: codes are bounded int8, rank 1 = query, high recall vs brute force") {
+    val emb = Tables(spark, sf).embeddings
+    val qz  = Similarity.sq8Quantized(emb).collect()
+    qz.foreach { r =>
+      val codes = r.getSeq[Float](r.fieldIndex("qv"))
+      assert(codes.forall(c => c >= -127f && c <= 127f && c == math.rint(c).toFloat))
+      assert(codes.exists(c => math.abs(c) == 127f), "scale must map max|x| to ±127")
+    }
+    val sq8 = Similarity
+      .annTopKSq8(emb, 0L, 10, 30)
+      .collect()
+    assert(sq8.head.getLong(1) == 0L, "query vector must be its own nearest neighbor")
+    val exact = Similarity.topKCosine(emb, 0L, 10).collect().map(_.getLong(1)).toSet
+    val got   = sq8.map(_.getLong(1)).toSet
+    // int8 quantization of 64-dim vectors keeps relative dot-product error
+    // ~1/127 — with a 3x re-rank pool the top-10 should be nearly exact
+    assert((exact intersect got).size >= 8, s"recall too low: ${(exact intersect got).size}/10")
+  }
+
   test("embedding near-dup pairs: non-vacuous, sound, and exact-dup complete") {
     import org.apache.spark.sql.functions._
     val emb = Tables(spark, sf).embeddings
