@@ -508,35 +508,54 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, threshold: Double, maxIters: Int = 10): DataFrame = {
     val pairs = nearDuplicates(docs, threshold).select("d1", "d2")
+    // both directions PLUS a self-loop per endpoint: min over (neighbors ∪
+    // self) IS the whole propagation step, so each iteration is ONE join +
+    // ONE min-aggregate (the earlier shape needed a second join to merge
+    // the node's own label back in, and a third to count changed rows).
+    // `min` is duplicate-insensitive, so the repeated self-loops need no
+    // distinct pass.
     val edges = cached(
-      pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst")
+      pairs
+        .union(pairs.select(col("d2"), col("d1")))
+        .union(pairs.select(col("d1"), col("d1")))
+        .union(pairs.select(col("d2"), col("d2")))
+        .toDF("src", "dst")
     )
     var labels = edges.select(col("src").as("id")).distinct().withColumn("label", col("id"))
-    var it      = 0
-    var changed = 1L
-    while (it < maxIters && changed > 0) {
-      val nbMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("label").as("nb_min"))
-      val next = cached(
-        labels
-          .join(nbMin, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+    // Convergence via the label-sum fixpoint: labels only ever DECREASE
+    // under min-propagation, so the (exact decimal — no int64 overflow at
+    // any corpus size) sum strictly decreases on every changing iteration
+    // and is stationary exactly at the fixpoint. One scalar action per
+    // iteration on the already-materialized frame, no compare join.
+    var prevSum: Option[java.math.BigDecimal] = None
+    var prevCached: DataFrame                 = null
+    var it                                    = 0
+    var converged                             = false
+    while (it < maxIters && !converged) {
+      val stepped = cached(
+        edges
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("label").as("label"))
       )
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .count() // materializes `next`, so the superseded frame can go
-      labels.unpersist() // no-op on the (unpersisted) initial frame
-      labels = next
+      val s = stepped
+        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .first()
+        .getDecimal(0) // null on an empty graph — handled below
+      converged = prevSum.exists { p =>
+        if (p == null || s == null) p == s else p.compareTo(s) == 0
+      }
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = stepped
+      labels = stepped
+      prevSum = Some(s)
       it += 1
     }
     // a cap hit before convergence means PARTIAL labels that disagree with
     // the true components (and the oracle's recursive fixpoint) — fail
     // loudly rather than return silently wrong clusters
     require(
-      changed == 0,
+      converged,
       s"nearDupClusters did not converge in $maxIters iterations — component diameter exceeds the cap"
     )
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
