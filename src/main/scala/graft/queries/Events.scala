@@ -351,7 +351,44 @@ object EventQueries {
     )
   )
 
+  /** Latest-record-per-key compaction — the batch form of CDC upsert /
+    * snapshot materialization: each user's single most recent event wins
+    * (ties on ts broken by the unique event_id, so "latest" is total).
+    * `max_by` over a (us, event_id) struct is ONE partial+final aggregate —
+    * at 100 TB the map-side combine reduces each partition to one candidate
+    * row per key before the exchange, where the row_number-over-window
+    * formulation would shuffle every raw row and sort each partition.
+    * The struct comparison is lexicographic on integers, engine-independent.
+    */
+  val latestByKey: Q = Q(
+    "q_latest_by_key",
+    (s, dir) => {
+      val e = Tables(s, dir).events.select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us")
+      )
+      e.groupBy("user_id")
+        .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("m"))
+        .select(
+          col("user_id"),
+          col("m.us").as("us"),
+          col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type")
+        )
+        .orderBy("user_id")
+    },
+    Some(
+      """SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
-      funnel, retention)
+      funnel, retention, latestByKey)
 }

@@ -140,6 +140,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q10 broadcasts both dims; top-20 is TakeOrderedAndProject") {
+    val p = plan(Relational.qTpchQ10.fn(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), "grouped top-k must not be a global sort:\n" + p)
+  }
+
+  test("q_latest_by_key is one partial+final aggregate — a single exchange") {
+    val p = plan(EventQueries.latestByKey.fn(spark, sf))
+    // max(struct) may plan as hash, object-hash, or sort aggregate; the
+    // scale property is partial+final (two aggregate nodes) over ONE
+    // key exchange (+ the verification sort)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert(shuffleCount(p) <= 2, p)
+  }
+
+  test("q_funnel keeps every stage keyed on user_id within its exchange budget") {
+    val p = plan(EventQueries.funnel.fn(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val n = shuffleCount(p)
+    info(s"q_funnel: $n exchanges")
+    assert(n <= 7, s"q_funnel now plans $n shuffle exchanges (budget 7)")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // the exact top-k cosine intentionally BNLJ-broadcasts a single query
     // row; nothing may plan an actual cartesian product
