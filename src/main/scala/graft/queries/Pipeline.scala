@@ -296,6 +296,46 @@ object Pipeline {
     }
   )
 
+  /** Token-budget sampling: per source, take documents in deterministic
+    * hash order until a token budget is exhausted — how a pipeline fills a
+    * fixed-size training mix ("N tokens of web, M of code") rather than a
+    * fixed doc count. The running token total is a cumulative window per
+    * source; hash order makes the selection reproducible and stable under
+    * corpus growth within the budget prefix. One exchange on the source
+    * key; the cumsum is sort-within-partitions, never a global sort.
+    */
+  val tokenBudget: Q = Q(
+    "q_token_budget",
+    (s, dir) => {
+      val w = Window
+        .partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).documents
+        .select(
+          col("source"),
+          col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h")
+        )
+        .withColumn("cum_tok", sum("n_tok").over(w))
+        .filter(col("cum_tok") <= 1000)
+        .select("source", "doc_id", "n_tok", "cum_tok")
+        .orderBy("source", "cum_tok")
+    },
+    Some(
+      """SELECT source, doc_id, n_tok, cum_tok FROM (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
+        |                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM (SELECT source, doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |        FROM documents))
+        |WHERE cum_tok <= 1000 ORDER BY source, cum_tok""".stripMargin
+    )
+  )
+
   /** Train/test contamination scan — the canonical eval-integrity check:
     * near-duplicate pairs (the MinHash/LSH candidates of
     * [[graft.ext.Dedup.nearDuplicates]], Jaccard >= 0.2) that CROSS the
@@ -352,5 +392,6 @@ object Pipeline {
   )
 
   val all: Seq[Q] =
-    Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, contamination)
+    Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
+      contamination)
 }

@@ -983,6 +983,42 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** The remaining rank-family window functions in one query: ntile,
+    * percent_rank, cume_dist, nth_value — completing the window surface
+    * next to q_window's rank and the frame-based queries. The ordering key
+    * is unique per row (price desc, then orderkey), so the rank family and
+    * nth_value's default RANGE frame are peer-free and deterministic;
+    * percent_rank/cume_dist are single IEEE divisions of exact integer
+    * positions. One exchange on the partition key, sort within partitions.
+    */
+  val qWindowSuite: Q = q(
+    "q_window_suite",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS ntile4,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("ntile4"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key")
+      )
+      .orderBy("o_orderkey")
+  }
+
   /** Data-quality profile: one pass over lineitem collecting per-column
     * completeness/cardinality/range stats — the pre-ingest audit every
     * training pipeline runs. Single partial+final aggregate, no per-column
@@ -1013,7 +1049,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ4, qTpchQ5,
     qTpchQ10, qTpchQ13, qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
-    qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qRollup,
+    qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile
   )
