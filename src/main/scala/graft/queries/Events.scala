@@ -388,7 +388,105 @@ object EventQueries {
     )
   )
 
+  /** Exponentially-weighted moving average over each user's last 8 events,
+    * decay 1/2 — chosen BECAUSE halving is exact in IEEE-754 (an exponent
+    * decrement), so every term `lag_i · 2⁻ⁱ` is exact and the fixed
+    * left-to-right 8-term sum is bit-identical cross-engine; an arbitrary
+    * decay would ride on libm `pow` and could differ by an ulp. Missing
+    * (null) values drop out of numerator AND denominator, renormalizing
+    * the weights — the standard irregular-series EWMA. One exchange on
+    * user_id; the 8 lags share a single window sort.
+    */
+  val ewma: Q = Q(
+    "q_ewma",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val lags = (0 until 8).map(i => (lag(col("value"), i).over(w), math.pow(2, -i)))
+      val num = lags.map { case (l, wt) => when(l.isNotNull, l * wt).otherwise(lit(0.0)) }.reduce(_ + _)
+      val den = lags.map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+      Tables(s, dir).events
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("value")
+        )
+        .withColumn("ewma", when(den > 0, num / den))
+        .select("user_id", "event_id", "us", "value", "ewma")
+        .orderBy("event_id")
+    },
+    Some {
+      def lagSql(i: Int) = s"lag(value, $i) OVER w"
+      val num = (0 until 8)
+        .map(i => s"CASE WHEN ${lagSql(i)} IS NOT NULL THEN ${lagSql(i)} * ${math.pow(2, -i)} ELSE 0.0 END")
+        .mkString(" + ")
+      val den = (0 until 8)
+        .map(i => s"CASE WHEN ${lagSql(i)} IS NOT NULL THEN ${math.pow(2, -i)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         |  CASE WHEN ($den) > 0 THEN ($num) / ($den) END AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |ORDER BY event_id""".stripMargin
+    }
+  )
+
+  /** Per-type z-score outlier flagging — the distribution-based anomaly
+    * gate of a data-quality pipeline. The moments come from exact decimal
+    * sums (value is money-scale, its square exact at scale 4), so
+    * mean/sd/z are fixed trees of single IEEE ops on bit-identical inputs —
+    * hash-checkable double outputs, like [[graft.queries.Num.davg]]. The
+    * per-type stats are a 5-row broadcast back onto the events scan; at
+    * 100 TB this is one aggregate pass + one broadcast join, no second
+    * shuffle of the fact table.
+    */
+  val zscore: Q = Q(
+    "q_zscore",
+    (s, dir) => {
+      val v = col("value").cast(Money)
+      val stats = Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(v).cast("double").as("sv"),
+          sum(v * v).cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double").as("svv")
+        )
+        .withColumn("mean", col("sv") / col("n"))
+        .withColumn("sd", sqrt(col("svv") / col("n") - col("mean") * col("mean")))
+        .select("event_type", "mean", "sd")
+      Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          col("z"),
+          (abs(col("z")) > 3).as("is_outlier")
+        )
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+        |    CAST(round(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS svv
+        |  FROM e GROUP BY 1),
+        |st2 AS (
+        |  SELECT event_type, sv / n AS mean, sqrt(svv / n - (sv / n) * (sv / n)) AS sd
+        |  FROM st)
+        |SELECT event_id, e.event_type, value,
+        |  (value - mean) / sd AS z,
+        |  abs((value - mean) / sd) > 3 AS is_outlier
+        |FROM e JOIN st2 USING (event_type)
+        |ORDER BY event_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
-      funnel, retention, latestByKey)
+      funnel, retention, latestByKey, ewma, zscore)
 }

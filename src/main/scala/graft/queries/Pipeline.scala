@@ -336,6 +336,48 @@ object Pipeline {
     )
   )
 
+  /** Sequence packing: assign documents (in deterministic hash order, per
+    * source shard) to fixed-capacity training sequences — `seq_id` is the
+    * 2048-token bin a document STARTS in, i.e. `(running_total_before_doc)
+    * div 2048`, the greedy concat-and-chunk rule pretraining loaders use.
+    * Packing is per-shard (source) exactly as a distributed loader packs
+    * per worker: a single global order would serialize at 100 TB, while
+    * per-shard windows keep one exchange on the shard key. Integer cumsum
+    * + integer div — bit-identical cross-engine.
+    */
+  val seqPack: Q = Q(
+    "q_seq_pack",
+    (s, dir) => {
+      val w = Window
+        .partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).documents
+        .select(
+          col("source"),
+          col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h")
+        )
+        .withColumn("cum_tok", sum("n_tok").over(w))
+        .withColumn("seq_id", expr("(cum_tok - n_tok) div 2048"))
+        .select("source", "doc_id", "n_tok", "cum_tok", "seq_id")
+        .orderBy("source", "cum_tok")
+    },
+    Some(
+      """SELECT source, doc_id, n_tok, cum_tok, (cum_tok - n_tok) // 2048 AS seq_id
+        |FROM (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
+        |                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM (SELECT source, doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |        FROM documents))
+        |ORDER BY source, cum_tok""".stripMargin
+    )
+  )
+
   /** Train/test contamination scan — the canonical eval-integrity check:
     * near-duplicate pairs (the MinHash/LSH candidates of
     * [[graft.ext.Dedup.nearDuplicates]], Jaccard >= 0.2) that CROSS the
@@ -393,5 +435,5 @@ object Pipeline {
 
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
-      contamination)
+      seqPack, contamination)
 }
