@@ -450,6 +450,125 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q8 shape (national market share): the 8-way join with a
+    * share-of-aggregate output — numerator is the conditional sum over the
+    * SAME rows as the denominator (CASE without ELSE: nulls drop out of the
+    * sum in both engines), each an exact-decimal sum, the share one IEEE
+    * division. nation appears TWICE (customer-region gate and supplier
+    * nationality) — every dim broadcasts, lineitem ⋈ orders stays the one
+    * fact-fact exchange, exactly the Q5 posture with two more dims.
+    */
+  val qTpchQ8: Q = q(
+    "q_tpch_q8",
+    """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      |  CAST(round(SUM(CASE WHEN n2.n_name = 'NATION_2'
+      |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) END), 2) AS DOUBLE)
+      |  / CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+      |    AS mkt_share
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region   ON n1.n_regionkey = r_regionkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val amCust = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "AMERICA")), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    t.orders
+      .filter(
+        col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.parse("1998-01-01T00:00:00"))
+      )
+      .join(broadcast(amCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (dsumExpr(when(col("supp_nation") === "NATION_2", rev)) /
+          dsumExpr(rev)).as("mkt_share")
+      )
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15 shape (top supplier): an aggregate view filtered by its own
+    * MAX — the scalar lands as a 1-row broadcast against the aggregated
+    * (already tiny) per-supplier revenue, then the winner joins the
+    * supplier dim. Revenue equality compares exact-decimal-derived doubles,
+    * so "== max" is well-defined cross-engine.
+    */
+  val qTpchQ15: Q = q(
+    "q_tpch_q15",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val rev = t.lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1996-04-01T00:00:00"))
+      )
+      .groupBy("l_suppkey")
+      .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("total_revenue"))
+    val mx = rev.agg(max("total_revenue").as("mr"))
+    rev
+      .crossJoin(broadcast(mx)) // 1-row scalar broadcast, as in q_tpch_q22
+      .filter(col("total_revenue") === col("mr"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19 shape (discounted revenue): an equi join whose REAL
+    * predicate is a disjunction of brand/size/quantity conjuncts — the
+    * classic test that the planner extracts the conjunctive equi key
+    * (l_partkey = p_partkey) and keeps the OR as a post-join residual
+    * instead of falling into a nested loop. part broadcasts; the OR runs
+    * inside the join's codegen stage.
+    */
+  val qTpchQ19: Q = q(
+    "q_tpch_q19",
+    """SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) && col("l_quantity").between(20, 40))
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+  }
+
   /** TPC-H Q10 shape (returned-item reporting): fact-fact join under a date
     * window + return-flag filter, customer/nation broadcast dims, top-20 by
     * exact-decimal revenue. Both filters sit below the l_orderkey exchange
@@ -1048,7 +1167,8 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ4, qTpchQ5,
-    qTpchQ10, qTpchQ13, qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ21,
+    qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile
