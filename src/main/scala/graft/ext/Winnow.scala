@@ -119,18 +119,21 @@ object Winnow {
       .filter(col("shared") >= minShared)
   }
 
-  /** DuckDB replay of [[summary]]: the mod-2^61-1 Rabin-Karp needs no mulmod
-    * trick in DuckDB — intermediate `h*Base + c` is < 2^81, well inside
-    * HUGEINT — so each position's hash is a k-deep fold expression, and
-    * winnowing is a sliding MIN window + a rightmost-tie join. The fixture is
-    * ASCII (verified), so `ord`(codepoint) == Java `charAt` and `lower()`
-    * == `toLowerCase(Locale.ROOT)`.
+  /** The shared CTE chain replaying [[fingerprints]] in DuckDB, ending in
+    * `allfps(doc_id, hash)` — every doc's distinct winnowed fingerprints.
+    * The mod-2^61-1 Rabin-Karp needs no mulmod trick in DuckDB —
+    * intermediate `h*Base + c` is < 2^81, well inside HUGEINT — so each
+    * position's hash is a k-deep fold expression, and winnowing is a
+    * sliding MIN window + a rightmost-tie join. The fixture is ASCII
+    * (verified), so `ord`(codepoint) == Java `charAt` and `lower()` ==
+    * `toLowerCase(Locale.ROOT)`. ONE definition feeds the summary AND the
+    * shared-passage oracles so the replay can never diverge between them.
     */
-  def summaryOracleSql(k: Int = 8, w: Int = 4): String = {
+  private def fpsChainSql(k: Int, w: Int): String = {
     val fold = (0 until k).foldLeft("0::HUGEINT") { (acc, j) =>
       s"(($acc) * $Base + ord(substr(s, p + $j, 1))) % $Mod"
     }
-    s"""WITH d AS (SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents),
+    s"""d AS (SELECT doc_id, lower(text) AS s, length(text) AS n FROM documents),
        |pos AS (
        |  SELECT doc_id, s, n - $k + 1 AS m,
        |    unnest(generate_series(1, n - $k + 1)) AS p
@@ -154,26 +157,39 @@ object Winnow {
        |            AND h2.hash = w.mh
        |  GROUP BY w.doc_id, w.win
        |),
-       |fps AS (
+       |selfps AS (
        |  SELECT DISTINCT s2.doc_id, h3.hash
        |  FROM (SELECT DISTINCT doc_id, selp FROM sel) s2
        |  JOIN h h3 ON h3.doc_id = s2.doc_id AND h3.p = s2.selp
        |),
-       |big AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps, CAST(MIN(hash) AS BIGINT) AS min_fp
-       |  FROM fps GROUP BY doc_id
-       |),
-       |small AS (
-       |  SELECT doc_id, CAST(1 AS BIGINT) AS n_fps, CAST(MIN(hash) AS BIGINT) AS min_fp
-       |  FROM h WHERE m <= $w GROUP BY doc_id
-       |),
-       |tiny AS (
-       |  SELECT doc_id, CAST(0 AS BIGINT) AS n_fps, CAST(-1 AS BIGINT) AS min_fp
-       |  FROM d WHERE n < $k
-       |)
-       |SELECT * FROM big UNION ALL SELECT * FROM small UNION ALL SELECT * FROM tiny
-       |ORDER BY doc_id""".stripMargin
+       |allfps AS (
+       |  SELECT * FROM selfps
+       |  UNION ALL
+       |  SELECT doc_id, MIN(hash) AS hash FROM h WHERE m <= $w GROUP BY doc_id
+       |)""".stripMargin
   }
+
+  /** DuckDB replay of [[summary]] over the shared [[fpsChainSql]] chain
+    * (docs shorter than k keep their (0, -1) sentinel row).
+    */
+  def summaryOracleSql(k: Int = 8, w: Int = 4): String =
+    s"""WITH ${fpsChainSql(k, w)}
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps, CAST(MIN(hash) AS BIGINT) AS min_fp
+       |FROM allfps GROUP BY doc_id
+       |UNION ALL
+       |SELECT doc_id, CAST(0 AS BIGINT), CAST(-1 AS BIGINT) FROM d WHERE n < $k
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of [[sharedPassagePairs]]: per-doc fingerprints are
+    * already distinct, so the hash-join count IS the intersection size.
+    */
+  def sharedPassageOracleSql(minShared: Int, k: Int = 8, w: Int = 4): String =
+    s"""WITH ${fpsChainSql(k, w)}
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+       |FROM allfps a JOIN allfps b ON a.hash = b.hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $minShared
+       |ORDER BY d1, d2""".stripMargin
 
   /** Winnowed-fingerprint summary, hash-checked end-to-end against the
     * HUGEINT Rabin-Karp replay oracle (was rows-only until round 4; the
@@ -185,5 +201,22 @@ object Winnow {
     Some(summaryOracleSql())
   )
 
-  val all: Seq[Q] = Seq(rollingFp)
+  /** Corpus-wide shared-passage detection as a registered query: doc pairs
+    * sharing >= 40 winnowed fingerprints (each fingerprint is evidence of a
+    * common substring of length >= k+w-1 = 11 chars, by the winnowing
+    * guarantee proven in WinnowSpec; 40 of them is a substantial copied
+    * passage). The threshold does real selection on the fixtures — 32 of
+    * ~110k candidate pairs survive at sf0.01 — and the pair generation is
+    * an equi join on the fingerprint value, bucketed like every other
+    * dedup candidate stage, never all-pairs.
+    */
+  val sharedPassages: Q = Q(
+    "q_shared_passages",
+    (s, dir) =>
+      sharedPassagePairs(s, Tables(s, dir).documents, minShared = 40)
+        .orderBy("d1", "d2"),
+    Some(sharedPassageOracleSql(minShared = 40))
+  )
+
+  val all: Seq[Q] = Seq(rollingFp, sharedPassages)
 }
