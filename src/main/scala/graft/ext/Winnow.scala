@@ -104,14 +104,34 @@ object Winnow {
   /** Shared-passage pairs: docs sharing >= minShared winnowed fingerprints
     * (exploded fingerprints → groupBy-join on the fingerprint — bucketed,
     * never all-pairs).
+    *
+    * `dfCap` drops fingerprints present in more than that many documents
+    * BEFORE the self-join — a fingerprint of document frequency D fans out
+    * to D² candidate pairs, so one boilerplate passage shared by a million
+    * documents would otherwise dominate the join. The cap bounds per-key
+    * fan-out at dfCap² AND is the right semantics: corpus-wide boilerplate
+    * is not passage-copying signal. Same df-capping as TF-IDF's intuition,
+    * applied to join safety.
     */
-  def sharedPassagePairs(spark: SparkSession, docs: DataFrame, minShared: Int): DataFrame = {
+  def sharedPassagePairs(
+      spark: SparkSession,
+      docs: DataFrame,
+      minShared: Int,
+      dfCap: Int = Int.MaxValue
+  ): DataFrame = {
     import spark.implicits._
-    val fps = docs
+    val raw = docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) => fingerprints(text).map(f => (id, f)) }
       .toDF("doc_id", "fp")
+    val fps = raw
+      .withColumn(
+        "df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))
+      )
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "fp")
     fps.alias("a")
       .join(fps.alias("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -181,12 +201,17 @@ object Winnow {
        |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of [[sharedPassagePairs]]: per-doc fingerprints are
-    * already distinct, so the hash-join count IS the intersection size.
+    * already distinct, so the hash-join count IS the intersection size;
+    * the df cap replays as a count-over-partition filter.
     */
-  def sharedPassageOracleSql(minShared: Int, k: Int = 8, w: Int = 4): String =
-    s"""WITH ${fpsChainSql(k, w)}
+  def sharedPassageOracleSql(minShared: Int, dfCap: Int, k: Int = 8, w: Int = 4): String =
+    s"""WITH ${fpsChainSql(k, w)},
+       |capped AS (
+       |  SELECT doc_id, hash FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY hash) AS df FROM allfps)
+       |  WHERE df <= $dfCap)
        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
-       |FROM allfps a JOIN allfps b ON a.hash = b.hash AND a.doc_id < b.doc_id
+       |FROM capped a JOIN capped b ON a.hash = b.hash AND a.doc_id < b.doc_id
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= $minShared
        |ORDER BY d1, d2""".stripMargin
@@ -202,20 +227,20 @@ object Winnow {
   )
 
   /** Corpus-wide shared-passage detection as a registered query: doc pairs
-    * sharing >= 40 winnowed fingerprints (each fingerprint is evidence of a
-    * common substring of length >= k+w-1 = 11 chars, by the winnowing
-    * guarantee proven in WinnowSpec; 40 of them is a substantial copied
-    * passage). The threshold does real selection on the fixtures — 32 of
-    * ~110k candidate pairs survive at sf0.01 — and the pair generation is
-    * an equi join on the fingerprint value, bucketed like every other
-    * dedup candidate stage, never all-pairs.
+    * sharing >= 40 winnowed fingerprints of document frequency <= 200
+    * (each fingerprint is evidence of a common substring of length >=
+    * k+w-1 = 11 chars, by the winnowing guarantee proven in WinnowSpec; 40
+    * of them is a substantial copied passage, and boilerplate present in
+    * >200 docs is excluded — which also bounds the self-join fan-out).
+    * Both thresholds do real selection on the fixtures (29 of ~110k
+    * candidate pairs at sf0.01; non-vacuous at all three scales: 27/29/10).
     */
   val sharedPassages: Q = Q(
     "q_shared_passages",
     (s, dir) =>
-      sharedPassagePairs(s, Tables(s, dir).documents, minShared = 40)
+      sharedPassagePairs(s, Tables(s, dir).documents, minShared = 40, dfCap = 200)
         .orderBy("d1", "d2"),
-    Some(sharedPassageOracleSql(minShared = 40))
+    Some(sharedPassageOracleSql(minShared = 40, dfCap = 200))
   )
 
   val all: Seq[Q] = Seq(rollingFp, sharedPassages)
