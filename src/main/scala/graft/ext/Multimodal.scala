@@ -48,7 +48,11 @@ object Multimodal {
     *     width/height at offsets 6/8 (GIF89a spec §17-18);
     *   - JPEG: walk the marker stream from SOI to the first frame header
     *     (SOFn, n ∉ {4,8,12}); big-endian u16 height/width at +5/+7
-    *     (ITU T.81 §B.2.2).
+    *     (ITU T.81 §B.2.2);
+    *   - BMP: "BM" signature, BITMAPINFOHEADER (declared size >= 40) with
+    *     little-endian i32 width/height at offsets 18/22 — height may be
+    *     negative for top-down rows, so |height| is the pixel height
+    *     (Windows BMP v3+ header layout).
     * Returns None for payloads that are not a recognized image container.
     */
   def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
@@ -57,6 +61,8 @@ object Multimodal {
     @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     @inline def be32(i: Int): Int =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le32s(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24) // signed i32
 
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     // the first chunk MUST be IHDR with a 13-byte payload (ISO/IEC 15948
@@ -85,6 +91,21 @@ object Multimodal {
         else i = j + 1 + be16(j + 1)
       }
       None
+    } else if (
+      // signature alone is two ASCII letters — also require the invariants
+      // the format makes mandatory, so "BM…" text never false-positives:
+      // reserved words at 6..9 are zero, the info-header size is one of the
+      // published layouts (the ancient 12-byte BITMAPCOREHEADER with 16-bit
+      // dims is not produced by modern encoders and stays unrecognized),
+      // and the plane count is exactly 1.
+      b.length >= 28 && b(0) == 'B' && b(1) == 'M' &&
+      le32s(6) == 0 &&
+      Set(40, 52, 56, 108, 124).contains(le32s(14)) &&
+      le16(26) == 1
+    ) {
+      val w = le32s(18)
+      val h = le32s(22) // negative = top-down row order; |h| is pixel height
+      if (w > 0 && h != 0) Some((w, math.abs(h))) else None
     } else None
   }
 

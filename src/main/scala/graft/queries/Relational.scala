@@ -1138,6 +1138,60 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Pearson correlation + sample covariance per group, from exact moments:
+    * built-in corr()/covar_samp() stream double sums whose order differs
+    * between engines (and between runs), so instead the five moment sums
+    * (Sx, Sy, Sxx, Syy, Sxy) are exact decimals — quantity and price carry
+    * <= 2 decimals, their products are exact at scale 4 — and the
+    * correlation is a fixed tree of single IEEE ops on those exact values,
+    * bit-identical cross-engine. Same partial+final single-exchange shape
+    * as any hash aggregate; this is how a 100 TB engine gets DETERMINISTIC
+    * second-order statistics, not just fast ones.
+    */
+  val qCorr: Q = q(
+    "q_corr",
+    """SELECT l_returnflag, n, sxy_over_n_minus_1 AS covar_qty_price,
+      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxx,
+      |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS syy,
+      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxy,
+      |    (CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+      |      - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |      / (COUNT(*) - 1) AS sxy_over_n_minus_1
+      |  FROM lineitem GROUP BY 1)
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val x = col("l_quantity").cast(Money)
+    val y = col("l_extendedprice").cast(Money)
+    def m2(e: org.apache.spark.sql.Column) =
+      sum(e).cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double")
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        m2(x * x).as("sxx"),
+        m2(y * y).as("syy"),
+        m2(x * y).as("sxy")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_qty_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price")
+      )
+      .orderBy("l_returnflag")
+  }
+
   /** Data-quality profile: one pass over lineitem collecting per-column
     * completeness/cardinality/range stats — the pre-ingest audit every
     * training pipeline runs. Single partial+final aggregate, no per-column
@@ -1170,7 +1224,7 @@ object Relational {
     qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ21,
     qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qWindowSuite, qRollup,
-    qAggStats, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
+    qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qProfile
   )
 }

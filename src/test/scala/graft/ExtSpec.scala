@@ -255,7 +255,7 @@ class ExtSpec extends SparkSpec {
     import java.io.ByteArrayOutputStream
     import javax.imageio.ImageIO
     // real encoders from the JDK (headless-safe) — no external codec needed
-    for ((fmt, w, h) <- Seq(("png", 37, 23), ("gif", 640, 480), ("jpg", 129, 301))) {
+    for ((fmt, w, h) <- Seq(("png", 37, 23), ("gif", 640, 480), ("jpg", 129, 301), ("bmp", 55, 17))) {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       val bos = new ByteArrayOutputStream()
       assert(ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
@@ -265,6 +265,8 @@ class ExtSpec extends SparkSpec {
     // non-image payloads must not parse
     assert(Multimodal.imageDims("plain text payload".getBytes).isEmpty)
     assert(Multimodal.imageDims(Array.empty[Byte]).isEmpty)
+    // "BM" prefix alone (no plausible info header) must not parse
+    assert(Multimodal.imageDims("BMnot actually a bitmap file....".getBytes).isEmpty)
   }
 
   test("JPEG walk tolerates ITU T.81 fill bytes before a marker") {
