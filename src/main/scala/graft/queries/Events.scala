@@ -450,7 +450,11 @@ object EventQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(v).cast("double").as("sv"),
-          sum(v * v).cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double").as("svv")
+          // scale 2, NOT 4: at scale 4 a large corpus's Σ value² crosses
+          // 2^53 unscaled, where DuckDB's decimal→double conversion
+          // double-rounds while Spark rounds once (the dsumExpr hazard,
+          // observed live on q_corr)
+          sum(v * v).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("svv")
         )
         .withColumn("mean", col("sv") / col("n"))
         .withColumn("sd", sqrt(col("svv") / col("n") - col("mean") * col("mean")))
@@ -473,7 +477,7 @@ object EventQueries {
         |st AS (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
-        |    CAST(round(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS svv
+        |    CAST(round(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS svv
         |  FROM e GROUP BY 1),
         |st2 AS (
         |  SELECT event_type, sv / n AS mean, sqrt(svv / n - (sv / n) * (sv / n)) AS sd

@@ -1156,10 +1156,10 @@ object Relational {
       |  SELECT l_returnflag, COUNT(*) AS n,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxx,
-      |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS syy,
-      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxy,
-      |    (CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxx,
+      |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS syy,
+      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxy,
+      |    (CAST(round(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
       |      - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
       |      / (COUNT(*) - 1) AS sxy_over_n_minus_1
       |  FROM lineitem GROUP BY 1)
@@ -1167,8 +1167,12 @@ object Relational {
   ) { (s, dir) =>
     val x = col("l_quantity").cast(Money)
     val y = col("l_extendedprice").cast(Money)
+    // scale 2, NOT 4: Σ price² exceeds 2^53 unscaled at scale 4 even at
+    // sf0.001, where DuckDB's (unscaled→double)/10^s conversion double-
+    // rounds while Spark rounds once — the exact dsumExpr hazard
+    // (Query.scala) observed live as a 1-ulp corr mismatch
     def m2(e: org.apache.spark.sql.Column) =
-      sum(e).cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double")
+      sum(e).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double")
     Tables(s, dir).lineitem
       .groupBy("l_returnflag")
       .agg(
