@@ -160,6 +160,26 @@ object EventStream {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming latest-record-per-key — CDC upsert materialization: each
+    * user's single most recent event (ties on ts broken by the unique
+    * event_id) survives, updated per micro-batch. The SAME max-of-struct
+    * expression as the batch `q_latest_by_key` (whose DuckDB-green hash
+    * check certifies the semantics); run with Update/Complete output mode.
+    * State is ONE struct per key — bounded by key cardinality, not stream
+    * lifetime, the natural posture for a snapshot view (every key's latest
+    * value must stay addressable forever, unlike window state).
+    */
+  def latestByKey(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(
+        col("user_id"),
+        col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type")
+      )
+
   /** Stream-stream interval join: clicks matched to the views they follow
     * within `horizon` for the same user. Both sides carry watermarks and the
     * join condition is time-bounded in BOTH directions, so Spark can evict

@@ -53,6 +53,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming latest-by-key upserts across micro-batches and agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .latestByKey(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("latest")
+      .outputMode(OutputMode.Complete)
+      .start()
+    val batch1 = Seq(
+      ev(1, "2026-01-01 10:00:00", 1, "view", 0),
+      ev(2, "2026-01-01 10:05:00", 2, "click", 0),
+      ev(3, "2026-01-01 10:01:00", 1, "click", 0)
+    )
+    // a LATER micro-batch overrides user 1 and ties user 2 on ts (higher
+    // event_id must win)
+    val batch2 = Seq(
+      ev(9, "2026-01-01 11:00:00", 1, "purchase", 0),
+      ev(8, "2026-01-01 10:05:00", 2, "error", 0)
+    )
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .sql("SELECT user_id, event_id, event_type FROM latest ORDER BY user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq
+      assert(streamed == Seq((1L, 9L, "purchase"), (2L, 8L, "error")))
+      // batch/streaming agreement: the same transform over the union of
+      // all batches as a plain DataFrame yields the same snapshot
+      val batch = EventStream
+        .latestByKey((batch1 ++ batch2).toDF())
+        .orderBy("user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        .toSeq
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("session windows split on the 5-minute gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
