@@ -1196,6 +1196,59 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-width histogram (16 bins over the column's observed range) — the
+    * two-pass profiling shape: a min/max aggregate lands as a 1-row
+    * broadcast, then binning is pure per-row arithmetic feeding one
+    * partial+final count. The bin function is a fixed IEEE tree (subtract,
+    * divide, floor, clamp) on bit-identical doubles, so the histogram
+    * hash-matches cross-engine; the top edge clamps into the last bin.
+    */
+  val qHistogram: Q = q(
+    "q_histogram",
+    """WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+      |SELECT bin, COUNT(*) AS n FROM (
+      |  SELECT LEAST(15, CAST(floor((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT)) AS bin
+      |  FROM lineitem, b)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+  ) { (s, dir) =>
+    val li = Tables(s, dir).lineitem
+    val bounds = li.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+    li.crossJoin(broadcast(bounds)) // 1-row bounds broadcast
+      .select(
+        least(
+          lit(15L),
+          floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / 16.0))
+        ).as("bin")
+      )
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** Heavy-hitter profile: the top-10 keys by row count with their share of
+    * the table — the skew scan a pipeline runs BEFORE choosing a join
+    * strategy (its output is what justifies reaching for q_join_salted's
+    * salting or AQE skew splitting). One partial+final count per key, a
+    * 1-row total broadcast, top-k as TakeOrderedAndProject; the share is
+    * one IEEE division of exact longs.
+    */
+  val qHeavyHitters: Q = q(
+    "q_heavy_hitters",
+    """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS total FROM lineitem)
+      |SELECT l_suppkey, cnt, CAST(cnt AS DOUBLE) / total AS share
+      |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val li     = Tables(s, dir).lineitem
+    val counts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    val total  = li.agg(count(lit(1)).as("total"))
+    counts
+      .crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .select(col("l_suppkey"), col("cnt"), (col("cnt").cast("double") / col("total")).as("share"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(10)
+  }
+
   /** Data-quality profile: one pass over lineitem collecting per-column
     * completeness/cardinality/range stats — the pre-ingest audit every
     * training pipeline runs. Single partial+final aggregate, no per-column
@@ -1229,6 +1282,6 @@ object Relational {
     qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot, qProfile
+    qGroupingSets, qPivot, qProfile, qHistogram, qHeavyHitters
   )
 }
