@@ -852,6 +852,55 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** Multiset set op: EXCEPT ALL — each occurrence counts, so a customer
+    * with three F-orders and one O-order keeps two rows (the bag-difference
+    * semantics `except` (distinct) erases). Spark plans it as a count-based
+    * generate over a single aggregation, not a join per duplicate.
+    */
+  val qExceptAll: Q = q(
+    "q_except_all",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** UNPIVOT (melt): the inverse of [[qPivot]] — per-(lang, source) counts
+    * stacked back to long form. Wide→long is a per-row expand (each input
+    * row emits one row per value column), no shuffle at all beyond the
+    * verification sort; the DuckDB mirror uses its native UNPIVOT.
+    */
+  val qUnpivot: Q = q(
+    "q_unpivot",
+    """SELECT lang, source, cnt FROM (
+      |  SELECT lang,
+      |    COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+      |    COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+      |    COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+      |    COUNT(*) FILTER (WHERE source = 'src3') AS src3
+      |  FROM documents GROUP BY lang)
+      |UNPIVOT (cnt FOR source IN (src0, src1, src2, src3))
+      |ORDER BY lang, source""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2", "src3"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("src0", "src1", "src2", "src3"))
+      .unpivot(
+        Array(col("lang")),
+        Array(col("src0"), col("src1"), col("src2"), col("src3")),
+        "source",
+        "cnt"
+      )
+      .orderBy("lang", "source")
+  }
+
   /** Set op: UNION (distinct) of customer keys from two sources. */
   val qUnion: Q = q(
     "q_union",
@@ -1280,8 +1329,8 @@ object Relational {
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ4, qTpchQ5,
     qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ21,
     qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
-    qDistinct, qTopK, qIntersect, qExcept, qUnion, qWindow, qWindowSuite, qRollup,
+    qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot, qProfile, qHistogram, qHeavyHitters
+    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters
   )
 }
