@@ -450,6 +450,34 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-side
+    * query — three pushed range predicates, no join, one exact-decimal
+    * aggregate. Its whole cost is the parquet scan, which is the point:
+    * PushedFilters + a 2-column ReadSchema means at 100 TB it reads only
+    * the row groups the predicates admit.
+    */
+  val qTpchQ6: Q = q(
+    "q_tpch_q6",
+    """SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00")) &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        dsumExpr(col("l_extendedprice").cast(Money) * col("l_discount").cast(Rate))
+          .as("revenue")
+      )
+  }
+
   /** TPC-H Q8 shape (national market share): the 8-way join with a
     * share-of-aggregate output — numerator is the conditional sum over the
     * SAME rows as the denominator (CASE without ELSE: nulls drop out of the
@@ -1326,7 +1354,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ4, qTpchQ5,
+    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ4, qTpchQ5, qTpchQ6,
     qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ21,
     qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
