@@ -453,8 +453,10 @@ object Relational {
   /** TPC-H Q6 shape (forecasting revenue change): the pure scan-side
     * query — three pushed range predicates, no join, one exact-decimal
     * aggregate. Its whole cost is the parquet scan, which is the point:
-    * PushedFilters + a 2-column ReadSchema means at 100 TB it reads only
-    * the row groups the predicates admit.
+    * PushedFilters + a ReadSchema pruned to the 4 referenced columns
+    * (3 filter keys + the aggregate input) means at 100 TB it reads only
+    * the row groups the predicates admit and none of lineitem's other 7
+    * columns. Both properties are asserted in PlanSpec.
     */
   val qTpchQ6: Q = q(
     "q_tpch_q6",
@@ -915,17 +917,8 @@ object Relational {
       |UNPIVOT (cnt FOR source IN (src0, src1, src2, src3))
       |ORDER BY lang, source""".stripMargin
   ) { (s, dir) =>
-    Tables(s, dir).documents
-      .groupBy("lang")
-      .pivot("source", Seq("src0", "src1", "src2", "src3"))
-      .agg(count(lit(1)))
-      .na.fill(0L, Seq("src0", "src1", "src2", "src3"))
-      .unpivot(
-        Array(col("lang")),
-        Array(col("src0"), col("src1"), col("src2"), col("src3")),
-        "source",
-        "cnt"
-      )
+    pivotBySource(Tables(s, dir).documents)
+      .unpivot(Array(col("lang")), PivotSources.map(col).toArray, "source", "cnt")
       .orderBy("lang", "source")
   }
 
@@ -1162,6 +1155,18 @@ object Relational {
     * unvalued pivot runs an extra distinct job). Oracle via conditional
     * aggregation.
     */
+  /** The ONE lang×source pivot (columns, zero-fill policy), shared by
+    * [[qPivot]] and its inverse [[qUnpivot]] so the "unpivot inverts pivot"
+    * relationship is enforced by construction, not by parallel edits.
+    */
+  private val PivotSources = Seq("src0", "src1", "src2", "src3")
+  private def pivotBySource(docs: DataFrame): DataFrame =
+    docs
+      .groupBy("lang")
+      .pivot("source", PivotSources)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotSources)
+
   val qPivot: Q = q(
     "q_pivot",
     """SELECT lang,
@@ -1171,12 +1176,7 @@ object Relational {
       |  COUNT(*) FILTER (WHERE source = 'src3') AS src3
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, dir) =>
-    Tables(s, dir).documents
-      .groupBy("lang")
-      .pivot("source", Seq("src0", "src1", "src2", "src3"))
-      .agg(count(lit(1)))
-      .na.fill(0L, Seq("src0", "src1", "src2", "src3"))
-      .orderBy("lang")
+    pivotBySource(Tables(s, dir).documents).orderBy("lang")
   }
 
   /** The remaining rank-family window functions in one query: ntile,
@@ -1278,13 +1278,19 @@ object Relational {
     * broadcast, then binning is pure per-row arithmetic feeding one
     * partial+final count. The bin function is a fixed IEEE tree (subtract,
     * divide, floor, clamp) on bit-identical doubles, so the histogram
-    * hash-matches cross-engine; the top edge clamps into the last bin.
+    * hash-matches cross-engine; the top edge clamps into the last bin. A
+    * constant column (hi == lo) is binned explicitly as 0 — without the
+    * guard the engines DIVERGE on the 0-width division (Spark's non-ANSI
+    * x/0 is NULL, which least() skips; DuckDB's 0.0/0.0 is NaN, which
+    * errors on the BIGINT cast).
     */
   val qHistogram: Q = q(
     "q_histogram",
     """WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
       |SELECT bin, COUNT(*) AS n FROM (
-      |  SELECT LEAST(15, CAST(floor((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT)) AS bin
+      |  SELECT CASE WHEN hi = lo THEN 0
+      |              ELSE LEAST(15, CAST(floor((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT))
+      |         END AS bin
       |  FROM lineitem, b)
       |GROUP BY bin ORDER BY bin""".stripMargin
   ) { (s, dir) =>
@@ -1292,10 +1298,14 @@ object Relational {
     val bounds = li.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
     li.crossJoin(broadcast(bounds)) // 1-row bounds broadcast
       .select(
-        least(
-          lit(15L),
-          floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / 16.0))
-        ).as("bin")
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(
+            least(
+              lit(15L),
+              floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / 16.0))
+            )
+          )
+          .as("bin")
       )
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))

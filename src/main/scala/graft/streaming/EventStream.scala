@@ -162,9 +162,12 @@ object EventStream {
 
   /** Streaming latest-record-per-key — CDC upsert materialization: each
     * user's single most recent event (ties on ts broken by the unique
-    * event_id) survives, updated per micro-batch. The SAME max-of-struct
-    * expression as the batch `q_latest_by_key` (whose DuckDB-green hash
-    * check certifies the semantics); run with Update/Complete output mode.
+    * event_id) survives, updated per micro-batch. Order-equivalent to the
+    * batch `q_latest_by_key`'s max-of-struct (the batch query keys by
+    * epoch MICROS for its oracle; this one keys by the raw timestamp —
+    * same ordering, so the StreamingSpec batch/stream agreement test is
+    * what certifies the two stay in lockstep); run with Update/Complete
+    * output mode.
     * State is ONE struct per key — bounded by key cardinality, not stream
     * lifetime, the natural posture for a snapshot view (every key's latest
     * value must stay addressable forever, unlike window state).

@@ -141,6 +141,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q6 pushes all three range predicates and prunes to 4 columns") {
+    val p = plan(Relational.qTpchQ6.fn(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate)"), p)
+    // pruned read schema: the 3 filter keys + the aggregate input only
+    assert(!p.contains("l_orderkey") && !p.contains("l_returnflag"), "scan reads unused columns:\n" + p)
+  }
+
   test("q_tpch_q10 broadcasts both dims; top-20 is TakeOrderedAndProject") {
     val p = plan(Relational.qTpchQ10.fn(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
