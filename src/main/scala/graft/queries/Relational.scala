@@ -734,6 +734,347 @@ object Relational {
       .orderBy("yr", "mo")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery —
+    * for each qualifying part, only the regional suppliers offering it at
+    * that part's regional-minimum unit cost survive. The fixture has no
+    * partsupp table (`TESTDATA.md`), so the part↔supplier offer relation is
+    * derived from lineitem: unit cost = MIN(l_extendedprice / l_quantity)
+    * per (part, supplier) — a single IEEE division on parquet-identical
+    * doubles, so MIN and the `= min` equality are bit-deterministic
+    * cross-engine.
+    *
+    * Plan shape: the part filter semi-joins BEFORE the per-part min is
+    * computed (legal because the min is per-part), so at 100 TB the regional
+    * offer table is pruned to the ~1/6 qualifying parts before either
+    * aggregate; the min table joins back on the same l_partkey key — two
+    * aggregates + one join, all sharing one exchange key. Dims broadcast;
+    * top-k is TakeOrderedAndProject.
+    */
+  val qTpchQ2: Q = q(
+    "q_tpch_q2",
+    """WITH offer AS (
+      |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |reg AS (
+      |  SELECT o.l_partkey, o.unit_cost, s_acctbal, s_name, n_name
+      |  FROM offer o
+      |  JOIN supplier ON s_suppkey = o.l_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+      |FROM reg JOIN part ON p_partkey = reg.l_partkey
+      |WHERE p_type = 'LARGE' AND p_size <= 25
+      |  AND unit_cost = (SELECT MIN(r2.unit_cost) FROM reg r2 WHERE r2.l_partkey = reg.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val eurSupp = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    val qualParts = t.part
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 25)
+      .select("p_partkey")
+    val reg = t.lineitem
+      .join(broadcast(qualParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = reg
+      .groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min("unit_cost").as("min_cost"))
+    reg
+      .join(minCost, col("l_partkey") === col("m_partkey") && col("unit_cost") === col("min_cost"))
+      .select(
+        col("s_acctbal"),
+        col("s_name"),
+        col("n_name"),
+        col("l_partkey").as("p_partkey"),
+        col("unit_cost")
+      )
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q7 shape (volume shipping): nation joined TWICE — once through
+    * supplier, once through customer — with the symmetric two-nation pair
+    * disjunction as a post-join residual. Both nation sides are pre-filtered
+    * to the two-nation set BEFORE their broadcast joins, so the fact rows
+    * drop at the earliest join and only the pair residual runs afterwards.
+    * lineitem ⋈ orders stays the single fact-fact exchange (Q5/Q8 posture).
+    */
+  val qTpchQ7: Q = q(
+    "q_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val t       = Tables(s, dir)
+    val nations = Seq("NATION_12", "NATION_10")
+    val suppN = t.supplier
+      .join(
+        broadcast(
+          t.nation
+            .filter(col("n_name").isin(nations: _*))
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        ),
+        col("s_nationkey") === col("s_nk")
+      )
+      .select("s_suppkey", "supp_nation")
+    val custN = t.customer
+      .join(
+        broadcast(
+          t.nation
+            .filter(col("n_name").isin(nations: _*))
+            .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        ),
+        col("c_nationkey") === col("c_nk")
+      )
+      .select("c_custkey", "cust_nation")
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1998-01-01T00:00:00"))
+      )
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12")
+      )
+      .groupBy(
+        col("supp_nation"),
+        col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year")
+      )
+      .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit = revenue − cost over a
+    * part-name pattern, grouped by supplier nation × year. The fixture has
+    * no ps_supplycost, so `p_retailprice × l_quantity` stands in for the
+    * supply cost (documented adaptation; the shape — LIKE-filtered part
+    * broadcast, two-term exact-decimal profit expression, nation/year
+    * rollup — is Q9's). The LIKE filter prunes part BEFORE its broadcast,
+    * so at 100 TB the fact side drops ~7/8 of rows at the first join.
+    */
+  val qTpchQ9: Q = q(
+    "q_tpch_q9",
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+      |               - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part     ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val profit = revenue(col("l_extendedprice"), col("l_discount")) -
+      col("p_retailprice").cast(Money) * col("l_quantity").cast(Money)
+    t.lineitem
+      .join(
+        broadcast(t.part.filter(col("p_name").contains("red")).select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("int").as("o_year"))
+      .agg(dsumExpr(profit).as("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q11 shape (important stock): a group-by HAVING against an
+    * uncorrelated scalar subquery — per-part value among one region's
+    * suppliers, kept only where it exceeds a fixed fraction of the TOTAL.
+    * The total is the sum of the per-part DECIMAL partials (exact,
+    * order-independent), NOT a re-scan and NOT a sum of already-cast
+    * doubles, so one aggregation pass feeds both sides of the comparison;
+    * the scalar lands as a 1-row broadcast (Q15/Q22 posture). The region
+    * gate is a semi join on supplier keys — lineitem never widens.
+    */
+  val qTpchQ11: Q = q(
+    "q_tpch_q11",
+    """WITH v AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS vdec
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'ASIA')
+      |  GROUP BY 1)
+      |SELECT l_partkey, CAST(vdec AS DOUBLE) AS value
+      |FROM v
+      |WHERE CAST(vdec AS DOUBLE) > 0.001 * (SELECT CAST(SUM(vdec) AS DOUBLE) FROM v)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val asiaSupp = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val v = t.lineitem
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast(Money)).as("vdec"))
+    val total = v.agg(sum("vdec").cast("double").as("total"))
+    v.crossJoin(broadcast(total)) // 1-row scalar broadcast, as in q_tpch_q22
+      .filter(col("vdec").cast("double") > lit(0.001) * col("total"))
+      .select(col("l_partkey"), col("vdec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping modes / order priority): fact-fact join with
+    * dual conditional counts. The fixture has no l_shipmode or commit/
+    * receipt dates, so l_returnflag classes the lines and "shipped > 30
+    * days after order" stands in for the late-receipt predicate (same
+    * adaptation as Q4's). COUNT(CASE WHEN … THEN 1 END) rather than
+    * SUM(int) so both engines emit BIGINT. The ship-year filter pushes to
+    * the lineitem scan; the non-equi ship-lag predicate rides the join.
+    */
+  val qTpchQ12: Q = q(
+    "q_tpch_q12",
+    """SELECT l_returnflag AS ship_class,
+      |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val t      = Tables(s, dir)
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+      )
+      .join(
+        t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+      )
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        count(when(isHigh, lit(1))).as("high_line_count"),
+        count(when(!isHigh, lit(1))).as("low_line_count")
+      )
+      .orderBy("ship_class")
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) over a
+    * derived part↔supplier pair relation with a NOT IN supplier exclusion.
+    * The pair relation is the DISTINCT (l_partkey, l_suppkey) projection of
+    * lineitem (the fixture's partsupp stand-in, as in Q2); negative account
+    * balance stands in for the complaints comment filter. NOT IN on a
+    * non-nullable key plans as a broadcast left-anti join; the distinct and
+    * the count-distinct share the same (partkey, suppkey) exchange.
+    */
+  val qTpchQ16: Q = q(
+    "q_tpch_q16",
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val qualParts = t.part
+      .filter(
+        col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+      )
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    t.lineitem
+      .select("l_partkey", "l_suppkey")
+      .distinct()
+      .join(
+        broadcast(t.supplier.filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"),
+        "left_anti"
+      )
+      .join(broadcast(qualParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): the nested-subquery chain —
+    * suppliers qualify through an IN subquery whose body compares a per-
+    * (part, supplier) aggregate against a correlated per-part scalar
+    * aggregate. Adapted: "shipped more than 30% of the part's annual
+    * volume" replaces the availqty comparison (no partsupp table). Both
+    * aggregate levels reuse the SAME exact-decimal shipped table — the
+    * per-part total is the sum of the per-(part,supplier) DECIMAL partials,
+    * one exchange key (l_partkey) throughout; the part-name gate semi-joins
+    * before either aggregate.
+    */
+  val qTpchQ20: Q = q(
+    "q_tpch_q20",
+    """WITH shipped AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qdec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM shipped
+      |  WHERE CAST(qdec AS DOUBLE) > 0.3 * (
+      |    SELECT CAST(SUM(s2.qdec) AS DOUBLE) FROM shipped s2
+      |    WHERE s2.l_partkey = shipped.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val shipped = t.lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+      )
+      .join(
+        broadcast(t.part.filter(col("p_name").startsWith("small")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"),
+        "left_semi"
+      )
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(Money)).as("qdec"))
+    val perPart = shipped
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum("qdec").cast("double").as("tot"))
+    val qualifying = shipped
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("qdec").cast("double") > lit(0.3) * col("tot"))
+      .select("l_suppkey")
+    t.supplier
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** Salted skew join, registered: same semantics as a plain
     * lineitem ⋈ supplier equi-join (the oracle IS the plain join), executed
     * through [[graft.ops.Bucketing.saltedJoin]] — big side salted randomly,
@@ -1364,8 +1705,9 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ3, qTpchQ4, qTpchQ5, qTpchQ6,
-    qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ21,
+    q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ2, qTpchQ3, qTpchQ4, qTpchQ5,
+    qTpchQ6, qTpchQ7, qTpchQ8, qTpchQ9, qTpchQ10, qTpchQ11, qTpchQ12, qTpchQ13, qTpchQ15,
+    qTpchQ16, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ20, qTpchQ21,
     qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,

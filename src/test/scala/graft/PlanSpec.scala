@@ -173,6 +173,41 @@ class PlanSpec extends SparkSpec {
     assert(n <= 7, s"q_funnel now plans $n shuffle exchanges (budget 7)")
   }
 
+  test("q_tpch_q7 broadcasts both nation-tagged dims; one fact-fact shuffle") {
+    val p = plan(Relational.qTpchQ7.fn(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q_tpch_q9 pushes the part-name filter below the broadcast, all dims broadcast") {
+    val p = plan(Relational.qTpchQ9.fn(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the LIKE '%red%' filter must run on the part side, not post-join
+    assert(p.contains("StringContains(p_name,red)") || p.contains("Contains(p_name"), p)
+  }
+
+  test("q_tpch_q2/q11/q20 keep their aggregate chains on one exchange key") {
+    // each derives two aggregates from the same relation and joins them
+    // back; the decorrelated plans must share the partkey exchange, not
+    // multiply it
+    Seq(
+      ("q_tpch_q2", Relational.qTpchQ2, 5),
+      ("q_tpch_q11", Relational.qTpchQ11, 4),
+      ("q_tpch_q20", Relational.qTpchQ20, 5)
+    ).foreach { case (name, qq, budget) =>
+      val n = shuffleCount(plan(qq.fn(spark, sf)))
+      info(s"$name: $n exchanges (budget $budget)")
+      assert(n <= budget, s"$name now plans $n shuffle exchanges (budget $budget)")
+    }
+  }
+
+  test("q_tpch_q16 plans the NOT IN as a broadcast anti join") {
+    val p = plan(Relational.qTpchQ16.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // the exact top-k cosine intentionally BNLJ-broadcasts a single query
     // row; nothing may plan an actual cartesian product
