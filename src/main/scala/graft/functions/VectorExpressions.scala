@@ -200,5 +200,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         }
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+        (children: Seq[Expression]) => {
+          require(
+            children.length == 2,
+            s"graft_bloom_contains requires exactly 2 arguments (key, bits), got ${children.length}"
+          )
+          BloomContains(children(0), children(1))
+        }
+      )
+    )
   }
 }

@@ -433,7 +433,100 @@ object Pipeline {
     )
   )
 
+  /** C4/CCNet-style sub-document exact dedup: split every document into
+    * deterministic segments, keep only the GLOBALLY-FIRST occurrence of each
+    * distinct segment (by (doc_id, seg_no) order), and reassemble the
+    * surviving text per document — the "remove duplicated paragraphs/lines
+    * corpus-wide" operator. The fixture corpus has no newline or sentence
+    * boundaries, so "segment" is a fixed 8-word window; the operator is
+    * segmentation-agnostic (swap the splitter for `split(text, '\n')` on a
+    * corpus with real lines).
+    *
+    * Scale shape: segmentation is a scan-stage explode that carries ONLY
+    * (doc_id, seg_no, seg) — the words array is never duplicated per
+    * segment row. First-occurrence is `min(struct(doc_id, seg_no))` per
+    * segment, i.e. a partial+final aggregate (a boilerplate segment
+    * appearing 10^9 times collapses map-side, where a rank-1 window would
+    * funnel the hot key through one task), joined back on the same `seg`
+    * exchange. Reassembly shuffles once on doc_id; documents whose segments
+    * ALL lost survive with empty clean_text via the left join from the base
+    * table.
+    */
+  val segmentDedup: Q = Q(
+    "q_segment_dedup",
+    (s, dir) => {
+      val segs = Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          posexplode(
+            expr(
+              "transform(sequence(0, (size(words)+7) div 8 - 1)," +
+                " i -> array_join(slice(words, cast(i*8+1 as int), 8), ' '))"
+            )
+          ).as(Seq("seg_no", "seg"))
+        )
+      val winners = segs
+        .groupBy(col("seg").as("w_seg"))
+        .agg(min(struct(col("doc_id"), col("seg_no"))).as("w"))
+        .select(col("w_seg"), col("w.doc_id").as("w_doc"), col("w.seg_no").as("w_no"))
+      val kept = segs
+        .join(
+          winners,
+          col("seg") === col("w_seg") && col("doc_id") === col("w_doc") &&
+            col("seg_no") === col("w_no"),
+          "left_semi"
+        )
+        .groupBy("doc_id")
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("seg_no"), col("seg")))), _.getField("seg")),
+            " "
+          ).as("kept_text"),
+          count(lit(1)).as("kept_cnt")
+        )
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          expr("CAST((size(split(text, ' '))+7) div 8 AS BIGINT)").as("n_seg")
+        )
+        .join(kept, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          col("n_seg"),
+          coalesce(col("kept_cnt"), lit(0L)).as("n_kept"),
+          (col("n_seg") - coalesce(col("kept_cnt"), lit(0L))).as("n_dropped"),
+          coalesce(col("kept_text"), lit("")).as("clean_text")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |         unnest(range((len(words)+7)//8)) AS seg_no,
+        |         unnest(list_transform(range((len(words)+7)//8),
+        |                i -> array_to_string(words[i*8+1 : i*8+8], ' '))) AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |wins AS (
+        |  SELECT doc_id, seg_no, seg,
+        |         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+        |  FROM segs),
+        |kept AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+        |         COUNT(*) AS n_kept
+        |  FROM wins WHERE rn = 1 GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, (len(string_split(text, ' '))+7)//8 AS n_seg FROM documents)
+        |SELECT b.doc_id, n_seg,
+        |       COALESCE(n_kept, 0) AS n_kept,
+        |       n_seg - COALESCE(n_kept, 0) AS n_dropped,
+        |       COALESCE(clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |ORDER BY b.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
-      seqPack, contamination)
+      seqPack, contamination, segmentDedup)
 }

@@ -1075,6 +1075,41 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Bloom-filter semi-join reduction, registered: same semantics as a plain
+    * `IN (SELECT …)` semi join (the oracle IS the plain semi join — Bloom
+    * false positives are culled by the exact join that follows), executed
+    * through [[graft.functions.GraftBloom.bloomSemiJoin]]: the key side
+    * aggregates into a 128 KiB bit array (mergeable OR — the shuffle carries
+    * one buffer per task, not the keys), lands in the plan as a literal
+    * (the executed-runtime-filter contract, see the helper's scaladoc), and
+    * the codegen'd `graft_bloom_contains` probe drops non-matching fact rows
+    * IN THE SCAN STAGE, before the semi join's exchange. The runtime-filter
+    * pattern as an explicit, hash-checked operator.
+    */
+  val qBloomJoin: Q = q(
+    "q_bloom_join",
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_rev
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    graft.functions.GraftBloom
+      .bloomSemiJoin(
+        t.lineitem,
+        "l_suppkey",
+        t.supplier.filter(col("s_acctbal") > 5000.0).select("s_suppkey"),
+        "s_suppkey"
+      )
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_rev")
+      )
+      .orderBy("l_returnflag")
+  }
+
   /** Salted skew join, registered: same semantics as a plain
     * lineitem ⋈ supplier equi-join (the oracle IS the plain join), executed
     * through [[graft.ops.Bucketing.saltedJoin]] — big side salted randomly,
@@ -1708,7 +1743,7 @@ object Relational {
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ2, qTpchQ3, qTpchQ4, qTpchQ5,
     qTpchQ6, qTpchQ7, qTpchQ8, qTpchQ9, qTpchQ10, qTpchQ11, qTpchQ12, qTpchQ13, qTpchQ15,
     qTpchQ16, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ20, qTpchQ21,
-    qTpchQ22, qPromoShare, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qTpchQ22, qPromoShare, qBloomJoin, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters
