@@ -373,5 +373,81 @@ object Similarity {
     Some(nearDupOracleSql(NearDupTau))
   )
 
-  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup)
+  /** k-NN self-join: for EVERY vector, its top-k nearest neighbors among
+    * the LSH candidates — the all-vectors dual of the single-query
+    * [[annTopKLsh]], and the shape an embedding-dedup / retrieval-index
+    * pipeline actually runs over the whole corpus. Candidate pairs come
+    * from the same (table_id, bucket) hash self-join as [[nearDupPairs]]
+    * (bucket-bounded, never all-pairs — an exact k-NN join would be O(n²)
+    * at any scale); the per-vector top-k is a row_number window over the
+    * candidate set, partitioned on the source vector, so the only exchanges
+    * are the bucket join and one window shuffle on vec_id whose input is
+    * already pair-bounded. Directed: (a,b) and (b,a) rank independently.
+    * Vectors whose buckets are singletons in all tables have no candidates
+    * and are absent — the documented LSH recall trade, measured in ExtSpec.
+    */
+  def knnJoin(emb: DataFrame, k: Int, nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
+    val b = emb
+      .select(col("vec_id"), col("embedding"), explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
+    val pairs = b.alias("a")
+      .join(
+        b.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id")
+      )
+      .select(
+        col("a.vec_id").as("vid"),
+        col("b.vec_id").as("nbr"),
+        col("a.embedding").as("e1"),
+        col("b.embedding").as("e2")
+      )
+      .dropDuplicates("vid", "nbr")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid")
+      .orderBy(col("cos").desc, col("nbr"))
+    pairs
+      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vid").as("vec_id"), col("rank"), col("nbr").as("neighbor_id"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** DuckDB replay of [[knnJoin]]: hyperplane-literal buckets → distinct
+    * directed candidate pairs → exact cosine → per-vector ROW_NUMBER —
+    * the whole approximate join is hash-checked like the other LSH oracles.
+    */
+  def knnJoinOracleSql(k: Int, nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |${bucketSelects(nTables, nPlanes, dim)}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vid, b2.vec_id AS nbr
+       |  FROM b a JOIN b b2
+       |    ON a.table_id = b2.table_id AND a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+       |sc AS (
+       |  SELECT vid, nbr,
+       |    list_dot_product(e1.v, e2.v)
+       |      / (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))) AS cos
+       |  FROM cand JOIN e e1 ON e1.vec_id = vid JOIN e e2 ON e2.vec_id = nbr)
+       |SELECT vec_id, rank, neighbor_id FROM (
+       |  SELECT vid AS vec_id, nbr AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nbr) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  /** Per-vector top-3 LSH k-NN join, hash-checked end-to-end. Score is
+    * excluded from the output like the other ANN queries (ranks are the
+    * semantics; cosine gaps >> double epsilon make the order stable).
+    */
+  val knnJoinQ: Q = Q(
+    "q_knn_join",
+    (s, dir) => knnJoin(Tables(s, dir).embeddings, 3),
+    Some(knnJoinOracleSql(3))
+  )
+
+  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ)
 }

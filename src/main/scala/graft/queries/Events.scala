@@ -490,7 +490,174 @@ object EventQueries {
     )
   )
 
+  /** Hopping (sliding) windows — the third window shape next to tumbling
+    * ([[eventsWindow]]) and session ([[sessionize]]): 25-minute windows
+    * advancing every 10 minutes, so each event lands in 2–3 overlapping
+    * windows. The assignment is an explode over the (at most 3) candidate
+    * window starts — the standard Spark/Flink hopping-window expansion;
+    * the replication factor is ⌈size/hop⌉, bounded and known at plan time,
+    * and the aggregate after it is one partial+final exchange on
+    * (win_start, type). All window math is integer epoch-microsecond
+    * arithmetic, bit-identical cross-engine. Size is deliberately NOT a
+    * multiple of the hop so the membership filter does real work (an event
+    * in the last 5 minutes of its hop bucket is outside the oldest
+    * candidate window).
+    */
+  val eventsHopping: Q = Q(
+    "q_events_hopping",
+    (s, dir) => {
+      val Hop = 600000000L  // 10 min in us
+      val Win = 1500000000L // 25 min
+      Tables(s, dir).events
+        .select(
+          col("event_type"),
+          col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+        // `div` is exact integer division; `/` would round through a double
+        .withColumn("base", expr(s"(us div $Hop) * $Hop"))
+        .withColumn("k", explode(array(lit(0L), lit(1L), lit(2L))))
+        .withColumn("win_start", col("base") - col("k") * Hop)
+        .filter(col("us") < col("win_start") + Win)
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+    Some(
+      """WITH off AS (SELECT unnest([0, 1, 2]) AS k),
+        |e AS (SELECT event_type, value, epoch_us(ts) AS us,
+        |        (epoch_us(ts) // 600000000) * 600000000 AS base FROM events)
+        |SELECT base - k * 600000000 AS win_start, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM e CROSS JOIN off
+        |WHERE us < base - k * 600000000 + 1500000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
+  /** SCD2 (slowly-changing-dimension type 2) compaction: collapse each
+    * user's event history into `[valid_from, valid_to)` intervals of
+    * constant `event_type`, the change-data-capture → dimension-table
+    * materialization every warehouse runs. Two window passes over the SAME
+    * (user_id | us, event_id) partitioning — detect state changes with
+    * `lag`, then close each interval with `lead` over the surviving change
+    * rows — so the plan is one exchange and the second window reuses the
+    * first's sort order (the filter between them preserves it). Open
+    * intervals have NULL valid_to, exactly like a production SCD2 current
+    * row. Timestamps ride as epoch micros: integer compares, bit-identical
+    * cross-engine.
+    */
+  val scd2: Q = Q(
+    "q_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables(s, dir).events
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+        .withColumn("valid_to", lead("us", 1).over(w))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("us").as("valid_from"),
+          col("valid_to")
+        )
+        .orderBy("user_id", "valid_from")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, event_type, us FROM e
+        |  WHERE prev_type IS NULL OR event_type <> prev_type)
+        |SELECT user_id, event_type, us AS valid_from,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin
+    )
+  )
+
+  /** Count-min sketch next to its ground truth: a (d=4 × w=32) integer
+    * counter matrix over `user_id`, probed for the exact top-10 users so
+    * the driver hash-checks the ESTIMATE itself (unlike engine-opaque
+    * HLL/KLL sketches, every counter is a plain SUM over fixed md5-derived
+    * hashes — replayable in any engine). CMS is the mergeable
+    * frequency sketch a streaming pipeline keeps per partition/micro-batch:
+    * the counter build is ONE partial+final aggregate whose exchange
+    * carries at most d·w = 128 rows regardless of corpus size, counters
+    * merge by addition across shards/days, and the probe side is a
+    * broadcast of those 128 rows onto the (tiny) exact top-k — so the
+    * whole query adds nothing fact-table-sized to the [[graft.queries]]
+    * heavy-hitter scan it complements (`q_heavy_hitters` IS the exact
+    * companion at full width). The one-sided CMS error guarantee
+    * (est ≥ exact, est ≤ exact + εN w.h.p.) is asserted per-row in
+    * EventsSpec, and holds here by construction: a min over supersets of
+    * each key's own counts.
+    */
+  val cmsTopk: Q = Q(
+    "q_cms_topk",
+    (s, dir) => {
+      val D = 4
+      val W = 32
+      def bucketOf(h: Int, u: org.apache.spark.sql.Column) =
+        graft.ext.Dedup.baseHash(concat(lit(h.toString), lit(":"), u.cast("string"))) % W
+      val ev = Tables(s, dir).events
+      val counters = ev
+        .select(
+          explode(
+            array((0 until D).map(j => struct(lit(j).as("h"), bucketOf(j, col("user_id")).as("bucket"))): _*)
+          ).as("hb")
+        )
+        .groupBy(col("hb.h").as("h"), col("hb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val top = ev
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+        .limit(10)
+      val probes = top
+        .select(
+          col("user_id"),
+          col("exact_cnt"),
+          explode(
+            array((0 until D).map(j => struct(lit(j).as("h"), bucketOf(j, col("user_id")).as("bucket"))): _*)
+          ).as("hb")
+        )
+        .select(col("user_id"), col("exact_cnt"), col("hb.h"), col("hb.bucket"))
+      probes
+        .join(broadcast(counters), Seq("h", "bucket"))
+        .groupBy("user_id", "exact_cnt")
+        .agg(min("c").as("cms_est"))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH hs AS (SELECT unnest([0, 1, 2, 3]) AS h),
+        |counters AS (
+        |  SELECT h,
+        |    CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 32 AS bucket,
+        |    COUNT(*) AS c
+        |  FROM events CROSS JOIN hs GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |probes AS (
+        |  SELECT user_id, exact_cnt, h,
+        |    CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 32 AS bucket
+        |  FROM top CROSS JOIN hs)
+        |SELECT user_id, exact_cnt, MIN(c) AS cms_est
+        |FROM probes JOIN counters USING (h, bucket)
+        |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
-      funnel, retention, latestByKey, ewma, zscore)
+      funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk)
 }

@@ -1712,6 +1712,55 @@ object Relational {
       .limit(10)
   }
 
+  /** Z-order (Morton) clustering key + per-z-range locality audit — the
+    * multidimensional data-skipping layout: interleaving the bits of
+    * (l_partkey, l_suppkey) gives a single sort key under which every
+    * contiguous z-range covers a small RECTANGLE in (part, supp) space, so
+    * a table range-partitioned/sorted by `zaddr` before writing (the
+    * [[graft.sources.Sources.writeParquetCompacted]] path) lets parquet
+    * min/max stats prune scans on EITHER key — the effect this query
+    * measures by emitting each 65536-address z-range's bounding box
+    * (`COUNT`, min/max of both dims). Pure per-row bit arithmetic (16
+    * masked bits per dimension, shift/and/or — exact on both engines'
+    * int64s) plus one partial+final aggregate; at 100 TB the z-key costs
+    * nothing at write time and replaces two single-column sort layouts.
+    */
+  val qZorder: Q = {
+    def zTermsSql(c: String, off: Int) =
+      (0 until 16).map(i => s"((($c & 65535) >> $i & 1) << ${2 * i + off})").mkString(" + ")
+    q(
+      "q_zorder",
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${zTermsSql("l_partkey", 0)} + ${zTermsSql("l_suppkey", 1)} AS zaddr
+         |  FROM lineitem)
+         |SELECT zaddr >> 16 AS zbucket, COUNT(*) AS n,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      def zBits(c: org.apache.spark.sql.Column, off: Int) =
+        (0 until 16)
+          .map(i => shiftleft(shiftright(c.bitwiseAND(lit(65535L)), i).bitwiseAND(lit(1L)), 2 * i + off))
+          .reduce(_ + _)
+      Tables(s, dir).lineitem
+        .select(
+          col("l_partkey"),
+          col("l_suppkey"),
+          (zBits(col("l_partkey"), 0) + zBits(col("l_suppkey"), 1)).as("zaddr")
+        )
+        .groupBy(shiftright(col("zaddr"), 16).as("zbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("l_partkey").as("min_part"),
+          max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"),
+          max("l_suppkey").as("max_supp")
+        )
+        .orderBy("zbucket")
+    }
+  }
+
   /** Data-quality profile: one pass over lineitem collecting per-column
     * completeness/cardinality/range stats — the pre-ingest audit every
     * training pipeline runs. Single partial+final aggregate, no per-column
@@ -1746,6 +1795,6 @@ object Relational {
     qTpchQ22, qPromoShare, qBloomJoin, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters
+    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder
   )
 }

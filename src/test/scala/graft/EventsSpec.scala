@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.EventQueries
+
+/** Behavioral specs for the event-analytics queries whose guarantees go
+  * beyond what the cross-engine hash compare can express (error bounds,
+  * coverage invariants). The oracle gate proves equality; these prove the
+  * SEMANTIC properties the scaladocs advertise.
+  */
+class EventsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_cms_topk: count-min estimate is one-sided (est >= exact) and within eps*N") {
+    val rows = EventQueries.cmsTopk.fn(spark, sf).collect()
+    assert(rows.length == 10, "top-10 probe must return 10 rows")
+    val n = Tables(spark, sf).events.count()
+    // CMS with w=32 buckets: eps = e/w ~ 0.085; the Markov bound holds per
+    // row with prob 1-1/e^d, and the fixture sits far inside it
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_cnt"))
+      val est   = r.getLong(r.fieldIndex("cms_est"))
+      assert(est >= exact, s"CMS must never under-count: est=$est < exact=$exact")
+      assert(est <= exact + (0.2 * n).toLong, s"CMS overshoot too large: est=$est exact=$exact N=$n")
+    }
+  }
+
+  test("q_events_hopping: every event lands in 2-3 overlapping windows, totals reconcile") {
+    val ev      = Tables(spark, sf).events
+    val nEvents = ev.count()
+    val hopping = EventQueries.eventsHopping.fn(spark, sf)
+    val total   = hopping.agg(sum("cnt")).first().getLong(0)
+    // size=25min, hop=10min: an event in the first 5 minutes of its hop
+    // bucket is in 3 windows, otherwise 2 — so total replicated count is
+    // strictly between 2N and 3N on any non-degenerate fixture
+    assert(total > 2 * nEvents, s"replication too low: $total vs N=$nEvents")
+    assert(total < 3 * nEvents, s"replication too high: $total vs N=$nEvents")
+    // window starts align to the hop grid
+    hopping.select("win_start").distinct().collect().foreach { r =>
+      assert(r.getLong(0) % 600000000L == 0L, "win_start must sit on the hop grid")
+    }
+  }
+
+  test("q_scd2: intervals per user are disjoint, contiguous, and cover the history") {
+    val scd = EventQueries.scd2.fn(spark, sf).collect()
+    val ev  = Tables(spark, sf).events
+    val perUser = scd.groupBy(_.getLong(0))
+    perUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      // exactly one open interval (the current row), and it is the last
+      assert(sorted.count(_.isNullAt(3)) == 1)
+      assert(sorted.last.isNullAt(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval closes exactly where the next opens
+          assert(a.getLong(3) == b.getLong(2), "intervals must be contiguous")
+          // consecutive intervals carry different states (else not a change)
+          assert(a.getString(1) != b.getString(1), "adjacent intervals must differ in state")
+        case _ => ()
+      }
+    }
+    // every user with events has at least one interval
+    val users = ev.select("user_id").distinct().count()
+    assert(perUser.size.toLong == users, "every user must have an SCD2 history")
+  }
+}
