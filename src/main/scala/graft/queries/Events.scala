@@ -601,35 +601,38 @@ object EventQueries {
     * EventsSpec, and holds here by construction: a min over supersets of
     * each key's own counts.
     */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 32
+
+  private[graft] def cmsBucket(h: Int, u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.ext.Dedup.baseHash(concat(lit(h.toString), lit(":"), u.cast("string"))) % CmsWidth
+
+  private[graft] def cmsHashBuckets(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CmsDepth).map(j => struct(lit(j).as("h"), cmsBucket(j, u).as("bucket"))): _*)
+
+  /** The CMS counter matrix over `user_id` — shared by the batch
+    * [[cmsTopk]] and the streaming mergeability test in StreamingSpec
+    * (a groupBy-count is a streaming aggregate: counters accumulate by
+    * addition across micro-batches, which IS the CMS merge).
+    */
+  def cmsCounters(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .select(explode(cmsHashBuckets(col("user_id"))).as("hb"))
+      .groupBy(col("hb.h").as("h"), col("hb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   val cmsTopk: Q = Q(
     "q_cms_topk",
     (s, dir) => {
-      val D = 4
-      val W = 32
-      def bucketOf(h: Int, u: org.apache.spark.sql.Column) =
-        graft.ext.Dedup.baseHash(concat(lit(h.toString), lit(":"), u.cast("string"))) % W
-      val ev = Tables(s, dir).events
-      val counters = ev
-        .select(
-          explode(
-            array((0 until D).map(j => struct(lit(j).as("h"), bucketOf(j, col("user_id")).as("bucket"))): _*)
-          ).as("hb")
-        )
-        .groupBy(col("hb.h").as("h"), col("hb.bucket").as("bucket"))
-        .agg(count(lit(1)).as("c"))
+      val ev       = Tables(s, dir).events
+      val counters = cmsCounters(ev)
       val top = ev
         .groupBy("user_id")
         .agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("user_id"))
         .limit(10)
       val probes = top
-        .select(
-          col("user_id"),
-          col("exact_cnt"),
-          explode(
-            array((0 until D).map(j => struct(lit(j).as("h"), bucketOf(j, col("user_id")).as("bucket"))): _*)
-          ).as("hb")
-        )
+        .select(col("user_id"), col("exact_cnt"), explode(cmsHashBuckets(col("user_id"))).as("hb"))
         .select(col("user_id"), col("exact_cnt"), col("hb.h"), col("hb.bucket"))
       probes
         .join(broadcast(counters), Seq("h", "bucket"))

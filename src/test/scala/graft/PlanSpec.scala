@@ -131,6 +131,7 @@ class PlanSpec extends SparkSpec {
       ("q_edit_neardup", Dedup.editNearDup, 9),
       ("q_dedup_incremental", Dedup.dedupIncremental, 9),
       ("q_embed_neardup", Similarity.embedNearDup, 4),
+      ("q_knn_join", Similarity.knnJoinQ, 6),
       ("q_clean_corpus", graft.queries.Pipeline.cleanCorpus, 11),
       ("q_shared_passages", graft.ext.Winnow.sharedPassages, 6)
     )

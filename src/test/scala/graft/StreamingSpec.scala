@@ -326,6 +326,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CMS counters accumulate across micro-batches and equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = graft.queries.EventQueries
+      .cmsCounters(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("cms")
+      .outputMode(OutputMode.Complete)
+      .start()
+    val batch1 = Seq(
+      ev(1, "2026-01-01 10:00:00", 1, "view", 0),
+      ev(2, "2026-01-01 10:01:00", 2, "click", 0),
+      ev(3, "2026-01-01 10:02:00", 1, "click", 0)
+    )
+    val batch2 = Seq(
+      ev(4, "2026-01-01 11:00:00", 3, "view", 0),
+      ev(5, "2026-01-01 11:01:00", 1, "purchase", 0)
+    )
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .sql("SELECT h, bucket, c FROM cms ORDER BY h, bucket")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      // counter addition across micro-batches IS the CMS merge: the
+      // streamed sketch over two batches must equal the batch sketch over
+      // their union — the property that lets per-day/per-shard sketches
+      // combine at 100 TB without touching raw rows again
+      val batch = graft.queries.EventQueries
+        .cmsCounters((batch1 ++ batch2).toDF())
+        .orderBy("h", "bucket")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._3).sum == 5L * graft.queries.EventQueries.CmsDepth)
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
