@@ -360,7 +360,93 @@ object TextQueries {
     )
   )
 
+  /** Character-bigram language-model scoring — the model-based quality
+    * filter (CCNet/Gopher-style "perplexity vs a reference LM" gate) in a
+    * cross-engine-hashable form. The corpus itself is the model: bigram
+    * probability p(c₂|c₁) = count(c₁c₂)/count(c₁·), and each document is
+    * scored by its mean per-bigram surprisal, so boilerplate-like text
+    * (high-probability transitions) scores low and noise scores high.
+    *
+    * Determinism: true surprisal is −ln p — libm territory. Here the
+    * surprisal is BUCKETED to integer bits: `floor(log₂(c₁·2²⁰ ÷ c₁₂))`,
+    * computed as `length(bin(ratio)) − 1` — pure integer division plus a
+    * binary-string length, bit-identical in any engine (the same monotone
+    * dodge as q_tfidf's integer-scaled IDF). Resolution is ±0.5 bit per
+    * bigram; averaged over a document's hundreds of bigrams the score
+    * ranks documents essentially as the float LM would, and a production
+    * consumer free of cross-engine hashing would swap in float `ln`
+    * unchanged. (`score_scaled` = mean bits/bigram × 10⁶.)
+    *
+    * Scale shape: the doc×bigram tf table is the ONE corpus-sized
+    * exchange (same as q_tfidf); the model derives from tf by
+    * reaggregation — never a second corpus scan — and is alphabet²-bounded
+    * (a few thousand rows at any corpus size), so scoring is a broadcast
+    * join back onto tf. Overflow bound: c₁·2²⁰ < 2⁶³ holds through
+    * ~8×10¹² model chars (≈ 8 TB of text); beyond that, shard the model
+    * or drop the scale to 2¹⁰.
+    */
+  val lmScore: Q = Q(
+    "q_lm_score",
+    (s, dir) => {
+      val docs  = Tables(s, dir).documents
+      val chars = split(lower(col("text")), "")
+      // O(len) zipped-slices bigram extraction (the transform-over-
+      // sequence formulation re-walks the string per index: O(len²))
+      val bigrams = when(
+        size(chars) >= 2,
+        transform(
+          arrays_zip(
+            slice(chars, lit(1), size(chars) - 1),
+            slice(chars, lit(2), size(chars) - 1)
+          ),
+          p => concat(p.getField("0"), p.getField("1"))
+        )
+      ).otherwise(array().cast("array<string>"))
+      val tf = docs
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("tf"))
+      val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
+      val c1 = c12
+        .groupBy(substring(col("bg"), 1, 1).as("c"))
+        .agg(sum("c12").as("c1"))
+      val model = c12
+        .join(c1, substring(col("bg"), 1, 1) === col("c"))
+        .withColumn("bits", length(bin(expr("(c1 * 1048576) div c12"))) - 1)
+        .select("bg", "bits")
+      tf.join(broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+          sum("tf").as("n_bigrams"),
+          sum(col("tf") * col("bits")).as("bits_total")
+        )
+        .withColumn("score_scaled", expr("(bits_total * 1000000) div n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(lower(text)) - 1, 0) + 1),
+        |                   i -> substr(lower(text), CAST(i AS INT), 2)) AS bgs
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, bg, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM ch) GROUP BY 1, 2),
+        |c12 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1),
+        |c1 AS (SELECT substr(bg, 1, 1) AS c, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |model AS (
+        |  SELECT bg, CAST(length(bin((c1 * 1048576) // c12)) - 1 AS INT) AS bits
+        |  FROM c12 JOIN c1 ON substr(bg, 1, 1) = c)
+        |SELECT tf.doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(tf * bits) AS BIGINT) AS bits_total,
+        |  CAST((SUM(tf * bits) * 1000000) // SUM(tf) AS BIGINT) AS score_scaled
+        |FROM tf JOIN model USING (bg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
-      repetition, ngramNovelty)
+      repetition, ngramNovelty, lmScore)
 }

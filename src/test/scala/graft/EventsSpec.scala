@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.queries.EventQueries
 
-/** Behavioral specs for the event-analytics queries whose guarantees go
+/** Behavioral specs for the event- and text-analytics queries whose guarantees go
   * beyond what the cross-engine hash compare can express (error bounds,
   * coverage invariants). The oracle gate proves equality; these prove the
   * SEMANTIC properties the scaladocs advertise.
@@ -42,6 +42,38 @@ class EventsSpec extends SparkSpec {
     hopping.select("win_start").distinct().collect().foreach { r =>
       assert(r.getLong(0) % 600000000L == 0L, "win_start must sit on the hop grid")
     }
+  }
+
+  test("q_lm_score: natural text scores lower surprisal than character noise") {
+    import spark.implicits._
+    // score a mixed corpus through the registered query's own pipeline by
+    // pointing it at a temp dir with a documents.parquet of our making
+    val tmp = java.nio.file.Files.createTempDirectory("lmscore").toString
+    val natural = (0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and the dog sleeps in the sun", "en", "web", 70L)
+    )
+    val noise = (20 until 40).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(70)(('a' + rnd.nextInt(26)).toChar).mkString, "en", "web", 70L)
+    }
+    (natural ++ noise)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val scores = graft.queries.TextQueries.lmScore
+      .fn(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    val meanNat   = natural.map(d => scores(d._1)).sum / natural.size
+    val meanNoise = noise.map(d => scores(d._1)).sum / noise.size
+    // the repeated English sentence compresses far better under its own
+    // bigram model than uniform character noise — a wide margin, not a tie
+    assert(
+      meanNoise > meanNat + 1000000L,
+      s"noise must score >=1 bit/bigram above natural text: noise=$meanNoise natural=$meanNat"
+    )
   }
 
   test("q_scd2: intervals per user are disjoint, contiguous, and cover the history") {
