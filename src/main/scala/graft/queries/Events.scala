@@ -660,7 +660,99 @@ object EventQueries {
     )
   )
 
+  /** 7-day rolling sum per user over a RANGE window frame — the
+    * value-based frame (ewma / q_running_total cover ROWS frames;
+    * RANGE frames bound by the ORDER BY VALUE, so gaps in the day sequence
+    * shrink the frame instead of sliding over a fixed row count). The
+    * daily pre-aggregate keeps the window input at one row per (user, day)
+    * — the frame never re-reads raw events — and the rolling sum runs over
+    * EXACT DECIMALS inside the frame (sliding double sums are computed
+    * incrementally with subtraction and would drift cross-engine; decimal
+    * addition is exact in any order), casting to double only on output.
+    * One exchange on user_id shared by the aggregate and the window.
+    */
+  val rolling7d: Q = Q(
+    "q_rolling_7d",
+    (s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("user_id"), dayOf(col("ts")).as("day"))
+        .agg(sum(col("value").cast(Money)).as("dv"))
+      val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+      daily
+        .withColumn("rolling_7d", sum("dv").over(w).cast("double"))
+        .select(
+          col("user_id"),
+          col("day"),
+          col("dv").cast("double").as("day_value"),
+          col("rolling_7d")
+        )
+        .orderBy("user_id", "day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS dv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, CAST(dv AS DOUBLE) AS day_value,
+        |  CAST(SUM(dv) OVER (PARTITION BY user_id ORDER BY day
+        |                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+        |FROM daily ORDER BY user_id, day""".stripMargin
+    )
+  )
+
+  /** Event-type transition matrix — first-order Markov sequence mining:
+    * for each user-ordered (type → next-type) step, the corpus-wide count
+    * and transition probability. The lead window shares the sessionize
+    * exchange shape (one shuffle on user_id); the per-from-type totals are
+    * a tiny reaggregation of the counted pairs (never a second pass over
+    * events) broadcast back for the probability — which is ONE IEEE
+    * division of exact longs, hash-stable. The matrix is
+    * |event_type|²-bounded regardless of corpus size.
+    */
+  val nextEvent: Q = Q(
+    "q_next_event",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = Tables(s, dir).events
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy("from_type").agg(sum("cnt").as("total"))
+      pairs
+        .join(broadcast(totals), "from_type")
+        .select(
+          col("from_type"),
+          col("to_type"),
+          col("cnt"),
+          (col("cnt").cast("double") / col("total")).as("p")
+        )
+        .orderBy("from_type", "to_type")
+    },
+    Some(
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |cnts AS (
+        |  SELECT from_type, to_type, COUNT(*) AS cnt FROM pairs
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS total FROM cnts GROUP BY 1)
+        |SELECT from_type, to_type, cnt, CAST(cnt AS DOUBLE) / total AS p
+        |FROM cnts JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
-      funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk)
+      funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
+      rolling7d, nextEvent)
 }
