@@ -456,6 +456,151 @@ object Multimodal {
     )
   )
 
+  /** Typed video metadata extracted from an ISO-BMFF (MP4) header. */
+  final case class VideoMeta(
+      id: Long,
+      nBytes: Long,
+      majorBrand: String,
+      timescale: Long,
+      durationMs: Long,
+      nTracks: Int
+  )
+
+  /** REAL video-container metadata from ISO-BMFF (MP4) headers — the video
+    * analog of [[imageDims]]/[[wavMeta]]: a pure-JVM box walk, no codec.
+    * Boxes are `be32 size + 4CC type` (ISO/IEC 14496-12 §4.2); the file
+    * must open with `ftyp` (§4.3, carrying the major brand), then the
+    * top-level walk finds `moov`, whose children yield `mvhd` (version 0:
+    * be32 timescale at +20, be32 duration at +24; version 1: 64-bit times,
+    * timescale at +28, be64 duration at +32 — §8.2.2) and one `trak` per
+    * track. Size 0 (box-to-EOF) and size 1 (64-bit largesize) are honored
+    * for SKIPPING in the top-level walk; cursors are Longs so a malformed
+    * unsigned size can never stall or reverse the walk (same totality
+    * discipline as [[wavMeta]], fuzz-asserted in PropertySpec). Returns
+    * None for anything that is not a well-formed MP4 header.
+    */
+  def mp4Meta(b: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, t: String): Boolean =
+      i + 4 <= b.length && t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
+    if (b.length < 16 || !tag(4, "ftyp")) return None
+    val brand                          = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var i: Long                        = 0L
+    var out: Option[(Long, Long, Int)] = None
+    while (i + 8 <= b.length && out.isEmpty) {
+      val at   = i.toInt
+      val size = be32(at)
+      if (tag(at + 4, "moov")) {
+        val end                        = math.min(if (size < 8) b.length.toLong else i + size, b.length.toLong)
+        var j: Long                    = i + 8
+        var ts                         = 0L
+        var durMs                      = -1L
+        var tracks                     = 0
+        while (j + 8 <= end) {
+          val ja    = j.toInt
+          val csize = be32(ja)
+          if (tag(ja + 4, "mvhd")) {
+            val v = if (j + 9 <= end) u8(ja + 8) else -1
+            if (v == 0 && j + 28 <= end) {
+              ts = be32(ja + 20)
+              if (ts > 0) durMs = be32(ja + 24) * 1000L / ts
+            } else if (v == 1 && j + 40 <= end) {
+              ts = be32(ja + 28)
+              if (ts > 0) durMs = be64(ja + 32) * 1000L / ts
+            }
+          }
+          if (tag(ja + 4, "trak")) tracks += 1
+          j = if (csize < 8) end else j + csize
+        }
+        if (durMs >= 0) out = Some((ts, durMs, tracks))
+        i = end
+      } else {
+        val step =
+          if (size == 0) b.length - i // box extends to EOF (§4.2)
+          else if (size == 1 && i + 16 <= b.length) be64(at + 8) // 64-bit largesize
+          else size
+        if (step < 8) return None // malformed: a box cannot be smaller than its header
+        i += step
+      }
+    }
+    out.map { case (ts, d, t) => (brand, ts, d, t) }
+  }
+
+  /** A minimal canonical MP4 header (`ftyp` + `moov[mvhd v0 + nTracks
+    * empty trak]`) — the video analog of [[pngHeaderBytes]]/
+    * [[wavHeaderBytes]] for fixtures. 132 + 8·nTracks deterministic bytes.
+    */
+  def mp4HeaderBytes(majorBrand: String, timescale: Int, duration: Int, nTracks: Int): Array[Byte] = {
+    require(majorBrand.length == 4, "major brand is a 4CC")
+    val mvhdSize = 108 // fixed v0 layout (ISO 14496-12 §8.2.2)
+    val moovSize = 8 + mvhdSize + nTracks * 8
+    val bb       = java.nio.ByteBuffer.allocate(16 + moovSize) // big-endian by default
+    bb.putInt(16).put("ftyp".getBytes).put(majorBrand.getBytes).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes)
+    bb.putInt(mvhdSize).put("mvhd".getBytes)
+    bb.putInt(0)                           // version 0 + flags
+    bb.putInt(0).putInt(0)                 // creation/modification time
+    bb.putInt(timescale).putInt(duration)
+    bb.put(new Array[Byte](80))            // rate/volume/reserved/matrix/pre_defined/next_track_ID
+    (0 until nTracks).foreach(_ => bb.putInt(8).put("trak".getBytes))
+    bb.array()
+  }
+
+  /** Video decode stage: same partition-batched shape as [[decodeAudio]],
+    * REAL ISO-BMFF parsing via [[mp4Meta]]; unparseable payloads yield
+    * zeroed metadata rather than dropping the row.
+    */
+  def decodeVideo(records: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val (brand, ts, dur, tracks) = mp4Meta(r.media).getOrElse(("", 0L, 0L, 0))
+      VideoMeta(r.id, r.media.length.toLong, brand, ts, dur, tracks)
+    })
+  }
+
+  /** Registered query: REAL video-container decode end-to-end, completing
+    * the image ([[multimodalDecode]]) / audio ([[multimodalAudio]]) /
+    * video header-parse family — each document yields a synthesized MP4
+    * header whose parameters derive from its columns, the Spark side
+    * box-walks them back, and the oracle recomputes every value (including
+    * the integer-division duration) independently.
+    */
+  val multimodalVideo: Q = Q(
+    "q_multimodal_video",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          MediaRecord(
+            id,
+            "video",
+            mp4HeaderBytes(
+              majorBrand = if (id % 2 == 0) "isom" else "mp42",
+              timescale = (600 * (1 + id % 4)).toInt,
+              duration = (nChars * 50).toInt,
+              nTracks = (1 + id % 3).toInt
+            )
+          )
+        }
+      decodeVideo(recs).toDF().orderBy("id")
+    },
+    Some(
+      """SELECT doc_id AS id,
+        |  CAST(132 + 8 * (1 + doc_id % 3) AS BIGINT) AS "nBytes",
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS "majorBrand",
+        |  CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+        |  CAST((n_chars * 50 * 1000) // (600 * (1 + doc_id % 4)) AS BIGINT) AS "durationMs",
+        |  CAST(1 + doc_id % 3 AS INT) AS "nTracks"
+        |FROM documents ORDER BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalAudio, multimodalFrames)
+    Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalAudio, multimodalFrames,
+      multimodalVideo)
 }

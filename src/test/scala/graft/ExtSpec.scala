@@ -218,6 +218,29 @@ class ExtSpec extends SparkSpec {
     assert((exact intersect ivf).size >= 3, s"recall too low: ${(exact intersect ivf).size}/10")
   }
 
+  test("mp4Meta parses canonical and v1-mvhd ISO-BMFF headers, rejects non-MP4") {
+    // v0 round-trip through the synthesizer
+    val b = Multimodal.mp4HeaderBytes("isom", timescale = 600, duration = 3000, nTracks = 2)
+    assert(b.length == 132 + 16)
+    assert(Multimodal.mp4Meta(b).contains(("isom", 600L, 5000L, 2)))
+    // hand-built v1 mvhd (64-bit times): timescale 1000, duration 2500 -> 2500 ms
+    val mvhdV1 = java.nio.ByteBuffer.allocate(120)
+    mvhdV1.putInt(120).put("mvhd".getBytes)
+    mvhdV1.put(1.toByte).put(new Array[Byte](3)) // version 1 + flags
+    mvhdV1.putLong(0L).putLong(0L)               // 64-bit creation/modification
+    mvhdV1.putInt(1000).putLong(2500L)
+    mvhdV1.put(new Array[Byte](80))
+    val moov = java.nio.ByteBuffer.allocate(8 + 120 + 8)
+    moov.putInt(8 + 120 + 8).put("moov".getBytes).put(mvhdV1.array()).putInt(8).put("trak".getBytes)
+    val ftyp = java.nio.ByteBuffer.allocate(16)
+    ftyp.putInt(16).put("ftyp".getBytes).put("mp42".getBytes).putInt(0)
+    assert(Multimodal.mp4Meta(ftyp.array() ++ moov.array()).contains(("mp42", 1000L, 2500L, 1)))
+    // not MP4: no ftyp leader
+    assert(Multimodal.mp4Meta("RIFF....WAVE".getBytes ++ new Array[Byte](32)).isEmpty)
+    // ftyp but no moov/mvhd anywhere
+    assert(Multimodal.mp4Meta(Multimodal.mp4HeaderBytes("isom", 600, 100, 1).take(16)).isEmpty)
+  }
+
   test("wavMeta parses a canonical RIFF/WAVE header and rejects non-WAV payloads") {
     // 88200 data bytes at 44100 Hz × 2 ch × 16 bit = 176400 B/s → 500 ms
     val b = Multimodal.wavHeaderBytes(44100, 2, 16, 88200)

@@ -75,18 +75,21 @@ class PropertySpec extends SparkSpec {
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       "GIF89a".getBytes,
       Array(0xff, 0xd8, 0xff).map(_.toByte),
-      "RIFF0000WAVE".getBytes
+      "RIFF0000WAVE".getBytes,
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes,
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ "moov".getBytes
     )
     tail <- Gen.listOfN(64, Gen.choose(Byte.MinValue, Byte.MaxValue))
   } yield magic ++ tail.toArray
 
-  test("imageDims and wavMeta never throw and terminate on arbitrary bytes") {
+  test("imageDims, wavMeta, and mp4Meta never throw and terminate on arbitrary bytes") {
     check(Prop.forAll(Gen.oneOf(bytesGen, magicBytesGen)) { b =>
       // totality is the property: any exception fails the prop; a hang
       // fails the suite timeout. Returned values are checked by the
       // golden/oracle tests — here only "parses or declines cleanly".
       graft.ext.Multimodal.imageDims(b)
       graft.ext.Multimodal.wavMeta(b)
+      graft.ext.Multimodal.mp4Meta(b)
       Prop.passed
     }, minSuccessful = 200)
   }
