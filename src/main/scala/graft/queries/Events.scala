@@ -751,8 +751,59 @@ object EventQueries {
     )
   )
 
+  /** Median-absolute-deviation outlier gate — the ROBUST companion to
+    * [[zscore]]: median and MAD shrug off the very outliers that inflate a
+    * mean/σ gate (one wild value can mask itself under z-scores; it cannot
+    * move a median). Both medians are exact order statistics
+    * (percentile_disc ≙ DuckDB quantile_disc — same smallest-value-at-
+    * cum-p convention, proven by q_percentile's green row), so no
+    * summation-order hazard exists at all; the deviations and the 1.4826
+    * σ-consistency scaling are single IEEE ops on bit-identical doubles.
+    * Plan: two aggregate passes over (event_type)-keyed rows with the
+    * tiny per-type stats broadcast back between them — the same
+    * one-exchange-plus-broadcast shape as zscore, just run twice.
+    */
+  val mad: Q = Q(
+    "q_mad",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = e
+        .groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val dev = e
+        .join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val madT = dev
+        .groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+      dev
+        .join(broadcast(madT), "event_type")
+        .select(
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          col("med"),
+          col("mad"),
+          (col("adev") > lit(3.5) * lit(1.4826) * col("mad")).as("is_outlier")
+        )
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_disc(value, 0.5) AS med FROM e GROUP BY 1),
+        |dev AS (SELECT e.*, med, abs(value - med) AS adev FROM e JOIN med USING (event_type)),
+        |madt AS (SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT event_id, d.event_type, value, d.med, m.mad,
+        |  adev > 3.5 * 1.4826 * m.mad AS is_outlier
+        |FROM dev d JOIN madt m USING (event_type)
+        |ORDER BY event_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
-      rolling7d, nextEvent)
+      rolling7d, nextEvent, mad)
 }

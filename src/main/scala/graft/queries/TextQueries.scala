@@ -446,7 +446,83 @@ object TextQueries {
     )
   )
 
+  /** Inverted index build: term → (document frequency, sorted posting
+    * list) — the retrieval-index materialization step of a search/RAG
+    * pipeline. The posting list is emitted as a comma-joined STRING of
+    * sorted doc_ids: sortedness makes the value deterministic (Spark's
+    * collect_set order is partitioning-dependent until sort_array
+    * canonicalizes it), and a flat string — unlike an array column — rides
+    * through any engine's hash compare. One explode + one distinct-pair
+    * aggregate; the shuffle carries (term, doc_id) pairs once and the
+    * posting assembly is map-side-combined per term. At 100 TB postings
+    * would be delta-encoded blocks bucketed by term — the same single
+    * exchange, a different sink encoding.
+    */
+  val invertedIndex: Q = Q(
+    "q_inverted_index",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+        .groupBy("term")
+        .agg(
+          count(lit(1)).as("df"),
+          concat_ws(",", sort_array(collect_set(col("doc_id")))).as("postings")
+        )
+        .orderBy("term"),
+    Some(
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, t AS term
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |  WHERE t <> '')
+        |SELECT term, COUNT(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM td GROUP BY term ORDER BY term""".stripMargin
+    )
+  )
+
+  /** Higher-order array functions as a registered surface: per document,
+    * tokenize once into an array and answer three questions WITHOUT
+    * re-scanning the text — filter (how many long tokens), transform +
+    * aggregate (total token length via a fold), exists (any numeric
+    * token). These are the Catalyst lambda expressions
+    * (`filter`/`transform`/`aggregate`/`exists` ≙ DuckDB
+    * `list_filter`/`list_transform`/`list_sum`/`list_filter`-len) a
+    * pipeline uses to keep per-row array work inside the scan stage
+    * instead of exploding rows through a shuffle. Each output is a scalar
+    * of exact integer arithmetic. The lambda inputs are projected
+    * columns, never recomputed subtrees (the O(n²) HOF trap documented in
+    * ext/Dedup).
+    */
+  val hofOps: Q = Q(
+    "q_hof",
+    (s, dir) => {
+      val toks = split(lower(col("text")), " ", -1)
+      Tables(s, dir).documents
+        .select(col("doc_id"), toks.as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"), t => length(t) > 4)).as("n_long"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), _ + _)
+            .as("total_len"),
+          exists(col("toks"), t => t.rlike("^[0-9]+$")).as("has_numeric")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+        |  len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) > 0 AS has_numeric
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
-      repetition, ngramNovelty, lmScore)
+      repetition, ngramNovelty, lmScore, invertedIndex, hofOps)
 }
