@@ -521,14 +521,22 @@ object Dedup {
         .union(pairs.select(col("d2"), col("d2")))
         .toDF("src", "dst")
     )
-    var labels = edges.select(col("src").as("id")).distinct().withColumn("label", col("id"))
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .first()
+        .getDecimal(0) // null on an empty graph — the null==null compare below converges it
+    // Initialization IS the first propagation step: with self-loops in the
+    // edge set, min(dst) per src equals min(own id, neighbor ids) — so the
+    // groupBy that would otherwise seed labels with identity does one real
+    // iteration's work for free (one fewer distributed round per query).
+    var labels = cached(edges.groupBy(col("src").as("id")).agg(min("dst").as("label")))
     // Convergence via the label-sum fixpoint: labels only ever DECREASE
     // under min-propagation, so the (exact decimal — no int64 overflow at
     // any corpus size) sum strictly decreases on every changing iteration
     // and is stationary exactly at the fixpoint. One scalar action per
     // iteration on the already-materialized frame, no compare join.
-    var prevSum: Option[java.math.BigDecimal] = None
-    var prevCached: DataFrame                 = null
+    var prevSum: Option[java.math.BigDecimal] = Some(labelSum(labels))
+    var prevCached: DataFrame                 = labels
     var it                                    = 0
     var converged                             = false
     while (it < maxIters && !converged) {
@@ -538,10 +546,7 @@ object Dedup {
           .groupBy(col("src").as("id"))
           .agg(min("label").as("label"))
       )
-      val s = stepped
-        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
-        .first()
-        .getDecimal(0) // null on an empty graph — handled below
+      val s = labelSum(stepped)
       converged = prevSum.exists { p =>
         if (p == null || s == null) p == s else p.compareTo(s) == 0
       }
