@@ -402,10 +402,18 @@ object TextQueries {
           p => concat(p.getField("0"), p.getField("1"))
         )
       ).otherwise(array().cast("array<string>"))
-      val tf = docs
+      // Catalyst does not dedup common subtrees: without the persist, the
+      // scan+explode+count lineage would execute TWICE (model derivation
+      // and scoring) — the same single-scan discipline as Dedup's cached
+      // shingle sets. Spark's CacheManager dedupes identical plans, so all
+      // executions in a session share one entry per fixture dir.
+      val tfPlan = docs
         .select(col("doc_id"), explode(bigrams).as("bg"))
         .groupBy("doc_id", "bg")
         .agg(count(lit(1)).as("tf"))
+      val tf =
+        if (tfPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tfPlan.persist()
+        else tfPlan
       val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
       val c1 = c12
         .groupBy(substring(col("bg"), 1, 1).as("c"))

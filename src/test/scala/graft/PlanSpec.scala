@@ -132,6 +132,17 @@ class PlanSpec extends SparkSpec {
       ("q_dedup_incremental", Dedup.dedupIncremental, 9),
       ("q_embed_neardup", Similarity.embedNearDup, 4),
       ("q_knn_join", Similarity.knnJoinQ, 6),
+      // lm_score's tf table is persisted and referenced twice (model +
+      // scoring); the plan STRING prints the InMemoryRelation's internal
+      // exchange per reference, so the count over-states what executes
+      ("q_lm_score", graft.queries.TextQueries.lmScore, 8),
+      ("q_inverted_index", graft.queries.TextQueries.invertedIndex, 4),
+      // (q_dedup_clusters is NOT budgeted: its final frame's printed
+      // lineage nests every cached iteration, so the string count scales
+      // with iteration history instead of per-round work — the per-round
+      // shape, one join + one min-aggregate, is pinned by its scaladoc
+      // and the runtime is bounded by the convergence require)
+      ("q_cms_topk", graft.queries.EventQueries.cmsTopk, 6),
       ("q_clean_corpus", graft.queries.Pipeline.cleanCorpus, 11),
       ("q_shared_passages", graft.ext.Winnow.sharedPassages, 6)
     )
