@@ -513,7 +513,14 @@ object Multimodal {
             }
           }
           if (tag(ja + 4, "trak")) tracks += 1
-          j = if (csize < 8) end else j + csize
+          // children honor the same size-0 (to container end) and size-1
+          // (64-bit largesize) encodings as the top-level walk — a legal
+          // largesize child must be SKIPPED, not treated as terminal
+          val cstep =
+            if (csize == 0) end - j
+            else if (csize == 1 && j + 16 <= end) be64(ja + 8)
+            else csize
+          j = if (cstep < 8) end else j + cstep
         }
         if (durMs >= 0) out = Some((ts, durMs, tracks))
         i = end
@@ -582,7 +589,10 @@ object Multimodal {
             mp4HeaderBytes(
               majorBrand = if (id % 2 == 0) "isom" else "mp42",
               timescale = (600 * (1 + id % 4)).toInt,
-              duration = (nChars * 50).toInt,
+              // toIntExact: a silent .toInt wrap on a future huge-doc
+              // fixture would diverge from the oracle's full-precision
+              // arithmetic — fail loudly at the 2^31 bound instead
+              duration = math.toIntExact(nChars * 50),
               nTracks = (1 + id % 3).toInt
             )
           )

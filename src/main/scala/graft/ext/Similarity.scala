@@ -138,16 +138,22 @@ object Similarity {
     * bucketed, never all-pairs; pairs found by several tables dedup before
     * the exact cosine verification.
     */
-  def nearDupPairs(emb: DataFrame, tau: Double, nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
+  /** The one LSH candidate-pair construction shared by [[nearDupPairs]]
+    * (undirected, `v1 < v2`) and [[knnJoin]] (directed, `v1 != v2`):
+    * explode onto (table_id, bucket) keys, hash self-join within buckets,
+    * dedup pairs found by several tables. One source of truth — the oracle
+    * side already shares [[bucketSelects]] the same way.
+    */
+  private def bucketCandidates(emb: DataFrame, directed: Boolean, nTables: Int, nPlanes: Int): DataFrame = {
     val b = emb
       .select(col("vec_id"), col("embedding"), explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
-    val pairs = b.alias("a")
+    val pred =
+      if (directed) col("a.vec_id") =!= col("b.vec_id") else col("a.vec_id") < col("b.vec_id")
+    b.alias("a")
       .join(
         b.alias("b"),
-        col("a.table_id") === col("b.table_id") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id")
+        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") && pred
       )
       .select(
         col("a.vec_id").as("v1"),
@@ -156,11 +162,13 @@ object Similarity {
         col("b.embedding").as("e2")
       )
       .dropDuplicates("v1", "v2")
-    pairs
+  }
+
+  def nearDupPairs(emb: DataFrame, tau: Double, nTables: Int = 4, nPlanes: Int = 6): DataFrame =
+    bucketCandidates(emb, directed = false, nTables, nPlanes)
       .withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= tau)
       .select("v1", "v2", "cos")
-  }
 
   // ---- registered queries -------------------------------------------------
 
@@ -387,31 +395,14 @@ object Similarity {
     * and are absent — the documented LSH recall trade, measured in ExtSpec.
     */
   def knnJoin(emb: DataFrame, k: Int, nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
-    val b = emb
-      .select(col("vec_id"), col("embedding"), explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
-    val pairs = b.alias("a")
-      .join(
-        b.alias("b"),
-        col("a.table_id") === col("b.table_id") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id")
-      )
-      .select(
-        col("a.vec_id").as("vid"),
-        col("b.vec_id").as("nbr"),
-        col("a.embedding").as("e1"),
-        col("b.embedding").as("e2")
-      )
-      .dropDuplicates("vid", "nbr")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vid")
-      .orderBy(col("cos").desc, col("nbr"))
-    pairs
+      .partitionBy("v1")
+      .orderBy(col("cos").desc, col("v2"))
+    bucketCandidates(emb, directed = true, nTables, nPlanes)
       .withColumn("cos", cosine(col("e1"), col("e2")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("vid").as("vec_id"), col("rank"), col("nbr").as("neighbor_id"))
+      .select(col("v1").as("vec_id"), col("rank"), col("v2").as("neighbor_id"))
       .orderBy("vec_id", "rank")
   }
 

@@ -568,7 +568,12 @@ object EventQueries {
           col("us").as("valid_from"),
           col("valid_to")
         )
-        .orderBy("user_id", "valid_from")
+        // event_type/valid_to tiebreaks: two change rows CAN share
+        // (user_id, valid_from) when events tie on ts, and the driver's
+        // hash compare is row-order-sensitive — the sort must be total
+        // over the output columns (valid_to NULLS FIRST matches Spark's
+        // asc default; DuckDB's asc default is NULLS LAST)
+        .orderBy("user_id", "valid_from", "event_type", "valid_to")
     },
     Some(
       """WITH e AS (
@@ -580,7 +585,7 @@ object EventQueries {
         |  WHERE prev_type IS NULL OR event_type <> prev_type)
         |SELECT user_id, event_type, us AS valid_from,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
-        |FROM chg ORDER BY user_id, valid_from""".stripMargin
+        |FROM chg ORDER BY user_id, valid_from, event_type, valid_to NULLS FIRST""".stripMargin
     )
   )
 
