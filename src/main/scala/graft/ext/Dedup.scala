@@ -729,6 +729,80 @@ object Dedup {
     )
   )
 
+  /** Dedup ROI audit — the headline metric a dedup pipeline reports
+    * before anyone green-lights the storage/compute spend: total docs,
+    * unique texts, duplicate rows, corpus bytes, and bytes saved by
+    * keep-one-per-fingerprint. One fingerprint aggregate (the same
+    * [[graft.queries.Fingerprint]] as q_dedup_exact, so the two can't
+    * diverge) reaggregated to a single row — copies of an identical text
+    * share n_chars, so saved = (copies−1)·n_chars per group. All exact
+    * integers; at 100 TB this is the same one partial+final exchange as
+    * the dedup itself.
+    */
+  val dedupStats: Q = Q(
+    "q_bytes_saved",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(graft.queries.Fingerprint.of(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("copies"),
+          min("n_chars").as("n_chars")
+        )
+        .agg(
+          sum("copies").as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("copies") - 1).as("dup_docs"),
+          sum(col("copies") * col("n_chars")).as("bytes_total"),
+          sum((col("copies") - 1) * col("n_chars")).as("bytes_saved")
+        ),
+    Some(
+      s"""WITH g AS (
+         |  SELECT ${graft.queries.Fingerprint.sql} AS fp,
+         |    COUNT(*) AS copies, MIN(n_chars) AS n_chars
+         |  FROM documents GROUP BY 1)
+         |SELECT CAST(SUM(copies) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_unique,
+         |  CAST(SUM(copies - 1) AS BIGINT) AS dup_docs,
+         |  CAST(SUM(copies * n_chars) AS BIGINT) AS bytes_total,
+         |  CAST(SUM((copies - 1) * n_chars) AS BIGINT) AS bytes_saved
+         |FROM g""".stripMargin
+    )
+  )
+
+  /** Degree distribution of the LSH candidate graph — the graph-shape
+    * audit run before the [[nearDupClusters]] fixpoint: how many
+    * candidate partners each document has (undirected degree over the
+    * band-join pair set) histogrammed into (degree → n_docs). A heavy
+    * tail here is what predicts slow cluster convergence and band-key
+    * skew, the same way q_heavy_hitters predicts join skew. Reuses the
+    * cached signature/band tables (no extra corpus scan); two tiny
+    * aggregates over the pair-bounded candidate set.
+    */
+  val graphDegree: Q = Q(
+    "q_graph_degree",
+    (s, dir) => {
+      val cand = candidatePairs(Tables(s, dir).documents)
+      cand
+        .select(col("d1").as("doc_id"))
+        .union(cand.select(col("d2").as("doc_id")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    },
+    Some(
+      s"""WITH sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |deg AS (
+         |  SELECT doc_id, COUNT(*) AS degree FROM (
+         |    SELECT d1 AS doc_id FROM cand UNION ALL SELECT d2 FROM cand)
+         |  GROUP BY 1)
+         |SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree)
 }
