@@ -803,6 +803,49 @@ object Dedup {
     )
   )
 
+  /** Cross-source near-dup overlap matrix — the provenance contamination
+    * audit ("how much of source A is already in source B") run before
+    * mixing corpora: verified near-dup pairs (same bucketed candidates +
+    * exact-Jaccard tier as q_minhash_neardup) tagged with each side's
+    * `source` and counted per UNORDERED source pair (least/greatest
+    * canonicalization, so (web,books) and (books,web) are one cell). The
+    * source attach is two broadcast-size joins of the pair-bounded set
+    * back to (doc_id, source); at 100 TB the matrix is |sources|²-bounded
+    * and the heavy work is the same shared cached signature tables every
+    * dedup query reuses. The split-boundary analog is q_contamination.
+    */
+  val sourceOverlap: Q = Q(
+    "q_source_overlap",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val src  = docs.select(col("doc_id"), col("source"))
+      nearDuplicates(docs, 0.2)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+        .select(
+          least(col("src1"), col("src2")).as("source_a"),
+          greatest(col("src1"), col("src2")).as("source_b")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(
+      s"""WITH sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |sets AS ($sqlSets),
+         |pairs AS (${sqlPairs(0.2)})
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  COUNT(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents a ON a.doc_id = d1
+         |JOIN documents b ON b.doc_id = d2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap)
 }
