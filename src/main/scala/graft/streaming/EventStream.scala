@@ -40,6 +40,22 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Hopping (sliding) windows: 25-minute windows advancing every 10
+    * minutes — Structured Streaming's native overlapping-window replication
+    * (each event lands in ⌈25/10⌉ = 3 candidate windows, 2-3 surviving the
+    * size bound). The window grid aligns to the epoch exactly like the
+    * batch dual `q_events_hopping`'s integer arithmetic
+    * (`floor(us/hop)·hop − k·hop`), so the StreamingSpec agreement test
+    * can hold the two to the same answer. Watermark bounds the per-window
+    * state as usual.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "25 minutes", "10 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped, and — unlike plain dropDuplicates —
     * state for ids older than the watermark is evicted, so state size is

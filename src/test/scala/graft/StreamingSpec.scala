@@ -371,6 +371,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows replicate each event into its 2-3 overlapping windows") {
+    import spark.implicits._
+    // both events sit in the first 5 minutes of their hop bucket, so each
+    // lands in all 3 candidate windows: 10:12 ∈ {09:50(→10:15),
+    // 10:00(→10:25), 10:10(→10:35)}; 10:21 ∈ {10:00, 10:10, 10:20}
+    val batch = Seq(
+      ev(1, "2026-01-01 10:12:00", 1, "click", 1.0),
+      ev(2, "2026-01-01 10:21:00", 2, "click", 2.0)
+    ).toDF()
+    val got = EventStream
+      .hoppingCounts(batch)
+      .orderBy("win_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+    // expected window starts: 09:50{e1}, 10:00{e1,e2}, 10:10{e1,e2}, 10:20{e2}
+    assert(
+      got.toSeq == Seq(
+        (ts("2026-01-01 09:50:00"), 1L, 1.0),
+        (ts("2026-01-01 10:00:00"), 2L, 3.0),
+        (ts("2026-01-01 10:10:00"), 2L, 3.0),
+        (ts("2026-01-01 10:20:00"), 1L, 2.0)
+      ),
+      got.mkString(", ")
+    )
+    // agreement with the batch dual's integer-epoch arithmetic: same
+    // (win_start, cnt) multiset once timestamps map to epoch micros
+    val dual = graft.queries.EventQueries.eventsHopping
+    val tmp  = java.nio.file.Files.createTempDirectory("hop").toString
+    // the fixture contract stores ts as NANOS-since-epoch longs (TESTDATA
+    // parquet is TIMESTAMP(NANOS); Tables.nanosToTimestamp re-derives the
+    // timestamp) — mimic it so the registered query reads the temp dir
+    // exactly like a fixture dir
+    batch
+      .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/events.parquet")
+    val batchRows = dual
+      .fn(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0) / 1000000L, r.getLong(2)))
+      .toSet
+    val streamRows = got.map { case (t, c, _) => (t.getTime / 1000L, c) }.toSet
+    assert(batchRows == streamRows, s"batch=$batchRows stream=$streamRows")
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
