@@ -1143,6 +1143,64 @@ object Relational {
       .orderBy("s_nationkey")
   }
 
+  /** ADAPTIVE skew join — the production composition of q_heavy_hitters
+    * and q_join_salted: measure per-key counts, take the top-5 heaviest
+    * keys as the skew set (a bounded broadcast), then run ONE join where
+    * only skewed keys are salted — the fact side draws a random salt for
+    * heavy keys (0 otherwise) and the dim side explodes heavy keys across
+    * all salts (a single `[0]` otherwise), so light keys pay no
+    * replication and heavy keys' rows spread over `salt` reducers. Per-row
+    * salts are engine-local randomness, but the join MULTISET is
+    * salt-invariant, so the aggregate is hash-checked against the plain
+    * join (the oracle). This is what AQE skew-split does at runtime,
+    * expressed as an explicit operator for engines/pipelines that need it
+    * deterministic and plannable; at 100 TB the measure pass is the same
+    * scan q_heavy_hitters already runs (or its CMS sketch), and the flag
+    * join is a ≤5-row broadcast on both sides.
+    */
+  val qJoinSkewAdaptive: Q = q(
+    "q_join_skew_adaptive",
+    """SELECT l_returnflag,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_rev,
+      |  COUNT(*) AS cnt
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val Salt = 8
+    val t    = Tables(s, dir)
+    val fact = t.lineitem.select("l_suppkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val dim  = t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val heavy = fact
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("kcnt"))
+      .orderBy(col("kcnt").desc, col("l_suppkey"))
+      .limit(5)
+      .select(col("l_suppkey"), lit(true).as("__heavy"))
+    val saltedFact = fact
+      .join(broadcast(heavy), Seq("l_suppkey"), "left")
+      .withColumn(
+        "__salt",
+        when(col("__heavy").isNotNull, (rand(seed = 7) * Salt).cast("int")).otherwise(lit(0))
+      )
+    val saltedDim = dim
+      .join(broadcast(heavy), Seq("l_suppkey"), "left")
+      .withColumn(
+        "__salt",
+        explode(
+          when(col("__heavy").isNotNull, sequence(lit(0), lit(Salt - 1)))
+            .otherwise(array(lit(0)))
+        )
+      )
+    saltedFact
+      .join(saltedDim, Seq("l_suppkey", "__salt"))
+      .groupBy("l_returnflag")
+      .agg(
+        dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_rev"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("l_returnflag")
+  }
+
   /** Exact discrete percentiles (SQL-standard `percentile_disc`): unlike the
     * [[qApproxQuantiles]] sketch these pick actual data elements — no
     * interpolation arithmetic, so the values are bit-identical across
@@ -1792,7 +1850,7 @@ object Relational {
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ2, qTpchQ3, qTpchQ4, qTpchQ5,
     qTpchQ6, qTpchQ7, qTpchQ8, qTpchQ9, qTpchQ10, qTpchQ11, qTpchQ12, qTpchQ13, qTpchQ15,
     qTpchQ16, qTpchQ17, qTpchQ18, qTpchQ19, qTpchQ20, qTpchQ21,
-    qTpchQ22, qPromoShare, qBloomJoin, qJoinSalted, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
+    qTpchQ22, qPromoShare, qBloomJoin, qJoinSalted, qJoinSkewAdaptive, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder
