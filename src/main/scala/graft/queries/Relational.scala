@@ -1783,6 +1783,19 @@ object Relational {
     * int64s) plus one partial+final aggregate; at 100 TB the z-key costs
     * nothing at write time and replaces two single-column sort layouts.
     */
+  /** 32-bit Morton address: bits of `a` (masked to 16) at even positions,
+    * bits of `b` at odd. Shared by q_zorder and PropertySpec's
+    * deinterleave round-trip, so the query's bit math is the tested bit
+    * math.
+    */
+  def zaddrOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def zBits(c: org.apache.spark.sql.Column, off: Int) =
+      (0 until 16)
+        .map(i => shiftleft(shiftright(c.bitwiseAND(lit(65535L)), i).bitwiseAND(lit(1L)), 2 * i + off))
+        .reduce(_ + _)
+    zBits(a, 0) + zBits(b, 1)
+  }
+
   val qZorder: Q = {
     def zTermsSql(c: String, off: Int) =
       (0 until 16).map(i => s"((($c & 65535) >> $i & 1) << ${2 * i + off})").mkString(" + ")
@@ -1797,15 +1810,11 @@ object Relational {
          |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      def zBits(c: org.apache.spark.sql.Column, off: Int) =
-        (0 until 16)
-          .map(i => shiftleft(shiftright(c.bitwiseAND(lit(65535L)), i).bitwiseAND(lit(1L)), 2 * i + off))
-          .reduce(_ + _)
       Tables(s, dir).lineitem
         .select(
           col("l_partkey"),
           col("l_suppkey"),
-          (zBits(col("l_partkey"), 0) + zBits(col("l_suppkey"), 1)).as("zaddr")
+          zaddrOf(col("l_partkey"), col("l_suppkey")).as("zaddr")
         )
         .groupBy(shiftright(col("zaddr"), 16).as("zbucket"))
         .agg(

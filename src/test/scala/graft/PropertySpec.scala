@@ -82,6 +82,29 @@ class PropertySpec extends SparkSpec {
     tail <- Gen.listOfN(64, Gen.choose(Byte.MinValue, Byte.MaxValue))
   } yield magic ++ tail.toArray
 
+  test("zaddrOf interleaves losslessly: deinterleave recovers both masked keys") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val xs  = List.fill(500)((rnd.nextLong().abs % 1000000L, rnd.nextLong().abs % 1000000L))
+    val got = xs
+      .toDF("a", "b")
+      .select(col("a"), col("b"), graft.queries.Relational.zaddrOf(col("a"), col("b")).as("z"))
+      .collect()
+    def deinterleave(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      for (i <- 0 until 16) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(deinterleave(z) == (a & 0xffffL, b & 0xffffL), s"round-trip failed for ($a, $b) -> $z")
+    }
+  }
+
   test("imageDims, wavMeta, and mp4Meta never throw and terminate on arbitrary bytes") {
     check(Prop.forAll(Gen.oneOf(bytesGen, magicBytesGen)) { b =>
       // totality is the property: any exception fails the prop; a hang
