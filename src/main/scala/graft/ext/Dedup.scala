@@ -846,6 +846,42 @@ object Dedup {
     )
   )
 
+  /** LSH tuning audit — the one-row scorecard behind the band/row choice:
+    * candidate pairs generated, pairs surviving exact-Jaccard
+    * verification at the production threshold, and the resulting
+    * precision (one integer division — what fraction of the quadratic
+    * verify budget was well spent). Re-tune bands/rows when precision
+    * sags; recall needs labeled truth and is bounded analytically in
+    * ExtSpec instead. Reuses the shared cached signature/set tables, so
+    * the audit adds two counts over pair-bounded sets, no corpus scan.
+    */
+  val lshQuality: Q = Q(
+    "q_lsh_quality",
+    (s, dir) => {
+      val docs  = Tables(s, dir).documents
+      val cand  = candidatePairs(docs).agg(count(lit(1)).as("n_candidates"))
+      val pairs = nearDuplicates(docs, 0.2).agg(count(lit(1)).as("n_verified"))
+      cand
+        .crossJoin(pairs) // two 1-row frames
+        .select(
+          col("n_candidates"),
+          col("n_verified"),
+          (col("n_verified").cast("double") / col("n_candidates")).as("precision")
+        )
+    },
+    Some(
+      s"""WITH sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |sets AS ($sqlSets),
+         |pairs AS (${sqlPairs(0.2)})
+         |SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |  (SELECT COUNT(*) FROM pairs) AS n_verified,
+         |  CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM cand) AS precision""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality)
 }

@@ -530,7 +530,65 @@ object TextQueries {
     )
   )
 
+  /** Vocabulary coverage curve — the tokenizer-design audit: what share
+    * of all corpus tokens do the top-k vocabulary entries cover? Emitted
+    * as the top-50 words by frequency with their cumulative corpus share
+    * (exact integer cumulative sums; ONE division per row). The ranking
+    * window runs over the VOCABULARY table (already aggregated, bounded
+    * by distinct-word count), never the corpus — the same
+    * aggregate-then-window discipline as q_tfidf — and the total is a
+    * 1-row broadcast. Ordering is total (count desc, word) so the curve
+    * is deterministic.
+    */
+  val vocabCoverage: Q = Q(
+    "q_vocab_coverage",
+    (s, dir) => {
+      val counts = Tables(s, dir).documents
+        .select(explode(split(lower(col("text")), " ", -1)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      // partitionBy on a constant: the window is DELIBERATELY global over
+      // the bounded vocab table (aggregate-then-window); the constant key
+      // states that choice instead of tripping the no-partition warning
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0))
+        .orderBy(col("cnt").desc, col("word"))
+      counts
+        .crossJoin(broadcast(total)) // 1-row scalar broadcast
+        .withColumn("rank", row_number().over(w0).cast("long"))
+        .withColumn(
+          "cum_cnt",
+          sum("cnt").over(w0.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        )
+        .filter(col("rank") <= 50)
+        .select(
+          col("rank"),
+          col("word"),
+          col("cnt"),
+          (col("cum_cnt").cast("double") / col("total")).as("cum_share")
+        )
+        .orderBy("rank")
+    },
+    Some(
+      """WITH counts AS (
+        |  SELECT w AS word, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+        |ranked AS (
+        |  SELECT word, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, word
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        |  FROM counts)
+        |SELECT rank, word, cnt, CAST(cum_cnt AS DOUBLE) / total AS cum_share
+        |FROM ranked, t WHERE rank <= 50 ORDER BY rank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
-      repetition, ngramNovelty, lmScore, invertedIndex, hofOps)
+      repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage)
 }
