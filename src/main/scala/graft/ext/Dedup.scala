@@ -734,10 +734,12 @@ object Dedup {
     * unique texts, duplicate rows, corpus bytes, and bytes saved by
     * keep-one-per-fingerprint. One fingerprint aggregate (the same
     * [[graft.queries.Fingerprint]] as q_dedup_exact, so the two can't
-    * diverge) reaggregated to a single row — copies of an identical text
-    * share n_chars, so saved = (copies−1)·n_chars per group. All exact
-    * integers; at 100 TB this is the same one partial+final exchange as
-    * the dedup itself.
+    * diverge) reaggregated to a single row. The fingerprint NORMALIZES
+    * whitespace/case, so group members can differ in n_chars: bytes are
+    * the true per-group sum, and the kept bytes are the arg-min-doc_id
+    * survivor's (exactly the row q_dedup_exact keeps) — saved =
+    * Σ(group bytes − survivor bytes). All exact integers; at 100 TB this
+    * is the same one partial+final exchange as the dedup itself.
     */
   val dedupStats: Q = Q(
     "q_bytes_saved",
@@ -746,25 +748,32 @@ object Dedup {
         .groupBy(graft.queries.Fingerprint.of(col("text")).as("fp"))
         .agg(
           count(lit(1)).as("copies"),
-          min("n_chars").as("n_chars")
+          // the Fingerprint is whitespace/case-NORMALIZED, so group
+          // members can differ in n_chars — bytes must be the true sum,
+          // and the kept bytes the arg-min-doc_id row's (the survivor
+          // q_dedup_exact actually keeps), not min(n_chars)
+          sum("n_chars").as("grp_bytes"),
+          min(struct(col("doc_id"), col("n_chars"))).getField("n_chars").as("kept_bytes")
         )
         .agg(
           sum("copies").as("n_docs"),
           count(lit(1)).as("n_unique"),
           sum(col("copies") - 1).as("dup_docs"),
-          sum(col("copies") * col("n_chars")).as("bytes_total"),
-          sum((col("copies") - 1) * col("n_chars")).as("bytes_saved")
+          sum(col("grp_bytes")).as("bytes_total"),
+          sum(col("grp_bytes") - col("kept_bytes")).as("bytes_saved")
         ),
     Some(
       s"""WITH g AS (
          |  SELECT ${graft.queries.Fingerprint.sql} AS fp,
-         |    COUNT(*) AS copies, MIN(n_chars) AS n_chars
+         |    COUNT(*) AS copies,
+         |    CAST(SUM(n_chars) AS BIGINT) AS grp_bytes,
+         |    arg_min(n_chars, doc_id) AS kept_bytes
          |  FROM documents GROUP BY 1)
          |SELECT CAST(SUM(copies) AS BIGINT) AS n_docs,
          |  COUNT(*) AS n_unique,
          |  CAST(SUM(copies - 1) AS BIGINT) AS dup_docs,
-         |  CAST(SUM(copies * n_chars) AS BIGINT) AS bytes_total,
-         |  CAST(SUM((copies - 1) * n_chars) AS BIGINT) AS bytes_saved
+         |  CAST(SUM(grp_bytes) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(grp_bytes - kept_bytes) AS BIGINT) AS bytes_saved
          |FROM g""".stripMargin
     )
   )
@@ -866,7 +875,13 @@ object Dedup {
         .select(
           col("n_candidates"),
           col("n_verified"),
-          (col("n_verified").cast("double") / col("n_candidates")).as("precision")
+          // explicit NULL on an empty candidate set: Spark's non-ANSI x/0
+          // is NULL but DuckDB's double 0/0 is NaN — pin the degenerate
+          // case to NULL in BOTH engines
+          when(
+            col("n_candidates") === 0,
+            lit(null).cast("double")
+          ).otherwise(col("n_verified").cast("double") / col("n_candidates")).as("precision")
         )
     },
     Some(
@@ -877,8 +892,9 @@ object Dedup {
          |pairs AS (${sqlPairs(0.2)})
          |SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
          |  (SELECT COUNT(*) FROM pairs) AS n_verified,
-         |  CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
-         |    / (SELECT COUNT(*) FROM cand) AS precision""".stripMargin
+         |  CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+         |       ELSE CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+         |            / (SELECT COUNT(*) FROM cand) END AS precision""".stripMargin
     )
   )
 

@@ -1770,19 +1770,6 @@ object Relational {
       .limit(10)
   }
 
-  /** Z-order (Morton) clustering key + per-z-range locality audit — the
-    * multidimensional data-skipping layout: interleaving the bits of
-    * (l_partkey, l_suppkey) gives a single sort key under which every
-    * contiguous z-range covers a small RECTANGLE in (part, supp) space, so
-    * a table range-partitioned/sorted by `zaddr` before writing (the
-    * [[graft.sources.Sources.writeParquetCompacted]] path) lets parquet
-    * min/max stats prune scans on EITHER key — the effect this query
-    * measures by emitting each 65536-address z-range's bounding box
-    * (`COUNT`, min/max of both dims). Pure per-row bit arithmetic (16
-    * masked bits per dimension, shift/and/or — exact on both engines'
-    * int64s) plus one partial+final aggregate; at 100 TB the z-key costs
-    * nothing at write time and replaces two single-column sort layouts.
-    */
   /** 32-bit Morton address: bits of `a` (masked to 16) at even positions,
     * bits of `b` at odd. Shared by q_zorder and PropertySpec's
     * deinterleave round-trip, so the query's bit math is the tested bit
@@ -1796,6 +1783,19 @@ object Relational {
     zBits(a, 0) + zBits(b, 1)
   }
 
+  /** Z-order (Morton) clustering key + per-z-range locality audit — the
+    * multidimensional data-skipping layout: interleaving the bits of
+    * (l_partkey, l_suppkey) gives a single sort key under which every
+    * contiguous z-range covers a small RECTANGLE in (part, supp) space, so
+    * a table range-partitioned/sorted by `zaddr` before writing (the
+    * [[graft.sources.Sources.writeParquetCompacted]] path) lets parquet
+    * min/max stats prune scans on EITHER key — the effect this query
+    * measures by emitting each 65536-address z-range's bounding box
+    * (`COUNT`, min/max of both dims). Pure per-row bit arithmetic (16
+    * masked bits per dimension, shift/and/or — exact on both engines'
+    * int64s) plus one partial+final aggregate; at 100 TB the z-key costs
+    * nothing at write time and replaces two single-column sort layouts.
+    */
   val qZorder: Q = {
     def zTermsSql(c: String, off: Int) =
       (0 until 16).map(i => s"((($c & 65535) >> $i & 1) << ${2 * i + off})").mkString(" + ")

@@ -34,9 +34,16 @@ object EventStream {
     * batch).
     */
   def hourlyCounts(events: DataFrame): DataFrame =
+    windowedCounts(events, window(col("ts"), "1 hour"))
+
+  /** The one windowed-count pipeline shared by [[hourlyCounts]] (tumbling)
+    * and [[hoppingCounts]] (sliding) — the window spec is the only
+    * difference, so the watermark/agg/output contract can't diverge.
+    */
+  private def windowedCounts(events: DataFrame, win: org.apache.spark.sql.Column): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .groupBy(win.as("win"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
 
@@ -50,11 +57,7 @@ object EventStream {
     * state as usual.
     */
   def hoppingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "25 minutes", "10 minutes").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
-      .select(col("win.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
+    windowedCounts(events, window(col("ts"), "25 minutes", "10 minutes"))
 
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped, and — unlike plain dropDuplicates —

@@ -373,18 +373,35 @@ class StreamingSpec extends SparkSpec {
 
   test("hopping windows replicate each event into its 2-3 overlapping windows") {
     import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
     // both events sit in the first 5 minutes of their hop bucket, so each
     // lands in all 3 candidate windows: 10:12 ∈ {09:50(→10:15),
     // 10:00(→10:25), 10:10(→10:35)}; 10:21 ∈ {10:00, 10:10, 10:20}
-    val batch = Seq(
-      ev(1, "2026-01-01 10:12:00", 1, "click", 1.0),
-      ev(2, "2026-01-01 10:21:00", 2, "click", 2.0)
-    ).toDF()
-    val got = EventStream
-      .hoppingCounts(batch)
-      .orderBy("win_start", "event_type")
-      .collect()
-      .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+    val batch1 = Seq(ev(1, "2026-01-01 10:12:00", 1, "click", 1.0))
+    val batch2 = Seq(ev(2, "2026-01-01 10:21:00", 2, "click", 2.0))
+    // run as a REAL streaming query (MemoryStream, two micro-batches) so
+    // the 3x overlapping-window state replication executes under the
+    // streaming engine, not just the batch planner
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .hoppingCounts(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("hopping")
+      .outputMode(OutputMode.Complete)
+      .start()
+    val got =
+      try {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        spark
+          .sql("SELECT win_start, event_type, cnt, sum_value FROM hopping ORDER BY win_start, event_type")
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+      } finally q.stop()
+    val batch = (batch1 ++ batch2).toDF()
     // expected window starts: 09:50{e1}, 10:00{e1,e2}, 10:10{e1,e2}, 10:20{e2}
     assert(
       got.toSeq == Seq(
