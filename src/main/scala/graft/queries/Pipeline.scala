@@ -526,7 +526,52 @@ object Pipeline {
     )
   )
 
+  /** Overlapping-window chunking — the RAG/embedding-prep shape (unlike
+    * [[segmentDedup]]'s disjoint 8-word segments, retrieval chunks OVERLAP
+    * so no answer span is ever split across a boundary): 32-word windows
+    * advancing 24 words, i.e. 8 words of overlap between neighbors. One
+    * chunk row per (doc, window): `chunk_no`, token count, and an md5
+    * chunk fingerprint (the id an embedding index would key on; the text
+    * itself stays in the doc store). Pure per-row array arithmetic — the
+    * sequence of starts is ⌈(words−8)/24⌉-bounded, the slices O(window) —
+    * then ONE explode; no shuffle except the verification sort. At 100 TB
+    * chunking is scan-stage work feeding the embedding batch directly.
+    */
+  val chunkOverlap: Q = Q(
+    "q_chunk_overlap",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          posexplode(
+            expr(
+              "transform(sequence(0, greatest((size(words) - 8 + 23) div 24 - 1, 0))," +
+                " i -> array_join(slice(words, cast(i*24+1 as int), 32), ' '))"
+            )
+          ).as(Seq("chunk_no", "chunk"))
+        )
+        .select(
+          col("doc_id"),
+          col("chunk_no").cast("long").as("chunk_no"),
+          size(split(col("chunk"), " ")).as("n_words"),
+          md5(col("chunk").cast("binary")).as("chunk_fp")
+        )
+        .orderBy("doc_id", "chunk_no"),
+    Some(
+      """SELECT doc_id, chunk_no,
+        |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_words,
+        |  md5(chunk) AS chunk_fp
+        |FROM (
+        |  SELECT doc_id, i AS chunk_no,
+        |    array_to_string(list_slice(words, i*24 + 1, i*24 + 32), ' ') AS chunk
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |    unnest(range(0, greatest((len(words) - 8 + 23) // 24, 1))) AS t(i))
+        |ORDER BY doc_id, chunk_no""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
-      seqPack, contamination, segmentDedup)
+      seqPack, contamination, segmentDedup, chunkOverlap)
 }
