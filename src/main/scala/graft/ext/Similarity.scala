@@ -440,5 +440,47 @@ object Similarity {
     Some(knnJoinOracleSql(3))
   )
 
-  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ)
+  /** Late-interaction (MaxSim) retrieval — the ColBERT-style scoring
+    * shape: a "document" is a GROUP of vectors (here: all embeddings
+    * sharing a `label`, standing in for per-chunk embeddings of one doc),
+    * and its score against the query is the MAX cosine over its members.
+    * One pass: broadcast the 1-row query vector, score every member
+    * (codegen'd cosine), partial+final `max` per group, top-5 as
+    * TakeOrderedAndProject. Scores are single fused-loop doubles on
+    * bit-identical inputs, so even the ranking score is hash-checked; at
+    * 100 TB this is a scan + one narrow exchange of (label, partial max).
+    */
+  def maxSimTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    emb
+      .crossJoin(broadcast(qv)) // 1-row broadcast, as in topKCosineScored
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .groupBy("label")
+      .agg(max("cos").as("max_sim"), count(lit(1)).as("n_members"))
+      .orderBy(col("max_sim").desc, col("label"))
+      .limit(k)
+  }
+
+  /** MaxSim top-5 labels for query vector 0, hash-checked end-to-end
+    * (max picks ONE member's exact cosine — no summation-order hazard,
+    * so the score column itself rides the hash compare).
+    */
+  val maxSim: Q = Q(
+    "q_maxsim",
+    (s, dir) => maxSimTopK(Tables(s, dir).embeddings, 0L, 5),
+    Some(
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT label,
+        |    list_dot_product(embedding::DOUBLE[], qv)
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(qv, qv))) AS cos
+        |  FROM embeddings, q)
+        |SELECT label, MAX(cos) AS max_sim, COUNT(*) AS n_members
+        |FROM sc GROUP BY label
+        |ORDER BY max_sim DESC, label LIMIT 5""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim)
 }

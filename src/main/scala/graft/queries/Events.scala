@@ -807,8 +807,58 @@ object EventQueries {
     )
   )
 
+  /** Time-weighted average — the telemetry aggregate for irregularly
+    * sampled step signals: each reading holds until the next one, so its
+    * weight is its holding DURATION, not 1 (a plain mean over-weights
+    * bursts). Per user: weight = lead(us) − us (integer micros; the last
+    * open-ended reading is excluded — no duration exists for it),
+    * twa = Σ(value·dur)/Σ(dur) with the numerator in exact decimals, so
+    * the single final division is the only float op. Durations are
+    * MILLISECOND-resolution (integer `div`, exact in both engines), and
+    * zero-ms intervals are excluded: they carry no weight, and at
+    * microsecond resolution a year-span user's Σ(value·dur) unscaled
+    * value crosses 2^53 — the dsumExpr double-rounding hazard, observed
+    * live on this query's first cut. One user_id exchange shared by the
+    * window and the aggregate.
+    */
+  val timeWeightedAvg: Q = Q(
+    "q_time_weighted_avg",
+    (s, dir) => {
+      Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+        .withColumn("dur_ms", expr("(lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us) div 1000"))
+        .filter(col("dur_ms").isNotNull && col("dur_ms") > 0)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum("dur_ms").as("total_ms"),
+          (dsumExpr(col("value").cast(Money) * col("dur_ms")) / sum("dur_ms")).as("twa")
+        )
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                              ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000 AS dur_ms
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(12,2)) * dur_ms), 2) AS DOUBLE)
+        |    / CAST(SUM(dur_ms) AS BIGINT) AS twa
+        |FROM e WHERE dur_ms IS NOT NULL AND dur_ms > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
-      rolling7d, nextEvent, mad)
+      rolling7d, nextEvent, mad, timeWeightedAvg)
 }
