@@ -153,6 +153,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_maxsim: partial+final max aggregate, top-5 as TakeOrderedAndProject") {
+    val p = plan(Similarity.maxSim.fn(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "max must combine map-side:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort:\n" + p)
+  }
+
+  test("q_join_skew_adaptive keeps the measure+join pipeline within its exchange budget") {
+    val n = shuffleCount(plan(Relational.qJoinSkewAdaptive.fn(spark, sf)))
+    info(s"q_join_skew_adaptive: $n exchanges")
+    assert(n <= 6, s"q_join_skew_adaptive now plans $n shuffle exchanges (budget 6)")
+  }
+
   test("q_tpch_q6 pushes all three range predicates and prunes to 4 columns") {
     val p = plan(Relational.qTpchQ6.fn(spark, sf))
     assert(p.contains("PushedFilters: ["), p)
