@@ -857,8 +857,122 @@ object EventQueries {
     )
   )
 
+  /** Per-session rows — the full sessionization PIPELINE ([[sessionize]]
+    * stops at per-user counts): gap-detect (>5 min), assign session ids by
+    * a running sum over the SAME window (no second exchange — the
+    * cumulative frame reuses the lag's sort), then one aggregate to
+    * (user, session) rows with span and size. Everything is integer
+    * arithmetic on epoch micros; duration is ms-resolution integer `div`.
+    * This is the table session-replay / engagement analytics reads
+    * directly.
+    */
+  val sessionStats: Q = Q(
+    "q_session_stats",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 300000000L, 1L).otherwise(0L)
+        )
+        .withColumn("session_id", sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("us").as("start_us"),
+          max("us").as("end_us")
+        )
+        .withColumn("duration_ms", expr("(end_us - start_us) div 1000"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 300000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM e)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+        |  (CAST(MAX(us) AS BIGINT) - CAST(MIN(us) AS BIGINT)) // 1000 AS duration_ms
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
+  /** Lag-1 autocorrelation per event type — the "is this signal trending
+    * or noise" time-series diagnostic: Pearson correlation of each value
+    * with its predecessor in per-type time order. Exactly [[q_corr]]'s
+    * exact-decimal moment discipline (scale-2 second-order sums; the
+    * correlation itself is a fixed tree of single IEEE ops), fed by one
+    * lag window — so the only exchanges are the per-type window sort and
+    * the final tiny aggregate.
+    */
+  val autocorr: Q = Q(
+    "q_autocorr",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+      val x = col("prev").cast(Money)
+      val y = col("value").cast(Money)
+      def m2(e: org.apache.spark.sql.Column) =
+        sum(e).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double")
+      Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .select(
+          col("event_type"),
+          col("event_id"),
+          col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+        .withColumn("prev", lag("value", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          m2(x * x).as("sxx"),
+          m2(y * y).as("syy"),
+          m2(x * y).as("sxy")
+        )
+        .select(
+          col("event_type"),
+          col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("lag1_corr")
+        )
+        .orderBy("event_type")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    lag(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(prev AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(round(SUM(CAST(prev AS DECIMAL(12,2)) * CAST(prev AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxx,
+        |    CAST(round(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS syy,
+        |    CAST(round(SUM(CAST(prev AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxy
+        |  FROM e WHERE prev IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS lag1_corr
+        |FROM m ORDER BY event_type""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
-      rolling7d, nextEvent, mad, timeWeightedAvg)
+      rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr)
 }
