@@ -1828,6 +1828,42 @@ object Relational {
     }
   }
 
+  /** Benford first-digit audit — the classic fabricated-data screen:
+    * organically-grown magnitudes follow log-uniform leading digits
+    * (P(d)=log10(1+1/d)); uniform synthetic data (like this fixture)
+    * flattens the curve, and either deviation is what the audit
+    * surfaces. Determinism: the leading digit is taken from the INTEGER
+    * cents string (`CAST(price*100 AS BIGINT)` is exact at money scale,
+    * integer→string has no locale/format variance, and scaling by 100
+    * never changes the leading significant digit) — no libm log10
+    * anywhere. One partial+final count; the expected share is a per-row
+    * constant tree.
+    */
+  val qBenford: Q = q(
+    "q_benford",
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |t AS (SELECT COUNT(*) AS total FROM d)
+      |SELECT digit, COUNT(*) AS n,
+      |  CAST(COUNT(*) AS DOUBLE) / total AS share
+      |FROM d, t GROUP BY digit, total ORDER BY digit""".stripMargin
+  ) { (s, dir) =>
+    val digits = Tables(s, dir).lineitem
+      .filter(col("l_extendedprice") > 0)
+      .select(
+        substring((col("l_extendedprice").cast(Money) * 100).cast("long").cast("string"), 1, 1)
+          .as("digit")
+      )
+    val total = digits.agg(count(lit(1)).as("total"))
+    digits
+      .crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .groupBy("digit", "total")
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"), (col("n").cast("double") / col("total")).as("share"))
+      .orderBy("digit")
+  }
+
   /** Data-quality profile: one pass over lineitem collecting per-column
     * completeness/cardinality/range stats — the pre-ingest audit every
     * training pipeline runs. Single partial+final aggregate, no per-column
@@ -1862,6 +1898,6 @@ object Relational {
     qTpchQ22, qPromoShare, qBloomJoin, qJoinSalted, qJoinSkewAdaptive, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder
+    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder, qBenford
   )
 }
