@@ -95,15 +95,34 @@ object Similarity {
     * in TakeOrderedAndProject. Exposed so PlanSpec can assert the physical
     * plan (the final rank attach converts to an RDD and hides it).
     */
-  def topKCosineScored(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+  /** Every vector scored against the 1-row broadcast query vector — the
+    * shared prelude of [[topKCosineScored]] and [[maxSimTopK]], so the
+    * exact scoring definition lives in one place.
+    */
+  private def scoredAgainstQuery(emb: DataFrame, queryId: Long): DataFrame = {
     val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
     emb
       .crossJoin(broadcast(qv)) // 1-row broadcast: a BroadcastNestedLoopJoin over a single row, not a shuffle
       .withColumn("cos", cosine(col("embedding"), col("qv")))
+  }
+
+  /** The matching oracle prelude: exact-cosine scoring CTEs shared by the
+    * [[annTopK]] and [[maxSim]] oracles.
+    */
+  private def cosineScoreCte(queryId: Long): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $queryId),
+       |sc AS (
+       |  SELECT vec_id, label,
+       |    list_dot_product(embedding::DOUBLE[], qv)
+       |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |         * sqrt(list_dot_product(qv, qv))) AS cos
+       |  FROM embeddings, q)""".stripMargin
+
+  def topKCosineScored(emb: DataFrame, queryId: Long, k: Int): DataFrame =
+    scoredAgainstQuery(emb, queryId)
       .select("vec_id", "label", "cos")
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-  }
 
   /** Brute-force top-k cosine neighbors of the vector with `queryId`. */
   def topKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame =
@@ -180,13 +199,7 @@ object Similarity {
     "q_ann_topk",
     (s, dir) => topKCosine(Tables(s, dir).embeddings, 0L, 10),
     Some(
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |sc AS (
-        |  SELECT vec_id, label,
-        |    list_dot_product(embedding::DOUBLE[], qv)
-        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |         * sqrt(list_dot_product(qv, qv))) AS cos
-        |  FROM embeddings, q)
+      s"""${cosineScoreCte(0L)}
         |SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank, vec_id, label
         |FROM sc ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
     )
@@ -450,16 +463,12 @@ object Similarity {
     * bit-identical inputs, so even the ranking score is hash-checked; at
     * 100 TB this is a scan + one narrow exchange of (label, partial max).
     */
-  def maxSimTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
-    emb
-      .crossJoin(broadcast(qv)) // 1-row broadcast, as in topKCosineScored
-      .withColumn("cos", cosine(col("embedding"), col("qv")))
+  def maxSimTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame =
+    scoredAgainstQuery(emb, queryId)
       .groupBy("label")
       .agg(max("cos").as("max_sim"), count(lit(1)).as("n_members"))
       .orderBy(col("max_sim").desc, col("label"))
       .limit(k)
-  }
 
   /** MaxSim top-5 labels for query vector 0, hash-checked end-to-end
     * (max picks ONE member's exact cosine — no summation-order hazard,
@@ -469,13 +478,7 @@ object Similarity {
     "q_maxsim",
     (s, dir) => maxSimTopK(Tables(s, dir).embeddings, 0L, 5),
     Some(
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |sc AS (
-        |  SELECT label,
-        |    list_dot_product(embedding::DOUBLE[], qv)
-        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |         * sqrt(list_dot_product(qv, qv))) AS cos
-        |  FROM embeddings, q)
+      s"""${cosineScoreCte(0L)}
         |SELECT label, MAX(cos) AS max_sim, COUNT(*) AS n_members
         |FROM sc GROUP BY label
         |ORDER BY max_sim DESC, label LIMIT 5""".stripMargin

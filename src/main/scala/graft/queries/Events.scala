@@ -89,27 +89,37 @@ object EventQueries {
     )
   )
 
-  /** Gap-based sessionization: a new session starts after >5 min of
-    * inactivity per user. Timestamps are compared as epoch microseconds so
-    * both engines do exact integer arithmetic.
+  /** THE session-gap rule: a new session starts after >5 min of
+    * inactivity per user. ONE Spark-side definition shared by
+    * [[sessionize]] and [[sessionStats]] so the two queries can never
+    * disagree about what a session is (the oracles carry the same
+    * 300000000 literal). Timestamps are compared as epoch microseconds
+    * so both engines do exact integer arithmetic; ts is TIMESTAMP_NTZ
+    * (naive) and the session TZ is UTC, so the cast keeps the same
+    * microsecond value. Emits (user_id, event_id, us, new_session).
+    */
+  private val SessionGapUs = 300000000L
+  private def sessionFlags(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L)
+      )
+  }
+
+  /** Gap-based sessionization: per-user session and event counts over
+    * [[sessionFlags]].
     */
   val sessionize: Q = Q(
     "q_sessionize",
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables(s, dir).events
-        // ts is TIMESTAMP_NTZ (naive); unix_micros needs TIMESTAMP — the
-        // session TZ is UTC so the cast keeps the same microsecond value
-        .select(col("user_id"), col("ts"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
-        .withColumn("prev_us", lag("us", 1).over(w))
-        .withColumn(
-          "new_session",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > 300000000L, 1L).otherwise(0L)
-        )
+    (s, dir) =>
+      sessionFlags(Tables(s, dir).events)
         .groupBy("user_id")
         .agg(sum("new_session").as("sessions"), count(lit(1)).as("n_events"))
-        .orderBy("user_id")
-    },
+        .orderBy("user_id"),
     Some(
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions, COUNT(*) AS n_events
         |FROM (
@@ -870,13 +880,7 @@ object EventQueries {
     "q_session_stats",
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      Tables(s, dir).events
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
-        .withColumn("prev_us", lag("us", 1).over(w))
-        .withColumn(
-          "new_session",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > 300000000L, 1L).otherwise(0L)
-        )
+      sessionFlags(Tables(s, dir).events)
         .withColumn("session_id", sum("new_session").over(w))
         .groupBy("user_id", "session_id")
         .agg(
@@ -921,8 +925,6 @@ object EventQueries {
       val w = Window.partitionBy("event_type").orderBy("us", "event_id")
       val x = col("prev").cast(Money)
       val y = col("value").cast(Money)
-      def m2(e: org.apache.spark.sql.Column) =
-        sum(e).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double")
       Tables(s, dir).events
         .filter(col("value").isNotNull)
         .select(
@@ -938,22 +940,20 @@ object EventQueries {
           count(lit(1)).as("n"),
           sum(x).cast("double").as("sx"),
           sum(y).cast("double").as("sy"),
-          m2(x * x).as("sxx"),
-          m2(y * y).as("syy"),
-          m2(x * y).as("sxy")
+          Num.m2(x * x).as("sxx"),
+          Num.m2(y * y).as("syy"),
+          Num.m2(x * y).as("sxy")
         )
         .select(
           col("event_type"),
           col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          Num.pearson(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
             .as("lag1_corr")
         )
         .orderBy("event_type")
     },
     Some(
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT event_type, value,
         |    lag(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events WHERE value IS NOT NULL),
@@ -966,7 +966,7 @@ object EventQueries {
         |    CAST(round(SUM(CAST(prev AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxy
         |  FROM e WHERE prev IS NOT NULL GROUP BY 1)
         |SELECT event_type, n,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS lag1_corr
+        |  ${Num.pearsonSql("n", "sx", "sy", "sxx", "syy", "sxy")} AS lag1_corr
         |FROM m ORDER BY event_type""".stripMargin
     )
   )

@@ -71,6 +71,36 @@ object Num {
   /** charge term: extendedprice * (1 - discount) * (1 + tax), exact decimal. */
   def charge(price: Column, discount: Column, tax: Column): Column =
     revenue(price, discount) * (lit(1).cast(Rate) + tax.cast(Rate))
+
+  /** Scale-2 exact second-order moment sum, as double. Scale 2, NOT 4: at
+    * scale 4 a large corpus's Σx² crosses 2^53 unscaled, where DuckDB's
+    * (unscaled→double)/10^scale conversion double-rounds while Spark
+    * rounds once (the dsumExpr hazard, observed live on q_corr). Mirror
+    * `CAST(round(SUM(x*x), 2) AS DOUBLE)` in oracles.
+    */
+  def m2(e: Column): Column =
+    sum(e).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast(DoubleType)
+
+  /** Pearson correlation from aggregated moment columns (n, Σx, Σy, Σx²,
+    * Σy², Σxy as produced by [[m2]]) — ONE definition shared by q_corr and
+    * q_autocorr so the expression tree (and this guard) can't drift.
+    * Degenerate groups are pinned to NULL: after scale-2 rounding,
+    * n·Σx² − (Σx)² can go NEGATIVE on tiny/constant groups (e.g. a single
+    * pair with x=1.15: round(1.3225,2) − 1.3225 < 0), where Spark's
+    * sqrt(neg) is NaN but DuckDB ERRORS — mirror
+    * `CASE WHEN vx <= 0 OR vy <= 0 THEN NULL ELSE ... END` in oracles.
+    */
+  def pearson(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column): Column = {
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    when(vx <= 0 || vy <= 0, lit(null).cast(DoubleType))
+      .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)))
+  }
+
+  /** The [[pearson]] guard+formula as oracle SQL over moment column names. */
+  def pearsonSql(n: String, sx: String, sy: String, sxx: String, syy: String, sxy: String): String =
+    s"CASE WHEN $n * $sxx - $sx * $sx <= 0 OR $n * $syy - $sy * $sy <= 0 THEN NULL " +
+      s"ELSE ($n * $sxy - $sx * $sy) / (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy)) END"
 }
 
 /** The ONE exact-dedup key, shared by q_fingerprint and q_dedup_exact so

@@ -1661,8 +1661,8 @@ object Relational {
     */
   val qCorr: Q = q(
     "q_corr",
-    """SELECT l_returnflag, n, sxy_over_n_minus_1 AS covar_qty_price,
-      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    s"""SELECT l_returnflag, n, sxy_over_n_minus_1 AS covar_qty_price,
+      |  ${Num.pearsonSql("n", "sx", "sy", "sxx", "syy", "sxy")} AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, COUNT(*) AS n,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
@@ -1678,30 +1678,25 @@ object Relational {
   ) { (s, dir) =>
     val x = col("l_quantity").cast(Money)
     val y = col("l_extendedprice").cast(Money)
-    // scale 2, NOT 4: Σ price² exceeds 2^53 unscaled at scale 4 even at
-    // sf0.001, where DuckDB's (unscaled→double)/10^s conversion double-
-    // rounds while Spark rounds once — the exact dsumExpr hazard
-    // (Query.scala) observed live as a 1-ulp corr mismatch
-    def m2(e: org.apache.spark.sql.Column) =
-      sum(e).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double")
+    // moment sums via Num.m2 (scale-2, the documented 2^53 dodge); the
+    // correlation tree + degenerate-group NULL pin live in Num.pearson,
+    // shared with q_autocorr
     Tables(s, dir).lineitem
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
         sum(x).cast("double").as("sx"),
         sum(y).cast("double").as("sy"),
-        m2(x * x).as("sxx"),
-        m2(y * y).as("syy"),
-        m2(x * y).as("sxy")
+        Num.m2(x * x).as("sxx"),
+        Num.m2(y * y).as("syy"),
+        Num.m2(x * y).as("sxy")
       )
       .select(
         col("l_returnflag"),
         col("n"),
         ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
           .as("covar_qty_price"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        Num.pearson(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
           .as("corr_qty_price")
       )
       .orderBy("l_returnflag")
@@ -1832,12 +1827,15 @@ object Relational {
     * organically-grown magnitudes follow log-uniform leading digits
     * (P(d)=log10(1+1/d)); uniform synthetic data (like this fixture)
     * flattens the curve, and either deviation is what the audit
-    * surfaces. Determinism: the leading digit is taken from the INTEGER
-    * cents string (`CAST(price*100 AS BIGINT)` is exact at money scale,
-    * integer→string has no locale/format variance, and scaling by 100
-    * never changes the leading significant digit) — no libm log10
-    * anywhere. One partial+final count; the expected share is a per-row
-    * constant tree.
+    * surfaces (the auditor compares the emitted observed shares against
+    * the log10(1+1/d) reference curve — that constant table lives with
+    * the consumer, not in the query, because libm log10 is exactly the
+    * cross-engine hazard this engine avoids). Determinism: the leading
+    * digit is taken from the INTEGER cents string (`CAST(price*100 AS
+    * BIGINT)` is exact at money scale, integer→string has no
+    * locale/format variance, and scaling by 100 never changes the
+    * leading significant digit). Plan: the q_histogram two-pass shape —
+    * a 1-row total broadcast onto one partial+final digit count.
     */
   val qBenford: Q = q(
     "q_benford",
