@@ -731,15 +731,18 @@ object Dedup {
 
   /** Dedup ROI audit — the headline metric a dedup pipeline reports
     * before anyone green-lights the storage/compute spend: total docs,
-    * unique texts, duplicate rows, corpus bytes, and bytes saved by
-    * keep-one-per-fingerprint. One fingerprint aggregate (the same
-    * [[graft.queries.Fingerprint]] as q_dedup_exact, so the two can't
-    * diverge) reaggregated to a single row. The fingerprint NORMALIZES
-    * whitespace/case, so group members can differ in n_chars: bytes are
-    * the true per-group sum, and the kept bytes are the arg-min-doc_id
-    * survivor's (exactly the row q_dedup_exact keeps) — saved =
-    * Σ(group bytes − survivor bytes). All exact integers; at 100 TB this
-    * is the same one partial+final exchange as the dedup itself.
+    * unique texts, duplicate rows, corpus characters, and characters
+    * saved by keep-one-per-fingerprint (CHARACTER counts from `n_chars`,
+    * not UTF-8 octets — for non-ASCII text the byte savings are larger;
+    * the columns are named `chars_*` to say exactly what they measure).
+    * One fingerprint aggregate (the same [[graft.queries.Fingerprint]]
+    * as q_dedup_exact, so the two can't diverge) reaggregated to a
+    * single row. The fingerprint NORMALIZES whitespace/case, so group
+    * members can differ in n_chars: chars are the true per-group sum,
+    * and the kept chars are the arg-min-doc_id survivor's (exactly the
+    * row q_dedup_exact keeps) — saved = Σ(group chars − survivor chars).
+    * All exact integers; at 100 TB this is the same one partial+final
+    * exchange as the dedup itself.
     */
   val dedupStats: Q = Q(
     "q_bytes_saved",
@@ -749,31 +752,31 @@ object Dedup {
         .agg(
           count(lit(1)).as("copies"),
           // the Fingerprint is whitespace/case-NORMALIZED, so group
-          // members can differ in n_chars — bytes must be the true sum,
-          // and the kept bytes the arg-min-doc_id row's (the survivor
+          // members can differ in n_chars — chars must be the true sum,
+          // and the kept chars the arg-min-doc_id row's (the survivor
           // q_dedup_exact actually keeps), not min(n_chars)
-          sum("n_chars").as("grp_bytes"),
-          min(struct(col("doc_id"), col("n_chars"))).getField("n_chars").as("kept_bytes")
+          sum("n_chars").as("grp_chars"),
+          min(struct(col("doc_id"), col("n_chars"))).getField("n_chars").as("kept_chars")
         )
         .agg(
           sum("copies").as("n_docs"),
           count(lit(1)).as("n_unique"),
           sum(col("copies") - 1).as("dup_docs"),
-          sum(col("grp_bytes")).as("bytes_total"),
-          sum(col("grp_bytes") - col("kept_bytes")).as("bytes_saved")
+          sum(col("grp_chars")).as("chars_total"),
+          sum(col("grp_chars") - col("kept_chars")).as("chars_saved")
         ),
     Some(
       s"""WITH g AS (
          |  SELECT ${graft.queries.Fingerprint.sql} AS fp,
          |    COUNT(*) AS copies,
-         |    CAST(SUM(n_chars) AS BIGINT) AS grp_bytes,
-         |    arg_min(n_chars, doc_id) AS kept_bytes
+         |    CAST(SUM(n_chars) AS BIGINT) AS grp_chars,
+         |    arg_min(n_chars, doc_id) AS kept_chars
          |  FROM documents GROUP BY 1)
          |SELECT CAST(SUM(copies) AS BIGINT) AS n_docs,
          |  COUNT(*) AS n_unique,
          |  CAST(SUM(copies - 1) AS BIGINT) AS dup_docs,
-         |  CAST(SUM(grp_bytes) AS BIGINT) AS bytes_total,
-         |  CAST(SUM(grp_bytes - kept_bytes) AS BIGINT) AS bytes_saved
+         |  CAST(SUM(grp_chars) AS BIGINT) AS chars_total,
+         |  CAST(SUM(grp_chars - kept_chars) AS BIGINT) AS chars_saved
          |FROM g""".stripMargin
     )
   )

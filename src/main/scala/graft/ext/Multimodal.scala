@@ -520,7 +520,10 @@ object Multimodal {
             if (csize == 0) end - j
             else if (csize == 1 && j + 16 <= end) be64(ja + 8)
             else csize
-          j = if (cstep < 8) end else j + cstep
+          // clamp to the container end: a 64-bit largesize near
+          // Long.MaxValue would wrap `j + cstep` negative and re-enter
+          // the loop at a truncated offset
+          j = if (cstep < 8 || cstep > end - j) end else j + cstep
         }
         if (durMs >= 0) out = Some((ts, durMs, tracks))
         i = end
@@ -530,7 +533,9 @@ object Multimodal {
           else if (size == 1 && i + 16 <= b.length) be64(at + 8) // 64-bit largesize
           else size
         if (step < 8) return None // malformed: a box cannot be smaller than its header
-        i += step
+        // clamp oversize steps to EOF so an adversarial largesize can
+        // neither overflow `i + step` nor truncate through `.toInt`
+        i = if (step > b.length - i) b.length else i + step
       }
     }
     out.map { case (ts, d, t) => (brand, ts, d, t) }

@@ -524,8 +524,10 @@ object EventQueries {
           col("value"),
           unix_micros(col("ts").cast("timestamp")).as("us")
         )
-        // `div` is exact integer division; `/` would round through a double
-        .withColumn("base", expr(s"(us div $Hop) * $Hop"))
+        // `us - pmod(us, hop)` is FLOOR-division bucketing (pmod is always
+        // non-negative), matching DuckDB's `//` even for pre-1970 negative
+        // epochs — `(us div hop) * hop` would truncate toward zero instead
+        .withColumn("base", expr(s"us - pmod(us, $Hop)"))
         .withColumn("k", explode(array(lit(0L), lit(1L), lit(2L))))
         .withColumn("win_start", col("base") - col("k") * Hop)
         .filter(col("us") < col("win_start") + Win)

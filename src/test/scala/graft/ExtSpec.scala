@@ -241,6 +241,26 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.mp4Meta(Multimodal.mp4HeaderBytes("isom", 600, 100, 1).take(16)).isEmpty)
   }
 
+  test("mp4Meta terminates on adversarial 64-bit largesize near Long.MaxValue") {
+    // top-level box: size==1 with largesize that would wrap `i + step`
+    // negative — must clamp to EOF and return, not loop or index OOB
+    val evilTop = java.nio.ByteBuffer.allocate(16 + 16)
+    evilTop.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    evilTop.putInt(1).put("free".getBytes).putLong(Long.MaxValue - 4)
+    assert(Multimodal.mp4Meta(evilTop.array()).isEmpty)
+    // child walk: moov leads with a size==1 child whose largesize wraps
+    // `j + cstep`; the walk must clamp to the container end (skipping the
+    // rest of moov) rather than stall — so the trailing mvhd is never
+    // reached and the parse yields None
+    val moov = java.nio.ByteBuffer.allocate(8 + 16 + 108)
+    moov.putInt(8 + 16 + 108).put("moov".getBytes)
+    moov.putInt(1).put("free".getBytes).putLong(Long.MaxValue - 4)
+    moov.putInt(108).put("mvhd".getBytes).putInt(0).putLong(0L).putInt(600).putInt(3000).put(new Array[Byte](80))
+    val ftyp = java.nio.ByteBuffer.allocate(16)
+    ftyp.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    assert(Multimodal.mp4Meta(ftyp.array() ++ moov.array()).isEmpty)
+  }
+
   test("wavMeta parses a canonical RIFF/WAVE header and rejects non-WAV payloads") {
     // 88200 data bytes at 44100 Hz × 2 ch × 16 bit = 176400 B/s → 500 ms
     val b = Multimodal.wavHeaderBytes(44100, 2, 16, 88200)
