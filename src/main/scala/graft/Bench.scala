@@ -76,8 +76,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    val ordered = selected.toSeq.sortBy(_._1)
+    // One full UNTIMED query before the timed loop: the scan/codegen warm-up
+    // above doesn't exercise join/aggregate/window exchange machinery, so the
+    // alphabetically-first query still absorbed residual one-time init
+    // (BENCH_r06: q_semi_join read 1.34 s in sequence vs 1.01 s isolated).
+    // Running the first query once untimed makes round-over-round per-query
+    // diffs reflect plan changes, not warm-up placement.
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () } // its timed run will report the error
+    }
     val results: Seq[(String, Double, Option[String])] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
         // steady-state hygiene: collect the previous query's garbage outside
         // the timed region so one query's heap pressure doesn't show up as a
         // GC pause inside the next query's timing (BENCH_r03: q_rollup read
