@@ -505,9 +505,55 @@ object Dedup {
     * iteration — the same bounded-driver-loop discipline as
     * [[graft.ext.Ivf.kmeansFit]]. The oracle computes the identical
     * fixpoint as a recursive reachability CTE (min reachable node id).
+    * Edges come from [[nearDupEdges]], which pre-collapses exact-duplicate
+    * texts to a representative + star so a massively-duplicated document
+    * cannot inflate the edge set quadratically.
     */
+  /** Edge set the cluster fixpoint consumes, with the EXACT-DUPLICATE
+    * PRE-COLLAPSE defense every production dedup pipeline runs before
+    * MinHash: docs are grouped by identical raw text (md5 key, so the
+    * shuffle carries a 32-char hash instead of the text), LSH + Jaccard
+    * verification runs over ONE representative per distinct text, and each
+    * duplicate group contributes a linear rep→member STAR instead of its
+    * quadratic clique. Identical text ⟹ identical shingle set ⟹ identical
+    * signature, bands, and Jaccard against any third doc, so (a) a member
+    * is a verified partner of exactly the docs its representative partners
+    * with, and (b) same-group members are pairwise verified (jaccard 1)
+    * whenever they have any shingle at all — which is precisely what the
+    * star edges (gated on a non-empty shingle set) encode. Connected
+    * components and min-ids over star+rep edges therefore equal those over
+    * the raw pair graph — the q_dedup_clusters ORACLE still replays the
+    * UNCOLLAPSED graph and stays hash-green — while the edge count drops
+    * from O(Σ|group|²) to O(Σ|group| + pairs(reps)): a document duplicated
+    * 100k× costs 100k star edges, not 5·10⁹ clique pairs (StressSpec
+    * pins this bound on a pathological corpus). The representative list
+    * rides a broadcast-size (doc_id, rep) frame; at 100 TB the md5 groupBy
+    * is the same partial+final exchange as q_dedup_exact.
+    */
+  private[graft] def nearDupEdges(docs: DataFrame, threshold: Double): DataFrame = {
+    val keyed  = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("tkey"))
+    val groups = keyed.groupBy("tkey").agg(min("doc_id").as("rep"), count(lit(1)).as("copies"))
+    val members = keyed
+      .join(groups, "tkey")
+      .select(col("doc_id"), col("rep"), col("copies"))
+    val repDocs  = docs.join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val repPairs = nearDuplicates(repDocs, threshold).select("d1", "d2")
+    // identical SETLESS docs (< 3 tokens ⟹ no shingles ⟹ null jaccard)
+    // are not pairwise-verified in the clique shape, so their groups get
+    // no star either — the same shingleSets(repDocs) plan as inside
+    // nearDuplicates, deduped to one cache entry by the CacheManager
+    val eligible = shingleSets(repDocs)
+      .filter(size(col("sset")) > 0)
+      .select(col("doc_id").as("rep"))
+    val star = members
+      .filter(col("copies") > 1 && col("doc_id") =!= col("rep"))
+      .join(eligible, "rep")
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    repPairs.union(star)
+  }
+
   def nearDupClusters(docs: DataFrame, threshold: Double, maxIters: Int = 10): DataFrame = {
-    val pairs = nearDuplicates(docs, threshold).select("d1", "d2")
+    val pairs = nearDupEdges(docs, threshold)
     // both directions PLUS a self-loop per endpoint: min over (neighbors ∪
     // self) IS the whole propagation step, so each iteration is ONE join +
     // ONE min-aggregate (the earlier shape needed a second join to merge

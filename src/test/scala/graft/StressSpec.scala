@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tools.StressGen
+
+/** Scale-stress harness: the heavy query family on a 10× corpus with
+  * injected pathology (one document duplicated across 20% of the corpus,
+  * one user owning 30% of events, one supplier key on 30% of lineitem) vs
+  * a CLEAN corpus of identical cardinality. Two kinds of assertion:
+  *
+  *   - structural: the advertised defense actually engages — the cluster
+  *     edge set stays linear under a 1000-copy duplicate group (exact-dup
+  *     pre-collapse), the df-cap excludes corpus-wide boilerplate from the
+  *     shared-passage self-join, segment dedup keeps exactly one survivor,
+  *     the adaptive skew join still agrees with the plain join. These are
+  *     exact and deterministic.
+  *   - wall-time: hot ≤ [[Factor]] × max(clean, 1 s) per query. The factor
+  *     is deliberately generous (suites run serially, but local[32] timing
+  *     still jitters); the point is to catch the QUADRATIC failure mode —
+  *     an undefended hot key turns a 1-2 s query into minutes, not into
+  *     4 s.
+  *
+  * The same pathologies at any larger scale reuse
+  * [[graft.tools.StressGen]]'s main (`runMain graft.tools.StressGen
+  * /root/testdata/sf0.1 /tmp/stress 10`).
+  */
+class StressSpec extends SparkSpec {
+  private val base   = "/root/testdata/sf0.01"
+  private val root   = new java.io.File("target/stress").getAbsolutePath
+  private val clean  = s"$root/clean"
+  private val hot    = s"$root/hot"
+  private val Factor = 6.0
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    StressGen.write(spark, base, clean, mult = 10, hot = false)
+    StressGen.write(spark, base, hot, mult = 10, hot = true)
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timed(name: String, dir: String): Double = {
+    System.gc()
+    val t0 = System.nanoTime()
+    materialize(SparkEntry.queries(name)(spark, dir))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** clean-vs-hot wall-time gate; clean runs first so shared JVM warm-up
+    * lands on the denominator (the conservative direction).
+    */
+  private def assertBounded(name: String): (Double, Double) = {
+    val tc = timed(name, clean)
+    val th = timed(name, hot)
+    info(f"$name: clean=$tc%.2fs hot=$th%.2fs (${th / math.max(tc, 1.0)}%.2fx)")
+    assert(
+      th <= Factor * math.max(tc, 1.0),
+      f"$name blew up under pathology: clean=$tc%.2fs hot=$th%.2fs"
+    )
+    (tc, th)
+  }
+
+  test("stress corpora have identical cardinality and the injected pathology") {
+    for (t <- Seq("documents", "events", "lineitem", "embeddings")) {
+      val nc = spark.read.parquet(s"$clean/$t.parquet").count()
+      val nh = spark.read.parquet(s"$hot/$t.parquet").count()
+      assert(nc == nh, s"$t: clean=$nc hot=$nh")
+    }
+    val docs = spark.read.parquet(s"$hot/documents.parquet")
+    val hotN = docs.filter(pmod(col("doc_id"), lit(StressGen.HotDocMod)) === 0).count()
+    assert(hotN == 1000, s"hot doc group: $hotN")
+    // the duplicated text is exactly the hot rows: 1000 copies of ONE text
+    assert(
+      docs.filter(pmod(col("doc_id"), lit(StressGen.HotDocMod)) === 0)
+        .select("text").distinct().count() == 1
+    )
+    val ev     = spark.read.parquet(s"$hot/events.parquet")
+    val hotEvN = ev.filter(col("user_id") === StressGen.HotUser).count()
+    assert(hotEvN == 30000, s"hot user rows: $hotEvN")
+    val li    = spark.read.parquet(s"$hot/lineitem.parquet")
+    val total = li.count().toDouble
+    val share = li.filter(col("l_suppkey") === StressGen.HotSupp).count() / total
+    assert(share > 0.2 && share < 0.4, s"hot supplier share: $share")
+  }
+
+  test("exact-dup pre-collapse keeps the cluster edge set linear under a 1000-copy group") {
+    val docs  = graft.core.Tables(spark, hot).documents
+    val edges = graft.ext.Dedup.nearDupEdges(docs, 0.2).count()
+    // clique shape would be ≥ 1000·999/2 = 499500 intra-group pairs alone;
+    // collapsed: 999 star edges + rep-level pairs over 4001 distinct texts
+    assert(edges >= 999, s"star edges missing: $edges")
+    assert(edges < 25000, s"edge set not linear: $edges (clique would be ≥ 499500)")
+  }
+
+  test("q_dedup_clusters puts every hot copy in one cluster, within the time bound") {
+    assertBounded("q_dedup_clusters")
+    val labels = SparkEntry
+      .queries("q_dedup_clusters")(spark, hot)
+      .filter(pmod(col("doc_id"), lit(StressGen.HotDocMod)) === 0)
+      .select("cluster_id")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+    assert(labels.toSeq == Seq(0L), s"hot copies span clusters: ${labels.mkString(",")}")
+  }
+
+  test("star-collapsed clusters equal brute-force clique components on a dup-heavy corpus") {
+    // fixtures have no exact duplicates, so the oracle gate never exercises
+    // the star path — build a corpus that does and compare against
+    // driver-side union-find over the UNCOLLAPSED verified pairs
+    val small = graft.core
+      .Tables(spark, base)
+      .documents
+      .filter(col("doc_id") < 60)
+    val dups = small
+      .filter(col("doc_id") < 12)
+      .select(
+        (col("doc_id") + 1000).as("doc_id"),
+        col("text"),
+        col("lang"),
+        col("source"),
+        col("n_chars")
+      )
+    val corpus = small.unionByName(dups).unionByName(
+      dups.select(col("doc_id") + 1000 as "doc_id", col("text"), col("lang"), col("source"), col("n_chars"))
+    )
+    val got = graft.ext.Dedup
+      .nearDupClusters(corpus, 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // brute force: raw pairwise verified edges (quadratic on dup groups)
+    val rawPairs = graft.ext.Dedup
+      .nearDuplicates(corpus, 0.2)
+      .select("d1", "d2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rawPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = rawPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want  = nodes.map(n => n -> find(n)).toMap
+    // find() roots are min-ids because unions always point max -> min
+    assert(got == want, s"got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
+  }
+
+  test("winnow df-cap excludes corpus-wide boilerplate from the passage self-join") {
+    assertBounded("q_shared_passages")
+    // positive control: the hot doc has plenty of fingerprints — it is
+    // excluded BECAUSE every one of them sits in 1000 docs (df > 200),
+    // not because it is too short to pair
+    val nFps = graft.ext.Winnow
+      .summary(spark, graft.core.Tables(spark, hot).documents)
+      .filter(col("doc_id") === 0L)
+      .select("n_fps")
+      .head()
+      .getLong(0)
+    assert(nFps >= 40, s"hot doc too short for the control: $nFps fps")
+    val hotHot = SparkEntry
+      .queries("q_shared_passages")(spark, hot)
+      .filter(
+        pmod(col("d1"), lit(StressGen.HotDocMod)) === 0 &&
+          pmod(col("d2"), lit(StressGen.HotDocMod)) === 0
+      )
+      .count()
+    assert(hotHot == 0, s"df-cap failed to engage: $hotHot hot-hot passage pairs")
+  }
+
+  test("segment dedup min-struct keeps exactly one survivor of the hot group") {
+    assertBounded("q_segment_dedup")
+    val out = SparkEntry
+      .queries("q_segment_dedup")(spark, hot)
+      .filter(pmod(col("doc_id"), lit(StressGen.HotDocMod)) === 0)
+      .select(col("doc_id"), col("n_kept"))
+      .collect()
+    val survivors = out.filter(_.getLong(1) > 0).map(_.getLong(0)).toSeq
+    assert(survivors == Seq(0L), s"hot-group survivors: ${survivors.mkString(",")}")
+  }
+
+  test("sessionization holds when one user owns 30% of all events") {
+    assertBounded("q_session_stats")
+    val hotSessions = SparkEntry
+      .queries("q_session_stats")(spark, hot)
+      .filter(col("user_id") === StressGen.HotUser)
+      .agg(count(lit(1)).as("n"), sum("n_events").as("ev"))
+      .head()
+    assert(hotSessions.getLong(0) >= 1)
+    assert(hotSessions.getLong(1) == 30000L, s"hot user events: ${hotSessions.getLong(1)}")
+  }
+
+  test("adaptive skew join agrees with the plain join under 30% single-key skew") {
+    assertBounded("q_join_skew_adaptive")
+    val adaptive = SparkEntry
+      .queries("q_join_skew_adaptive")(spark, hot)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val t = graft.core.Tables(spark, hot)
+    val plain = t.lineitem
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        count(lit(1)).as("cnt")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(adaptive.map(_._1).toSeq == plain.map(_._1).toSeq)
+    adaptive.zip(plain).foreach { case ((f, ra, ca), (_, rp, cp)) =>
+      assert(ca == cp, s"$f: cnt $ca vs $cp")
+      assert(math.abs(ra - rp) / math.abs(rp) < 1e-9, s"$f: rev $ra vs $rp")
+    }
+  }
+
+  test("LSH kNN join scales to the 10x embedding corpus") {
+    assertBounded("q_knn_join")
+  }
+}
