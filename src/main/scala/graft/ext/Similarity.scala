@@ -406,6 +406,14 @@ object Similarity {
     * already pair-bounded. Directed: (a,b) and (b,a) rank independently.
     * Vectors whose buckets are singletons in all tables have no candidates
     * and are absent — the documented LSH recall trade, measured in ExtSpec.
+    *
+    * SIZING AT SCALE: `nPlanes` fixes the bucket count at 2^nPlanes per
+    * table, so per-bucket occupancy — and with it the bucket self-join's
+    * candidate count, which is quadratic IN THE OCCUPANCY — grows linearly
+    * with the corpus (measured: 10× the vectors cost ~13× the wall time at
+    * nPlanes=6). A deployment sizes nPlanes ≈ log₂(n / targetOccupancy)
+    * so occupancy stays constant and total candidates stay linear; the
+    * default suits the fixture scales the oracle replays.
     */
   def knnJoin(emb: DataFrame, k: Int, nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
