@@ -15,13 +15,18 @@ import graft.queries.Q
   * Image DIMENSION extraction is REAL: [[Multimodal.imageDims]] byte-parses
   * PNG/GIF/JPEG container headers (pure JVM, no codec library — production
   * metadata extraction works the same way to avoid decompressing pixels).
-  * Pixel-level work (full decode, resize, feature extraction) would need
-  * codec libraries that are NOT in this container, so those stages are
-  * clearly-marked DETERMINISTIC STUBS fabricating plausible values from the
-  * bytes. Everything around them — the schema, the Dataset encoders, the
-  * mapPartitions batch shape (one reusable MessageDigest per partition,
-  * streaming iterator, no materialization) — is the real 100 TB-shaped
-  * plumbing a production pipeline would drop into.
+  * PNG pixel decode is ALSO real: [[Png.decode]] inflates IDAT and reverses
+  * the five scanline filters with `java.util.zip` alone (cross-checked
+  * bit-exactly against `javax.imageio` in ExtSpec; `q_multimodal_pixels`
+  * runs the encode→decode round-trip end-to-end against an independent
+  * oracle). Pixel-level work for OTHER codecs (JPEG/GIF decode, resize,
+  * feature extraction) would need libraries that are NOT in this container,
+  * so those stages remain clearly-marked DETERMINISTIC STUBS fabricating
+  * plausible values from the bytes. Everything around them — the schema,
+  * the Dataset encoders, the mapPartitions batch shape (one reusable
+  * MessageDigest per partition, streaming iterator, no materialization) —
+  * is the real 100 TB-shaped plumbing a production pipeline would drop
+  * into.
   */
 object Multimodal {
 
@@ -378,6 +383,87 @@ object Multimodal {
     )
   )
 
+  /** Pixel-level stats from a REAL full decode. */
+  final case class PixelMeta(
+      id: Long,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      px_sum: Long
+  )
+
+  /** REAL pixel-decode stage: [[Png.decode]] per payload (inflate +
+    * unfilter), emitting raster dimensions and the unsigned pixel-byte sum.
+    * Same mapPartitions batch shape as [[decode]]; rows that are not a
+    * supported PNG are dropped (a production pipeline would route them to a
+    * dead-letter sink).
+    */
+  def decodePixels(records: Dataset[MediaRecord]): Dataset[PixelMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        Png.decode(r.media).map { img =>
+          var sum = 0L
+          var i   = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          PixelMeta(r.id, img.width, img.height, img.pixels.length.toLong, sum)
+        }
+      }
+    }
+  }
+
+  /** Registered query: REAL pixel round-trip end-to-end. Each document
+    * synthesizes a small RGB image whose pixel bytes follow a closed-form
+    * rule of (x, y, channel, doc_id), [[Png.encode]] writes a spec-valid
+    * PNG (real deflate, real CRCs), [[Png.decode]] inflates and unfilters
+    * it back, and the query emits the decoded dimensions and pixel sum.
+    * The DuckDB oracle computes the expected sum INDEPENDENTLY from the
+    * same closed form — a bug anywhere in the codec (chunk layout, zlib
+    * framing, filter reversal, byte order) breaks the hash compare. Images
+    * are ≤ 8×6 so the oracle's per-row expansion stays trivial; the Spark
+    * side's cost model is the real one (bounded per-row decode inside one
+    * scan-stage mapPartitions, no shuffle before the final sort).
+    */
+  val multimodalPixels: Q = Q(
+    "q_multimodal_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w  = (1 + id % 8).toInt
+          val h  = (1 + (id * 3) % 6).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) {
+                px((y * w + x) * 3 + c) = ((x + 31L * y + 7L * c + id) % 251).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          MediaRecord(id, "image", Png.encode(w, h, 3, px))
+        }
+      decodePixels(recs).toDF().orderBy("id")
+    },
+    Some(
+      """SELECT doc_id AS id,
+        |  CAST(1 + doc_id % 8 AS INT) AS width,
+        |  CAST(1 + (doc_id * 3) % 6 AS INT) AS height,
+        |  CAST((1 + doc_id % 8) * (1 + (doc_id * 3) % 6) * 3 AS BIGINT) AS n_px,
+        |  CAST(list_sum(flatten(list_transform(range(1 + (doc_id * 3) % 6), y ->
+        |    list_transform(range((1 + doc_id % 8) * 3), i ->
+        |      (i // 3 + 31 * y + 7 * (i % 3) + doc_id) % 251)))) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY id""".stripMargin
+    )
+  )
+
   /** Audio decode stage: same partition-batched shape as [[decode]],
     * REAL RIFF/WAVE header parsing via [[wavMeta]]; unparseable payloads
     * yield zeroed metadata rather than dropping the row (a pipeline wants
@@ -616,6 +702,6 @@ object Multimodal {
   )
 
   val all: Seq[Q] =
-    Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalAudio, multimodalFrames,
-      multimodalVideo)
+    Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalAudio,
+      multimodalFrames, multimodalVideo)
 }

@@ -241,6 +241,80 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.mp4Meta(Multimodal.mp4HeaderBytes("isom", 600, 100, 1).take(16)).isEmpty)
   }
 
+  test("Png.decode matches javax.imageio pixel-for-pixel on ImageIO-written PNGs") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // ImageIO's PNG writer uses adaptive per-scanline filtering, so this
+    // round-trip exercises the Sub/Up/Average/Paeth reversal paths our own
+    // filter-0 encoder never produces
+    def deterministicImage(w: Int, h: Int, imgType: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 7 + y * 31) % 256
+        val g = (x * 13 + y * 3 + 40) % 256
+        val b = (x + y * y) % 256
+        img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    for {
+      (w, h)  <- Seq((1, 1), (7, 3), (64, 64), (33, 5))
+      imgType <- Seq(BufferedImage.TYPE_INT_RGB, BufferedImage.TYPE_BYTE_GRAY, BufferedImage.TYPE_4BYTE_ABGR)
+    } {
+      val img  = deterministicImage(w, h, imgType)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", baos))
+      val decoded = graft.ext.Png.decode(baos.toByteArray)
+      assert(decoded.isDefined, s"decode failed for type=$imgType ${w}x$h")
+      val d = decoded.get
+      assert((d.width, d.height) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val off  = (y * w + x) * d.channels
+        val (er, eg, eb) = ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+        d.channels match {
+          case 1 =>
+            // TYPE_BYTE_GRAY's setRGB/getRGB round-trips through a
+            // colorspace conversion; the PNG carries the RASTER byte
+            assert((d.pixels(off) & 0xff) == img.getRaster.getSample(x, y, 0), s"gray ($x,$y)")
+          case 3 | 4 =>
+            assert((d.pixels(off) & 0xff) == er, s"R ($x,$y) type=$imgType")
+            assert((d.pixels(off + 1) & 0xff) == eg, s"G ($x,$y) type=$imgType")
+            assert((d.pixels(off + 2) & 0xff) == eb, s"B ($x,$y) type=$imgType")
+            if (d.channels == 4)
+              assert((d.pixels(off + 3) & 0xff) == ((argb >> 24) & 0xff), s"A ($x,$y)")
+          case c => fail(s"unexpected channel count $c")
+        }
+      }
+    }
+  }
+
+  test("Png.encode round-trips through javax.imageio and Png.decode; malformed inputs yield None") {
+    import javax.imageio.ImageIO
+    val w = 9; val h = 4
+    val px = Array.tabulate(w * h * 3)(i => ((i * 17 + 5) % 256).toByte)
+    val bytes = graft.ext.Png.encode(w, h, 3, px)
+    // our own decoder round-trips bit-exactly
+    val own = graft.ext.Png.decode(bytes).get
+    assert(own.width == w && own.height == h && own.channels == 3)
+    assert(own.pixels.sameElements(px))
+    // a conformant third-party reader accepts the file (CRCs, zlib framing)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val off  = (y * w + x) * 3
+      val want = (0xff << 24) | ((px(off) & 0xff) << 16) | ((px(off + 1) & 0xff) << 8) | (px(off + 2) & 0xff)
+      assert(img.getRGB(x, y) == want, s"ImageIO disagrees at ($x,$y)")
+    }
+    // malformed inputs: truncated file, forged chunk length, bad filter type
+    assert(graft.ext.Png.decode(bytes.take(bytes.length - 9)).isEmpty, "missing IEND accepted")
+    val forged = bytes.clone()
+    forged(8) = 0x7f.toByte // IHDR length forged huge
+    assert(graft.ext.Png.decode(forged).isEmpty)
+    assert(graft.ext.Png.decode(Multimodal.pngHeaderBytes(5, 5)).isEmpty, "header-only PNG has no IDAT/IEND")
+    assert(graft.ext.Png.decode("not a png at all".getBytes).isEmpty)
+  }
+
   test("mp4Meta terminates on adversarial 64-bit largesize near Long.MaxValue") {
     // top-level box: size==1 with largesize that would wrap `i + step`
     // negative — must clamp to EOF and return, not loop or index OOB
