@@ -58,6 +58,10 @@ object Bench {
       // would otherwise absorb the whole build into its timing.
       if (subsetNeeds(_ == "q_ann_ivf"))
         graft.ext.Ivf.indexFor(spark, sfDir)
+      // the z-ordered lineitem layout is the same offline-build shape (a
+      // lakehouse OPTIMIZE job); the probe query should time probes only
+      if (subsetNeeds(_ == "q_zorder_probe"))
+        graft.ops.ZOrder.layoutFor(spark, sfDir)
       if (subsetNeeds(n => n.contains("minhash") || n.contains("lsh") || n.contains("dedup") ||
             n.contains("jaccard") || n == "q_clean_corpus")) {
         val docs = graft.core.Tables(spark, sfDir).documents

@@ -1823,6 +1823,40 @@ object Relational {
     }
   }
 
+  /** 2-D range probe over the Z-ORDERED lineitem layout
+    * ([[graft.ops.ZOrder.layoutFor]] — the written form of the clustering
+    * `q_zorder` computes): a rectangle predicate on BOTH interleaved keys,
+    * answered from the clustered copy. Values are layout-independent, so
+    * the oracle runs the same rectangle over the raw `lineitem` — the
+    * hash compare proves the rewritten layout lost/duplicated nothing —
+    * while the data-skipping effect itself (row groups pruned by min/max
+    * stats vs an unclustered control) is measured in PlanSpec, where scan
+    * metrics are observable. At 100 TB the probe is the point of the
+    * layout: either-key rectangles touch only the files whose z-range
+    * intersects them.
+    */
+  val qZorderProbe: Q = q(
+    "q_zorder_probe",
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+      |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 64 AND 255 AND l_suppkey BETWEEN 16 AND 47""".stripMargin
+  ) { (s, dir) =>
+    s.read
+      .parquet(graft.ops.ZOrder.layoutFor(s, dir))
+      .filter(col("l_partkey").between(64, 255) && col("l_suppkey").between(16, 47))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min("l_partkey").as("min_part"),
+        max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"),
+        max("l_suppkey").as("max_supp")
+      )
+  }
+
   /** Benford first-digit audit — the classic fabricated-data screen:
     * organically-grown magnitudes follow log-uniform leading digits
     * (P(d)=log10(1+1/d)); uniform synthetic data (like this fixture)
@@ -1896,6 +1930,7 @@ object Relational {
     qTpchQ22, qPromoShare, qBloomJoin, qJoinSalted, qJoinSkewAdaptive, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder, qBenford
+    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder, qZorderProbe,
+    qBenford
   )
 }

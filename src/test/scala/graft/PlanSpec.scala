@@ -31,6 +31,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("z-ordered layout prunes row groups on 2-D range probes; unclustered control reads everything") {
+    import org.apache.spark.sql.functions.col
+    // sf0.01 so the probe rectangle is selective (~3%) against 2000 parts
+    val dir   = "/root/testdata/sf0.01"
+    val zpath = graft.ops.ZOrder.layoutFor(spark, dir)
+    val upath = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-zorder-control-p${ProcessHandle.current().pid()}"
+    ).getAbsolutePath
+    // control: identical rows, same file count, round-robin layout — every
+    // file's (partkey, suppkey) min/max spans the whole domain
+    graft.core
+      .Tables(spark, dir)
+      .lineitem
+      .repartition(graft.ops.ZOrder.Files)
+      .write
+      .mode("overwrite")
+      .parquet(upath)
+    def scannedRows(path: String): Long = {
+      val df = spark.read
+        .parquet(path)
+        .filter(col("l_partkey").between(64, 255) && col("l_suppkey").between(16, 47))
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val total = graft.core.Tables(spark, dir).lineitem.count()
+    val z     = scannedRows(zpath)
+    val u     = scannedRows(upath)
+    info(s"scan rows: z-ordered=$z unclustered=$u total=$total")
+    assert(u > (total * 0.9).toLong, s"control unexpectedly pruned: $u of $total")
+    assert(z < total / 4, s"z-order layout failed to prune: $z of $total")
+  }
+
   test("q_topk plans TakeOrderedAndProject, not a global Sort") {
     val p = plan(Relational.qTopK.fn(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
