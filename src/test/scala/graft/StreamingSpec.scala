@@ -435,6 +435,64 @@ class StreamingSpec extends SparkSpec {
     assert(batchRows == streamRows, s"batch=$batchRows stream=$streamRows")
   }
 
+  test("parquet sink + checkpoint recovers exactly-once from a crash between sink and offset commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production crash window FileStreamSink exists to survive: batch N's
+    // files are written and recorded in the sink's _spark_metadata log, but
+    // the process dies BEFORE the checkpoint commit marker lands. On restart
+    // the engine re-executes batch N; the sink must recognize it as already
+    // committed and skip it — duplicates in the output would mean the
+    // "exactly-once via checkpoint + idempotent files" contract is broken.
+    val dir   = java.nio.file.Files.createTempDirectory("graft-eos").toFile.getAbsolutePath
+    val out   = s"$dir/out"
+    val chk   = s"$dir/chk"
+    val input = MemoryStream[Event]
+    def start() =
+      EventStream.writeParquet(input.toDF().select($"event_id", $"user_id", $"value"), out, chk)
+
+    val q1 = start()
+    try {
+      input.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2026-01-01 10:01:00", 2, "view", 2.0),
+        ev(3, "2026-01-01 10:02:00", 1, "click", 3.0)
+      )
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // simulate the crash: offsets/0 and the sink's _spark_metadata/0 exist,
+    // the commits/0 marker is lost
+    val commits = new java.io.File(s"$chk/commits").listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty, "no committed batches to damage")
+    val latest = commits.maxBy(_.getName.toLong)
+    assert(latest.delete(), s"could not remove ${latest.getPath}")
+    // the local checksum FS shadows every log file with a .N.crc; a stale
+    // one makes the recovery rewrite collide and misreport a concurrent query
+    val crc = new java.io.File(latest.getParentFile, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // re-executes the damaged batch; sink must skip
+      input.addData(ev(4, "2026-01-01 10:05:00", 3, "purchase", 4.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // no duplicates, no loss: exactly the four source events survive, and
+    // the recovered output equals the batch dual of the same projection
+    val got = spark.read.parquet(out).select($"event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), s"recovered output: $got")
+    val batchDual = Seq(
+      ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2026-01-01 10:01:00", 2, "view", 2.0),
+      ev(3, "2026-01-01 10:02:00", 1, "click", 3.0),
+      ev(4, "2026-01-01 10:05:00", 3, "purchase", 4.0)
+    ).toDF().select($"event_id", $"user_id", $"value").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recovered = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(recovered == batchDual, s"recovered=$recovered batch=$batchDual")
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
