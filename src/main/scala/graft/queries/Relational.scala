@@ -1027,9 +1027,10 @@ object Relational {
     * aggregate. Adapted: "shipped more than 30% of the part's annual
     * volume" replaces the availqty comparison (no partsupp table). Both
     * aggregate levels reuse the SAME exact-decimal shipped table — the
-    * per-part total is the sum of the per-(part,supplier) DECIMAL partials,
-    * one exchange key (l_partkey) throughout; the part-name gate semi-joins
-    * before either aggregate.
+    * per-part total is a WINDOW sum of the per-(part,supplier) DECIMAL
+    * partials over ONE l_partkey partition, so lineitem is scanned and
+    * aggregated exactly once (PlanSpec pins the single scan); the
+    * part-name gate semi-joins before either aggregate.
     */
   val qTpchQ20: Q = q(
     "q_tpch_q20",
@@ -1062,11 +1063,19 @@ object Relational {
       )
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity").cast(Money)).as("qdec"))
-    val perPart = shipped
-      .groupBy(col("l_partkey").as("t_partkey"))
-      .agg(sum("qdec").cast("double").as("tot"))
+    // the correlated per-part total as a WINDOW over the same aggregate —
+    // the self-join shape ((shipped ⋈ shipped-reaggregated) that the SQL
+    // oracle spells out) scanned lineitem TWICE, because column pruning
+    // gives the two branches different canonical scans and defeats
+    // exchange reuse. One window partitioned on l_partkey reads the
+    // aggregate once: no second scan, no join, one extra narrow exchange.
     val qualifying = shipped
-      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .withColumn(
+        "tot",
+        sum("qdec")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("l_partkey"))
+          .cast("double")
+      )
       .filter(col("qdec").cast("double") > lit(0.3) * col("tot"))
       .select("l_suppkey")
     t.supplier

@@ -263,6 +263,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q2/q11/q20 read lineitem exactly once — the decorrelated side reuses, never rescans") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // walk the EXECUTED adaptive plan (QueryStageExec is a leaf for
+    // TreeNode.collect, so descend manually); a ReusedExchange's subtree
+    // belongs to the original stage and must not double-count
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec       => Seq(qs.plan)
+        case _: ReusedExchangeExec    => Nil
+        case other                    => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val total = graft.core.Tables(spark, sf).lineitem.count()
+    for (name <- Seq("q_tpch_q2", "q_tpch_q11", "q_tpch_q20")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val liRows = allNodes(df.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) =>
+          s.metrics("numOutputRows").value
+      }.sum
+      info(s"$name: lineitem rows read = $liRows (table = $total)")
+      // a rescan of the shared aggregate's source would read 2x; runtime
+      // filters may only make a single scan SMALLER, never larger
+      assert(liRows <= total, s"$name rescans lineitem: read $liRows of $total rows")
+      assert(liRows > 0, s"$name read no lineitem rows — metric wiring broke")
+    }
+  }
+
   test("q_tpch_q16 plans the NOT IN as a broadcast anti join") {
     val p = plan(Relational.qTpchQ16.fn(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
