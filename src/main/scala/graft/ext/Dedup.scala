@@ -536,13 +536,37 @@ object Dedup {
     val members = keyed
       .join(groups, "tkey")
       .select(col("doc_id"), col("rep"), col("copies"))
-    val repDocs  = docs.join(groups.select(col("rep").as("doc_id")), "doc_id")
-    val repPairs = nearDuplicates(repDocs, threshold).select("d1", "d2")
+    val repIds = groups.select(col("rep").as("doc_id"))
+    // per-doc features are ROW-LOCAL, so restricting to representatives is
+    // a plain filter over the FAMILY-SHARED cached tables — recomputing
+    // signatures from a (docs ⋈ reps) frame would be a different plan the
+    // CacheManager can't dedup, re-paying the scan+md5+min work every
+    // dedup query already shares (measured: 8.5 s vs 3 s at sf0.1)
+    val repSets = shingleSets(docs).join(repIds, "doc_id")
+    val repSigs = signatures(docs).join(repIds, "doc_id")
+    val b       = bands(repSigs)
+    val cand = b
+      .alias("a")
+      .join(
+        b.alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val repPairs = cand
+      .join(repSets.select(col("doc_id").as("d1"), col("sset").as("s1")), "d1")
+      .join(repSets.select(col("doc_id").as("d2"), col("sset").as("s2")), "d2")
+      .filter(
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))) >= threshold
+      )
+      .select("d1", "d2")
     // identical SETLESS docs (< 3 tokens ⟹ no shingles ⟹ null jaccard)
     // are not pairwise-verified in the clique shape, so their groups get
-    // no star either — the same shingleSets(repDocs) plan as inside
-    // nearDuplicates, deduped to one cache entry by the CacheManager
-    val eligible = shingleSets(repDocs)
+    // no star either
+    val eligible = repSets
       .filter(size(col("sset")) > 0)
       .select(col("doc_id").as("rep"))
     val star = members
