@@ -74,6 +74,13 @@ object SimHash {
       (shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xffffL))).as(s"c$c")
     }
     val keyed = sig.select(col("doc_id") +: col("simhash") +: chunks: _*)
+    // referenced 8x below (4 chunk joins x 2 sides): without the persist,
+    // each reference re-runs the full corpus scan + per-doc MD5 signature
+    // (Catalyst does not dedup common subtrees — ScanAuditSpec measured 8
+    // documents passes). The persisted frame is 5 longs/doc — exactly the
+    // signature index a production pipeline materializes; the CacheManager
+    // dedupes the entry across queries in a session.
+    if (keyed.storageLevel == org.apache.spark.storage.StorageLevel.NONE) keyed.persist()
     val pairs = (0 until 4)
       .map { c =>
         keyed

@@ -466,6 +466,13 @@ object Pipeline {
             )
           ).as(Seq("seg_no", "seg"))
         )
+      // segs is referenced twice (winner derivation + the keep semi-join);
+      // unpersisted, each reference re-runs the scan + split + explode
+      // (ScanAuditSpec measured 4 corpus passes). The segment table tiles
+      // the text exactly once, so the cache is ~corpus-sized — the same
+      // class as the dedup family's shingle cache, and the production
+      // analog is the materialized segment index a CCNet pipeline keeps.
+      if (segs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) segs.persist()
       val winners = segs
         .groupBy(col("seg").as("w_seg"))
         .agg(min(struct(col("doc_id"), col("seg_no"))).as("w"))

@@ -275,10 +275,15 @@ object Relational {
     * (no receipt/commit dates in the fixtures) and `o_orderstatus = 'F'`
     * scopes to finished orders, preserving the exact subquery structure.
     *
-    * Plan shape: EXISTS → left-semi, NOT EXISTS → left-anti, both equi on
-    * l_orderkey with the `<>` as a join residual — three shuffles on the
-    * same fact key, supplier broadcast, top-k as TakeOrderedAndProject. No
-    * correlated per-row subquery execution survives into the physical plan.
+    * Plan shape: both correlated subqueries collapse into ONE per-order
+    * supplier-stats aggregate — EXISTS(other supplier) ⟺ the order has ≥ 2
+    * distinct suppliers, NOT EXISTS(other R supplier) ⟺ exactly 1 distinct
+    * R supplier (l1 itself is one, so "no other"). The stats run as a
+    * distinct-free two-level aggregate ((orderkey, suppkey) partial+final,
+    * then orderkey), so the shuffle carries compressed pairs where the
+    * semi/anti-join formulation shuffled RAW lineitem rows twice and
+    * scanned the table three times (ScanAuditSpec pins the 2-scan budget).
+    * Supplier broadcasts; top-k is TakeOrderedAndProject.
     */
   val qTpchQ21: Q = q(
     "q_tpch_q21",
@@ -299,22 +304,17 @@ object Relational {
     val l1 = t.lineitem
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_suppkey")
-    val others = t.lineitem
-      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
-    val otherFails = t.lineitem
-      .filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    val perSupp = t.lineitem
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+    val orderStats = perSupp
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("has_r").as("n_r_supp"))
     l1
-      .join(
-        others,
-        col("l_orderkey") === col("o2_orderkey") && col("l_suppkey") =!= col("o2_suppkey"),
-        "left_semi"
-      )
-      .join(
-        otherFails,
-        col("l_orderkey") === col("o3_orderkey") && col("l_suppkey") =!= col("o3_suppkey"),
-        "left_anti"
-      )
+      .join(orderStats, "l_orderkey")
+      // another supplier exists in the order, and l1's is the ONLY one
+      // with an R line — the decorrelated EXISTS / NOT EXISTS pair
+      .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
       .join(
         t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"),

@@ -209,7 +209,12 @@ object TextQueries {
       val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // tf already has exactly one row per (doc_id, term), so the document
       // frequency is a reaggregation of tf — NOT a second scan+explode of
-      // the corpus text (at 100 TB that would be a full extra pass)
+      // the corpus text (at 100 TB that would be a full extra pass). The
+      // reaggregation only avoids that pass if tf is MATERIALIZED: tf is
+      // referenced twice (df derivation + the score join) and Catalyst
+      // does not dedup common subtrees, so an unpersisted tf re-explodes
+      // the corpus (ScanAuditSpec measured the double pass).
+      if (tf.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tf.persist()
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w     = org.apache.spark.sql.expressions.Window

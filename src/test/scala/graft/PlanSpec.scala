@@ -135,6 +135,29 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p)
       .size
 
+  /** Exchange count from the plan TREE, not the printed string: a cached
+    * frame (InMemoryTableScan) prints its build plan's exchanges once per
+    * REFERENCE, so string counts depend on which earlier suite happened to
+    * persist a shared table — tree counts don't. Cached subtrees count 0
+    * (their build cost is session-amortized by design), reused exchanges
+    * count 0 (they re-read the original's output).
+    */
+  private def shuffleCountTree(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def walk(p: SparkPlan): Int = p match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: QueryStageExec       => walk(qs.plan)
+      case _: ReusedExchangeExec    => 0
+      case e: ShuffleExchangeLike   => 1 + e.children.map(walk).sum
+      case o                        => o.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("shuffleCount recognizes every ShuffleExchange partitioning flavor") {
     // regression guard for the counter itself: a repartition(n) plans
     // 'Exchange RoundRobinPartitioning(n)' and MUST count
@@ -162,29 +185,33 @@ class PlanSpec extends SparkSpec {
     val budgets = Seq(
       ("q_tpch_q17", Relational.qTpchQ17, 4),
       ("q_tpch_q18", Relational.qTpchQ18, 3),
-      ("q_tpch_q21", Relational.qTpchQ21, 2),
-      ("q_minhash_neardup", Dedup.minhashNearDup, 7),
-      ("q_ngram_jaccard", Dedup.ngramJaccard, 7),
-      ("q_edit_neardup", Dedup.editNearDup, 9),
-      ("q_dedup_incremental", Dedup.dedupIncremental, 9),
+      // Q21's decorrelated per-order supplier stats are a two-level
+      // aggregate + one fact join: partial aggregation compresses the
+      // shuffle the old semi/anti formulation paid in raw rows (and a
+      // whole third scan) — the budget covers agg(ok,sk) + agg(ok) +
+      // the l1-side join exchange + the final s_name aggregate
+      ("q_tpch_q21", Relational.qTpchQ21, 4),
+      // the dedup/text family budgets are measured TREE counts (+2
+      // headroom for AQE broadcast/SMJ flips on cache statistics); cached
+      // subtrees count 0, so these are the exchanges a WARM session
+      // actually executes per query
+      ("q_minhash_neardup", Dedup.minhashNearDup, 4),
+      ("q_ngram_jaccard", Dedup.ngramJaccard, 4),
+      ("q_edit_neardup", Dedup.editNearDup, 4),
+      ("q_dedup_incremental", Dedup.dedupIncremental, 5),
       ("q_embed_neardup", Similarity.embedNearDup, 4),
-      ("q_knn_join", Similarity.knnJoinQ, 6),
-      // lm_score's tf table is persisted and referenced twice (model +
-      // scoring); the plan STRING prints the InMemoryRelation's internal
-      // exchange per reference, so the count over-states what executes
-      ("q_lm_score", graft.queries.TextQueries.lmScore, 8),
+      ("q_knn_join", Similarity.knnJoinQ, 5),
+      ("q_lm_score", graft.queries.TextQueries.lmScore, 7),
       ("q_inverted_index", graft.queries.TextQueries.invertedIndex, 4),
-      // (q_dedup_clusters is NOT budgeted: its final frame's printed
-      // lineage nests every cached iteration, so the string count scales
-      // with iteration history instead of per-round work — the per-round
-      // shape, one join + one min-aggregate, is pinned by its scaladoc
-      // and the runtime is bounded by the convergence require)
-      ("q_cms_topk", graft.queries.EventQueries.cmsTopk, 6),
-      ("q_clean_corpus", graft.queries.Pipeline.cleanCorpus, 11),
+      // (q_dedup_clusters is NOT budgeted: its per-round shape, one join +
+      // one min-aggregate, is pinned by its scaladoc and the runtime is
+      // bounded by the convergence require)
+      ("q_cms_topk", graft.queries.EventQueries.cmsTopk, 4),
+      ("q_clean_corpus", graft.queries.Pipeline.cleanCorpus, 7),
       ("q_shared_passages", graft.ext.Winnow.sharedPassages, 6)
     )
     budgets.foreach { case (name, q, budget) =>
-      val n = shuffleCount(plan(q.fn(spark, sf)))
+      val n = shuffleCountTree(q.fn(spark, sf))
       info(s"$name: $n exchanges (budget $budget)")
       assert(n <= budget, s"$name now plans $n shuffle exchanges (budget $budget)")
     }
