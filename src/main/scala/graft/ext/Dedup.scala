@@ -299,6 +299,15 @@ object Dedup {
     * stateful stream aggregation, so it is deliberately left to the
     * consumer (an idempotent sink keyed on the pair, or a per-batch
     * `dropDuplicates` inside foreachBatch).
+    *
+    * SCALE INVARIANT: `seen` must be the ACCEPTED corpus — i.e. already
+    * deduplicated, which an ingest-gate deployment guarantees by
+    * construction (a doc flagged here never joins `seen`). That is what
+    * bounds the fan-out: a new doc matches at most a handful of unique
+    * near-dup partners. Feeding a seen side that itself contains a text
+    * duplicated N× would multiply every matching new doc's output by N —
+    * the hot-band pathology [[nearDupEdges]] pre-collapses for the batch
+    * cluster path, prevented here by the accepted-corpus contract instead.
     */
   def streamingIngestGate(newDocs: DataFrame, seen: DataFrame, threshold: Double): DataFrame = {
     val seenBands = bands(signatures(seen))
