@@ -1,0 +1,17 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The ONE persist-if-not-cached guard every module shares. Spark's
+  * CacheManager keys on the logical plan, so a re-constructed identical
+  * DataFrame reports the existing entry's storage level — `frame` is then
+  * a no-op instead of logging "Asked to cache already cached data" on
+  * every query construction (Bench, Verify, repeated tests). Centralized
+  * so a future change to caching policy (storage level, logging,
+  * unpersist discipline) has a single point of change.
+  */
+object Cached {
+  def frame(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.persist() else df
+}

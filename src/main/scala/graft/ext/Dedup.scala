@@ -52,14 +52,8 @@ object Dedup {
     */
   def tokens(text: Column): Column = split(lower(text), " ", -1)
 
-  /** persist() that is a no-op when the plan is already cached (CacheManager
-    * keys on the logical plan, so a re-constructed identical DataFrame
-    * reports the existing entry's storage level) — avoids the per-call
-    * "Asked to cache already cached data" warning under repeated query
-    * construction (Bench, Verify).
-    */
-  private def cached(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+  /** See [[graft.core.Cached.frame]] — the shared persist-if-not-cached guard. */
+  private def cached(df: DataFrame): DataFrame = graft.core.Cached.frame(df)
 
   /** 3-word shingles; empty array when the doc has fewer than 3 tokens.
     *

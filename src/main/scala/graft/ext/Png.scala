@@ -78,17 +78,23 @@ object Png {
     if (w <= 0 || h <= 0 || w.toLong * h * channels > MaxRaster) return None
 
     val stride = w * channels
-    val raw    = new Array[Byte]((stride + 1) * h) // +1 filter byte per scanline
-    val inf    = new Inflater()
+    val rawLen = (stride + 1) * h // +1 filter byte per scanline
+    // zlib expands at most ~1032:1 (raw deflate blocks); a forged IHDR
+    // whose claimed raster could not possibly come out of the IDAT bytes
+    // present is rejected BEFORE the raster allocation, so a 45-byte
+    // payload cannot force a 512 MiB transient per row
+    if (idat.size().toLong * 1032 + 64 < rawLen.toLong) return None
+    val raw = new Array[Byte](rawLen)
+    val inf = new Inflater()
     try {
       inf.setInput(idat.toByteArray)
       var off = 0
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, off, rawLen - off)
         if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None // short stream
         off += n
       }
-      if (off < raw.length) return None
+      if (off < rawLen) return None
     } catch { case _: java.util.zip.DataFormatException => return None } finally inf.end()
 
     val out = new Array[Byte](stride * h)

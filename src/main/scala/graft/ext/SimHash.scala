@@ -80,7 +80,7 @@ object SimHash {
     // documents passes). The persisted frame is 5 longs/doc — exactly the
     // signature index a production pipeline materializes; the CacheManager
     // dedupes the entry across queries in a session.
-    if (keyed.storageLevel == org.apache.spark.storage.StorageLevel.NONE) keyed.persist()
+    graft.core.Cached.frame(keyed)
     val pairs = (0 until 4)
       .map { c =>
         keyed

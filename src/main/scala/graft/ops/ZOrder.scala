@@ -25,6 +25,12 @@ object ZOrder {
 
   private val built = scala.collection.mutable.Map.empty[String, String]
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def layoutFor(spark: SparkSession, dir: String): String = built.synchronized {
     built.getOrElseUpdate(
       dir, {
@@ -36,10 +42,15 @@ object ZOrder {
           .take(12)
         // pid-scoped like the IVF index: per-JVM memo must not share a
         // directory with another process working the same fixture
-        val path = new java.io.File(
+        val file = new java.io.File(
           System.getProperty("java.io.tmpdir"),
           s"graft-zorder-$tag-p${ProcessHandle.current().pid()}"
-        ).getAbsolutePath
+        )
+        val path = file.getAbsolutePath
+        // the layout is a session-scoped materialization, not an artifact:
+        // without this every test/bench JVM would leak a full lineitem
+        // copy under tmpdir (the pid suffix guarantees a fresh dir per run)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(file)))
         graft.core
           .Tables(spark, dir)
           .lineitem

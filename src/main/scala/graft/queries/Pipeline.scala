@@ -472,7 +472,7 @@ object Pipeline {
       // the text exactly once, so the cache is ~corpus-sized — the same
       // class as the dedup family's shingle cache, and the production
       // analog is the materialized segment index a CCNet pipeline keeps.
-      if (segs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) segs.persist()
+      graft.core.Cached.frame(segs)
       val winners = segs
         .groupBy(col("seg").as("w_seg"))
         .agg(min(struct(col("doc_id"), col("seg_no"))).as("w"))

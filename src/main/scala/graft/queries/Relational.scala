@@ -251,17 +251,18 @@ object Relational {
       |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin
   ) { (s, dir) =>
     val t = Tables(s, dir)
-    val bigOrders = t.lineitem
+    // ONE per-order aggregate serves both the HAVING filter and the
+    // emitted total (an order has one customer/date, so re-aggregating
+    // after the join — the literal SQL shape — would recompute the same
+    // sum from a SECOND lineitem scan; ScanAuditSpec pins the single scan)
+    val oq = t.lineitem
       .groupBy("l_orderkey")
-      .agg(dsum(col("l_quantity")).as("s"))
-      .filter(col("s") > 200)
-      .select("l_orderkey")
-    t.orders
-      .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-      .groupBy("c_name", "o_orderkey", "o_orderdate")
       .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    t.orders
+      .join(oq, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -350,13 +351,15 @@ object Relational {
   ) { (s, dir) =>
     val t  = Tables(s, dir)
     val li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
-    val thresholds = li
-      .groupBy("l_partkey")
-      .agg(
-        (lit(0.2) * (sum(col("l_quantity").cast(Money)).cast("double") / count(lit(1))))
-          .as("qty_thresh")
+    // the correlated per-part threshold as a WINDOW over the same scan
+    // (one l_partkey exchange, bounded per-part groups) — the aggregate-
+    // joined-back shape re-scanned lineitem (ScanAuditSpec node pin)
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    li.withColumn(
+        "qty_thresh",
+        lit(0.2) * (sum(col("l_quantity").cast(Money)).over(wp).cast("double") /
+          count(lit(1)).over(wp))
       )
-    li.join(thresholds, "l_partkey")
       .join(
         broadcast(t.part.filter(col("p_type") === "ECONOMY").select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey")
@@ -564,9 +567,14 @@ object Relational {
       )
       .groupBy("l_suppkey")
       .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("total_revenue"))
-    val mx = rev.agg(max("total_revenue").as("mr"))
+    // the view-wide MAX as a global window over the aggregate — rev is
+    // |suppliers|-bounded, so the single-partition window is a dim-sized
+    // frame, and the scalar-subquery side no longer re-scans lineitem
     rev
-      .crossJoin(broadcast(mx)) // 1-row scalar broadcast, as in q_tpch_q22
+      .withColumn(
+        "mr",
+        max("total_revenue").over(org.apache.spark.sql.expressions.Window.partitionBy())
+      )
       .filter(col("total_revenue") === col("mr"))
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")
@@ -1766,9 +1774,13 @@ object Relational {
   ) { (s, dir) =>
     val li     = Tables(s, dir).lineitem
     val counts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
-    val total  = li.agg(count(lit(1)).as("total"))
+    // total = Σ per-key counts over the ALREADY-AGGREGATED (key-bounded)
+    // frame — a global window over |keys| rows, not a second fact scan
     counts
-      .crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .withColumn(
+        "total",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy())
+      )
       .select(col("l_suppkey"), col("cnt"), (col("cnt").cast("double") / col("total")).as("share"))
       .orderBy(col("cnt").desc, col("l_suppkey"))
       .limit(10)
@@ -1877,8 +1889,9 @@ object Relational {
     * digit is taken from the INTEGER cents string (`CAST(price*100 AS
     * BIGINT)` is exact at money scale, integer→string has no
     * locale/format variance, and scaling by 100 never changes the
-    * leading significant digit). Plan: the q_histogram two-pass shape —
-    * a 1-row total broadcast onto one partial+final digit count.
+    * leading significant digit). Plan: ONE partial+final digit count; the
+    * total is a global window over the 9-row aggregate, so the fact table
+    * is scanned once (ScanAuditSpec pins it).
     */
   val qBenford: Q = q(
     "q_benford",
@@ -1896,11 +1909,15 @@ object Relational {
         substring((col("l_extendedprice").cast(Money) * 100).cast("long").cast("string"), 1, 1)
           .as("digit")
       )
-    val total = digits.agg(count(lit(1)).as("total"))
+    // total = Σ per-digit counts over the 9-row aggregate — a global
+    // window on a constant-size frame, not a second fact scan
     digits
-      .crossJoin(broadcast(total)) // 1-row scalar broadcast
-      .groupBy("digit", "total")
+      .groupBy("digit")
       .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "total",
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy())
+      )
       .select(col("digit"), col("n"), (col("n").cast("double") / col("total")).as("share"))
       .orderBy("digit")
   }

@@ -214,7 +214,7 @@ object TextQueries {
       // referenced twice (df derivation + the score join) and Catalyst
       // does not dedup common subtrees, so an unpersisted tf re-explodes
       // the corpus (ScanAuditSpec measured the double pass).
-      if (tf.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tf.persist()
+      graft.core.Cached.frame(tf)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w     = org.apache.spark.sql.expressions.Window
@@ -416,9 +416,7 @@ object TextQueries {
         .select(col("doc_id"), explode(bigrams).as("bg"))
         .groupBy("doc_id", "bg")
         .agg(count(lit(1)).as("tf"))
-      val tf =
-        if (tfPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tfPlan.persist()
-        else tfPlan
+      val tf = graft.core.Cached.frame(tfPlan)
       val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
       val c1 = c12
         .groupBy(substring(col("bg"), 1, 1).as("c"))

@@ -313,6 +313,20 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Png.decode(forged).isEmpty)
     assert(graft.ext.Png.decode(Multimodal.pngHeaderBytes(5, 5)).isEmpty, "header-only PNG has no IDAT/IEND")
     assert(graft.ext.Png.decode("not a png at all".getBytes).isEmpty)
+    // forged IHDR claiming a ~256 MiB raster over an empty IDAT must be
+    // rejected BEFORE the raster allocation (the zlib 1032:1 expansion
+    // bound), not after a half-GiB transient per adversarial row
+    val forged2 = java.nio.ByteBuffer.allocate(8 + 25 + 12 + 12)
+    forged2.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    forged2.putInt(13).put("IHDR".getBytes)
+    forged2.putInt(1).putInt(1 << 28) // 1 x 268435456 gray
+    forged2.put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    forged2.putInt(0) // crc
+    forged2.putInt(0).put("IDAT".getBytes).putInt(0)
+    forged2.putInt(0).put("IEND".getBytes).putInt(0)
+    val t0 = System.nanoTime()
+    assert(graft.ext.Png.decode(forged2.array()).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 1.0, "forged-IHDR rejection allocated/inflated")
   }
 
   test("mp4Meta terminates on adversarial 64-bit largesize near Long.MaxValue") {

@@ -36,10 +36,8 @@ class PlanSpec extends SparkSpec {
     // sf0.01 so the probe rectangle is selective (~3%) against 2000 parts
     val dir   = "/root/testdata/sf0.01"
     val zpath = graft.ops.ZOrder.layoutFor(spark, dir)
-    val upath = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-zorder-control-p${ProcessHandle.current().pid()}"
-    ).getAbsolutePath
+    // under target/ so repeated runs overwrite instead of leaking tmpdir
+    val upath = new java.io.File("target/graft-zorder-control").getAbsolutePath
     // control: identical rows, same file count, round-robin layout — every
     // file's (partkey, suppkey) min/max spans the whole domain
     graft.core
@@ -142,21 +140,9 @@ class PlanSpec extends SparkSpec {
     * (their build cost is session-amortized by design), reused exchanges
     * count 0 (they re-read the original's output).
     */
-  private def shuffleCountTree(df: DataFrame): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    def walk(p: SparkPlan): Int = p match {
-      case _: InMemoryTableScanExec => 0
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case qs: QueryStageExec       => walk(qs.plan)
-      case _: ReusedExchangeExec    => 0
-      case e: ShuffleExchangeLike   => 1 + e.children.map(walk).sum
-      case o                        => o.children.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
-  }
+  private def shuffleCountTree(df: DataFrame): Int =
+    adaptiveNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
 
   test("shuffleCount recognizes every ShuffleExchange partitioning flavor") {
     // regression guard for the counter itself: a repartition(n) plans
@@ -291,35 +277,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_tpch_q2/q11/q20 read lineitem exactly once — the decorrelated side reuses, never rescans") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    // walk the EXECUTED adaptive plan (QueryStageExec is a leaf for
-    // TreeNode.collect, so descend manually); a ReusedExchange's subtree
-    // belongs to the original stage and must not double-count
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids: Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case qs: QueryStageExec       => Seq(qs.plan)
-        case _: ReusedExchangeExec    => Nil
-        case other                    => other.children
-      }
-      p +: kids.flatMap(allNodes)
-    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val total = graft.core.Tables(spark, sf).lineitem.count()
     for (name <- Seq("q_tpch_q2", "q_tpch_q11", "q_tpch_q20")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
-      val liRows = allNodes(df.queryExecution.executedPlan).collect {
+      val liScans = adaptiveNodes(df.queryExecution.executedPlan).collect {
         case s: FileSourceScanExec
             if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) =>
           s.metrics("numOutputRows").value
-      }.sum
-      info(s"$name: lineitem rows read = $liRows (table = $total)")
-      // a rescan of the shared aggregate's source would read 2x; runtime
-      // filters may only make a single scan SMALLER, never larger
-      assert(liRows <= total, s"$name rescans lineitem: read $liRows of $total rows")
-      assert(liRows > 0, s"$name read no lineitem rows — metric wiring broke")
+      }
+      info(s"$name: ${liScans.size} lineitem scan node(s), rows read = ${liScans.sum} (table = $total)")
+      // the NODE count is the robust pin: row totals alone would pass a
+      // double scan whenever row-group pruning trimmed each pass below 50%
+      assert(liScans.size == 1, s"$name plans ${liScans.size} lineitem scans (expected exactly 1)")
+      assert(liScans.sum <= total, s"$name reads ${liScans.sum} of $total lineitem rows")
+      assert(liScans.sum > 0, s"$name read no lineitem rows — metric wiring broke")
     }
   }
 
