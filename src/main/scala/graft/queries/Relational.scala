@@ -540,10 +540,11 @@ object Relational {
   }
 
   /** TPC-H Q15 shape (top supplier): an aggregate view filtered by its own
-    * MAX — the scalar lands as a 1-row broadcast against the aggregated
-    * (already tiny) per-supplier revenue, then the winner joins the
-    * supplier dim. Revenue equality compares exact-decimal-derived doubles,
-    * so "== max" is well-defined cross-engine.
+    * MAX — the scalar is a global window over the |suppliers|-bounded
+    * aggregate, so lineitem is scanned once (the 1-row-broadcast shape
+    * re-scanned it for the MAX side; ScanAuditSpec pins the single scan).
+    * Revenue equality compares exact-decimal-derived doubles, so "== max"
+    * is well-defined cross-engine.
     */
   val qTpchQ15: Q = q(
     "q_tpch_q15",
@@ -1761,9 +1762,10 @@ object Relational {
   /** Heavy-hitter profile: the top-10 keys by row count with their share of
     * the table — the skew scan a pipeline runs BEFORE choosing a join
     * strategy (its output is what justifies reaching for q_join_salted's
-    * salting or AQE skew splitting). One partial+final count per key, a
-    * 1-row total broadcast, top-k as TakeOrderedAndProject; the share is
-    * one IEEE division of exact longs.
+    * salting or AQE skew splitting). One partial+final count per key; the
+    * total is a global window over the key-bounded aggregate (one fact
+    * scan); top-k as TakeOrderedAndProject; the share is one IEEE division
+    * of exact longs.
     */
   val qHeavyHitters: Q = q(
     "q_heavy_hitters",
