@@ -116,4 +116,26 @@ class PropertySpec extends SparkSpec {
       Prop.passed
     }, minSuccessful = 200)
   }
+
+  test("Png.decode never throws on arbitrary bytes; encode∘decode is the identity") {
+    // totality on garbage (incl. PNG-signature-prefixed garbage, which
+    // reaches the chunk walk and inflater)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    check(Prop.forAll(Gen.oneOf(bytesGen, bytesGen.map(sig ++ _))) { b =>
+      graft.ext.Png.decode(b)
+      Prop.passed
+    }, minSuccessful = 200)
+    // round-trip: any raster of any supported geometry/channel count comes
+    // back bit-exact through the real deflate + filter pipeline
+    val rasterGen = for {
+      w  <- Gen.choose(1, 40)
+      h  <- Gen.choose(1, 24)
+      ch <- Gen.oneOf(1, 2, 3, 4)
+      px <- Gen.containerOfN[Array, Byte](w * h * ch, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, ch, px)
+    check(Prop.forAll(rasterGen) { case (w, h, ch, px) =>
+      val img = graft.ext.Png.decode(graft.ext.Png.encode(w, h, ch, px))
+      img.exists(i => i.width == w && i.height == h && i.channels == ch && i.pixels.sameElements(px))
+    }, minSuccessful = 100)
+  }
 }
