@@ -160,6 +160,46 @@ object StressGen {
       .reduce(_ unionByName _)
   }
 
+  /** A boilerplate-prefix corpus: every document is the SAME 64-word
+    * header (8 exactly-aligned 8-word segments) followed by a unique
+    * seeded word-shuffle of its base text — the shared-template shape of
+    * crawled HTML. This is the LSH pathology band buckets cannot defend
+    * alone: the prefix lifts EVERY pairwise Jaccard toward ~0.4, so ~half
+    * of all O(n²) pairs become band candidates. The pipeline's defense is
+    * ORDERING — sub-document exact dedup (q_segment_dedup) strips the
+    * prefix before MinHash runs, which StressSpec proves quantitatively.
+    */
+  def boilerplateCorpus(spark: SparkSession, baseDir: String, outDir: String, n: Int): Unit = {
+    val base   = spark.read.parquet(s"$baseDir/documents.parquet").limit(n)
+    val boiler = {
+      // 64 mostly-DISTINCT words (concatenating several docs, not cycling
+      // one — a cycled prefix repeats its 3-gram shingles and weakens the
+      // very Jaccard lift the pathology is about), so the prefix tiles 8
+      // full 8-word segments and contributes ~62 shared shingles per doc
+      val words = spark.read
+        .parquet(s"$baseDir/documents.parquet")
+        .filter(col("doc_id") < 4)
+        .orderBy("doc_id")
+        .collect()
+        .flatMap(_.getAs[String]("text").split(" "))
+      require(words.length >= 64, "need 64 boilerplate words")
+      words.take(64).mkString(" ")
+    }
+    base
+      .select(col("doc_id"), shuffledText(7).as("unique_part"), col("lang"), col("source"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", lit(boiler), col("unique_part")).as("text"),
+        col("lang"),
+        col("source")
+      )
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(4)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+  }
+
   private val copiedAsIs = Seq("region", "nation", "customer", "supplier", "part", "orders")
 
   def write(spark: SparkSession, baseDir: String, outDir: String, mult: Int, hot: Boolean): Unit = {

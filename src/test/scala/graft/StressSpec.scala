@@ -235,4 +235,31 @@ class StressSpec extends SparkSpec {
   test("LSH kNN join scales to the 10x embedding corpus") {
     assertBounded("q_knn_join")
   }
+
+  test("boilerplate prefix: segment dedup BEFORE MinHash collapses a quadratic candidate set") {
+    // corpus-wide boilerplate is the pathology band buckets cannot defend
+    // alone: a shared 64-word prefix lifts every pairwise shingle Jaccard
+    // toward ~0.4, so a large fraction of ALL O(n²) pairs share a band.
+    // The pipeline's defense is ORDERING — C4/CCNet run sub-document
+    // exact dedup before MinHash — and this proves it quantitatively.
+    val dir = s"$root/boiler"
+    StressGen.boilerplateCorpus(spark, base, dir, n = 300)
+    val docs = graft.core.Tables(spark, dir).documents
+    val n    = docs.count()
+    assert(n == 300)
+    // hazard half: raw band candidates on the boilerplated corpus are a
+    // large fraction of all n(n-1)/2 pairs — quadratic, not linear
+    val rawCand  = graft.ext.Dedup.candidatePairs(docs).count()
+    val allPairs = n * (n - 1) / 2
+    assert(rawCand > allPairs / 5, s"pathology did not manifest: $rawCand of $allPairs pairs")
+    // defense half: segment dedup strips the prefix (only the globally
+    // first doc keeps those 8 segments), and candidates over the CLEANED
+    // text collapse to a linear trickle
+    val cleaned = SparkEntry
+      .queries("q_segment_dedup")(spark, dir)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val cleanCand = graft.ext.Dedup.candidatePairs(cleaned).count()
+    info(s"candidates: raw=$rawCand (of $allPairs pairs) cleaned=$cleanCand")
+    assert(cleanCand < 5 * n, s"cleaned corpus still quadratic: $cleanCand candidates")
+  }
 }
