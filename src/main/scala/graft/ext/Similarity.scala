@@ -163,7 +163,7 @@ object Similarity {
     * dedup pairs found by several tables. One source of truth — the oracle
     * side already shares [[bucketSelects]] the same way.
     */
-  private def bucketCandidates(emb: DataFrame, directed: Boolean, nTables: Int, nPlanes: Int): DataFrame = {
+  private[graft] def bucketCandidates(emb: DataFrame, directed: Boolean, nTables: Int, nPlanes: Int): DataFrame = {
     val b = emb
       .select(col("vec_id"), col("embedding"), explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.table_id"), col("tb.bucket"))

@@ -236,6 +236,22 @@ class StressSpec extends SparkSpec {
     assertBounded("q_knn_join")
   }
 
+  test("sign-LSH candidate load stays ~flat when nPlanes scales with the corpus") {
+    // the documented sizing rule (Similarity.knnJoin scaladoc), measured:
+    // fixed 2^6 buckets make per-vector candidate load grow linearly with
+    // corpus size (quadratic total); adding log2(growth) planes restores it
+    val small = graft.core.Tables(spark, base).embeddings // 500 vectors
+    val big   = spark.read.parquet(s"$clean/embeddings.parquet") // 5000 vectors
+    def loadPerVec(df: org.apache.spark.sql.DataFrame, n: Long, planes: Int): Double =
+      graft.ext.Similarity.bucketCandidates(df, directed = true, 4, planes).count().toDouble / n
+    val smallLoad     = loadPerVec(small, 500, 6)
+    val bigFixedLoad  = loadPerVec(big, 5000, 6)
+    val bigScaledLoad = loadPerVec(big, 5000, 6 + 4) // log2(10x) ≈ 3.3 → +4 planes
+    info(f"per-vector candidates: 500@6p=$smallLoad%.1f 5000@6p=$bigFixedLoad%.1f 5000@10p=$bigScaledLoad%.1f")
+    assert(bigFixedLoad > 4 * smallLoad, "fixed planes should show the linear load growth")
+    assert(bigScaledLoad < 3 * smallLoad, "scaled planes should restore ~constant load")
+  }
+
   test("boilerplate prefix: segment dedup BEFORE MinHash collapses a quadratic candidate set") {
     // corpus-wide boilerplate is the pathology band buckets cannot defend
     // alone: a shared 64-word prefix lifts every pairwise shingle Jaccard
