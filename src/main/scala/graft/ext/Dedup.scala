@@ -534,8 +534,19 @@ object Dedup {
     * is the same partial+final exchange as q_dedup_exact.
     */
   private[graft] def nearDupEdges(docs: DataFrame, threshold: Double): DataFrame = {
-    val keyed  = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("tkey"))
-    val groups = keyed.groupBy("tkey").agg(min("doc_id").as("rep"), count(lit(1)).as("copies"))
+    val keyed = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("tkey"))
+    val groups = cached(
+      keyed.groupBy("tkey").agg(min("doc_id").as("rep"), count(lit(1)).as("copies"))
+    )
+    // ONE driver-side boolean from the narrow group aggregate (the same
+    // bounded measure-then-decide discipline as the adaptive skew join):
+    // a dup-free corpus — the common case — takes the plain verified-pair
+    // path over the family-shared caches with zero collapse overhead; the
+    // star construction below only runs when duplicate groups exist, which
+    // is exactly when it is worth any price
+    val hasDups =
+      groups.agg(max("copies").as("m")).head().getLong(0) > 1L
+    if (!hasDups) return nearDuplicates(docs, threshold).select("d1", "d2")
     val members = keyed
       .join(groups, "tkey")
       .select(col("doc_id"), col("rep"), col("copies"))
