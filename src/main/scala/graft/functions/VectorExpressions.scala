@@ -202,6 +202,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_bigram_tf"),
+        new ExpressionInfo(classOf[BigramTf].getName, "graft_bigram_tf"),
+        (children: Seq[Expression]) => {
+          require(
+            children.length == 1,
+            s"graft_bigram_tf requires exactly 1 argument (a string), got ${children.length}"
+          )
+          BigramTf(children(0))
+        }
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_bloom_contains"),
         new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
         (children: Seq[Expression]) => {

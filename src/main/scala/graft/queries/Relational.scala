@@ -1545,16 +1545,23 @@ object Relational {
   }
 
   /** Approximate percentiles (KLL-class sketch), same hybrid shape as
-    * [[qApproxDistinct]]: exact `percentile_disc` companions are
+    * [[qApproxDistinct]]: exact discrete-percentile companions are
     * hash-checked, the sketch reduces to per-quantile relative-error
     * booleans the oracle asserts TRUE. accuracy=10000 bounds rank error at
     * n/10000, far inside 5% relative value error on these distributions.
     *
-    * Cost note: the exact companion buffers a value→count map over
-    * l_extendedprice (nearly all-distinct), which is most of this query's
-    * bench time — the price of carrying ground truth next to the sketch.
-    * A production pipeline at 100 TB runs the sketch alone (one bounded
-    * ~KB buffer per group) and audits it against this query on samples.
+    * The exact companion is a sort-based rank pick, NOT `percentile_disc`:
+    * percentile_disc's ObjectAggregate buffers a value→count map of the
+    * whole group in one executor's heap — no spill path, so a hot group at
+    * 100 TB is an OOM, and even at sf0.1 the buffer build dominated this
+    * query's bench time (2.5 s steady-state; this form ~1 s). Here the
+    * group is rank-numbered by a window over a sort that DOES spill, and
+    * `percentile_disc(q)` ≡ the value at 1-indexed position ⌈q·n⌉ of the
+    * sorted group (smallest value whose cume_dist ≥ q) is picked by one
+    * conditional aggregate. Rank targets use integer ceil arithmetic
+    * (`(a + b − 1) div b`), bit-identical in any engine. The window, the
+    * count, and the sketch all ride the one flag-partitioned exchange —
+    * single scan, single shuffle.
     */
   val qApproxQuantiles: Q = q(
     "q_approx_quantiles",
@@ -1564,11 +1571,16 @@ object Relational {
       |  TRUE AS p50_ok, TRUE AS p95_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
-    Tables(s, dir).lineitem
+    val byFlag = Window.partitionBy("l_returnflag")
+    val ranked = Tables(s, dir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(byFlag.orderBy("l_extendedprice")))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    ranked
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p95"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("l_extendedprice"))).as("exact_p50"),
+        min(when(col("rn") === expr("(19 * n + 19) div 20"), col("l_extendedprice"))).as("exact_p95"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95")
       )

@@ -382,40 +382,37 @@ object TextQueries {
     * consumer free of cross-engine hashing would swap in float `ln`
     * unchanged. (`score_scaled` = mean bits/bigram × 10⁶.)
     *
-    * Scale shape: the doc×bigram tf table is the ONE corpus-sized
-    * exchange (same as q_tfidf); the model derives from tf by
+    * Scale shape: the doc×bigram tf grain is computed INSIDE the scan
+    * stage by the native [[graft.functions.BigramTf]] expression (one
+    * fused pass per string, map<bigram,count> out), so no per-character
+    * row ever exists: the exploded tf table is one row per distinct
+    * (doc, bigram) — alphabet²-bounded per document — and needs no
+    * aggregation exchange at all. The model derives from tf by
     * reaggregation — never a second corpus scan — and is alphabet²-bounded
     * (a few thousand rows at any corpus size), so scoring is a broadcast
-    * join back onto tf. Overflow bound: c₁·2²⁰ < 2⁶³ holds through
+    * join back onto tf. (The prior declarative formulation — per-char
+    * `split`, two `slice`s, `arrays_zip`, a HigherOrderFunction `concat`,
+    * then explode + groupBy — evaluated the lambda interpreted per
+    * character and shuffled one row per character: 4× this version's
+    * wall-time at sf0.1, and a corpus-character-count exchange at 100 TB.)
+    * Overflow bound: c₁·2²⁰ < 2⁶³ holds through
     * ~8×10¹² model chars (≈ 8 TB of text); beyond that, shard the model
     * or drop the scale to 2¹⁰.
     */
   val lmScore: Q = Q(
     "q_lm_score",
     (s, dir) => {
-      val docs  = Tables(s, dir).documents
-      val chars = split(lower(col("text")), "")
-      // O(len) zipped-slices bigram extraction (the transform-over-
-      // sequence formulation re-walks the string per index: O(len²))
-      val bigrams = when(
-        size(chars) >= 2,
-        transform(
-          arrays_zip(
-            slice(chars, lit(1), size(chars) - 1),
-            slice(chars, lit(2), size(chars) - 1)
-          ),
-          p => concat(p.getField("0"), p.getField("1"))
-        )
-      ).otherwise(array().cast("array<string>"))
+      val docs = Tables(s, dir).documents
       // Catalyst does not dedup common subtrees: without the persist, the
-      // scan+explode+count lineage would execute TWICE (model derivation
-      // and scoring) — the same single-scan discipline as Dedup's cached
+      // scan+explode lineage would execute TWICE (model derivation and
+      // scoring) — the same single-scan discipline as Dedup's cached
       // shingle sets. Spark's CacheManager dedupes identical plans, so all
       // executions in a session share one entry per fixture dir.
       val tfPlan = docs
-        .select(col("doc_id"), explode(bigrams).as("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(count(lit(1)).as("tf"))
+        .select(
+          col("doc_id"),
+          explode(call_function("graft_bigram_tf", lower(col("text")))).as(Seq("bg", "tf"))
+        )
       val tf = graft.core.Cached.frame(tfPlan)
       val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
       val c1 = c12

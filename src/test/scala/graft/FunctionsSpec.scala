@@ -124,4 +124,58 @@ class FunctionsSpec extends SparkSpec {
     // smoke the generated-Java path end-to-end
     assert(df.count() > 0)
   }
+
+  test("graft_bigram_tf matches the declarative split/zip/explode formulation") {
+    import spark.implicits._
+    // exercises: ASCII, repeats, case folding upstream, a 1-char and empty
+    // string (empty map), multibyte BMP (é), and a supplementary-plane
+    // emoji pair (surrogate pairs must count as ONE code point, as both
+    // JVM split("") and DuckDB substr treat them)
+    val docs = Seq(
+      (1L, "Banana bandana"),
+      (2L, "x"),
+      (3L, ""),
+      (4L, "héllo héllo"),
+      (5L, "a😀b😀")
+    ).toDF("doc_id", "text")
+    val native = docs
+      .select(
+        col("doc_id"),
+        explode(call_function("graft_bigram_tf", lower(col("text")))).as(Seq("bg", "tf"))
+      )
+    val chars = split(lower(col("text")), "")
+    val declarative = docs
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(chars) >= 2,
+            transform(
+              arrays_zip(
+                slice(chars, lit(1), size(chars) - 1),
+                slice(chars, lit(2), size(chars) - 1)
+              ),
+              p => concat(p.getField("0"), p.getField("1"))
+            )
+          ).otherwise(array().cast("array<string>"))
+        ).as("bg")
+      )
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("tf"))
+    val n = native.orderBy("doc_id", "bg").collect().toSeq
+    val d = declarative.orderBy("doc_id", "bg").collect().toSeq
+    assert(n == d, s"native=$n declarative=$d")
+    // the emoji doc: bigrams a😀, 😀b, b😀 — one each
+    assert(n.count(_.getLong(0) == 5L) == 3)
+    // the expression stays inside whole-stage codegen at the scan
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bigram_tf"), p.take(2000))
+  }
+
+  test("graft_bigram_tf is SQL-registered and null-safe") {
+    spark.sql("SELECT CAST(null AS STRING) AS t, 'abab' AS u").createOrReplaceTempView("bg_t")
+    val r = spark.sql("SELECT graft_bigram_tf(t) AS a, graft_bigram_tf(u) AS b FROM bg_t").collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getMap[String, Long](1) == Map("ab" -> 2L, "ba" -> 1L))
+  }
 }
