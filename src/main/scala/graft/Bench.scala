@@ -67,6 +67,7 @@ object Bench {
         val docs = graft.core.Tables(spark, sfDir).documents
         graft.ext.Dedup.signatures(docs).write.format("noop").mode("overwrite").save()
         graft.ext.Dedup.gramSets(docs).write.format("noop").mode("overwrite").save()
+        graft.ext.Dedup.exactGroups(docs).write.format("noop").mode("overwrite").save()
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
