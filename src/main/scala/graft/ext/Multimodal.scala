@@ -19,10 +19,12 @@ import graft.queries.Q
   * the five scanline filters with `java.util.zip` alone (cross-checked
   * bit-exactly against `javax.imageio` in ExtSpec; `q_multimodal_pixels`
   * runs the encode→decode round-trip end-to-end against an independent
-  * oracle). Pixel-level work for OTHER codecs (JPEG/GIF decode, resize,
-  * feature extraction) would need libraries that are NOT in this container,
-  * so those stages remain clearly-marked DETERMINISTIC STUBS fabricating
-  * plausible values from the bytes. Everything around them — the schema,
+  * oracle). GIF pixel decode is real too: [[Gif]] implements the full LZW
+  * scheme both directions (`q_multimodal_gif`, same oracle trick, ImageIO
+  * cross-check). Pixel-level work for the REMAINING codecs (JPEG decode,
+  * resize, learned feature extraction) would need libraries that are NOT
+  * in this container, so those stages remain clearly-marked DETERMINISTIC
+  * STUBS fabricating plausible values from the bytes. Everything around them — the schema,
   * the Dataset encoders, the mapPartitions batch shape (one reusable
   * MessageDigest per partition, streaming iterator, no materialization) —
   * is the real 100 TB-shaped plumbing a production pipeline would drop
@@ -701,7 +703,193 @@ object Multimodal {
     )
   )
 
+  /** Stats of a REAL resize: input dims, output dims, and pixel stats of
+    * the re-encoded output artifact.
+    */
+  final case class ResizeMeta(
+      id: Long,
+      in_w: Int,
+      in_h: Int,
+      out_w: Int,
+      out_h: Int,
+      n_px: Long,
+      px_sum: Long
+  )
+
+  /** REAL pixel-resize stage (replaces [[resizeStub]] for PNG payloads):
+    * decode → nearest-neighbor downscale to fit `maxDim` → [[Png.encode]]
+    * the result → re-decode the emitted artifact for the output stats, so
+    * the reported numbers can only be right if the produced PNG is. The
+    * resample is the pure-integer index map `src = out_idx * in_dim /
+    * out_dim` (floor), chosen over float kernels deliberately: it is
+    * engine-replayable (the q_multimodal_resize oracle recomputes it in
+    * SQL) and allocation-bounded per row — the 100 TB thumbnailing shape.
+    * Images already within `maxDim` pass through (still re-encoded).
+    */
+  def resizePixels(records: Dataset[MediaRecord], maxDim: Int): Dataset[ResizeMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        Png.decode(r.media).flatMap { img =>
+          val m = math.max(img.width, img.height)
+          val (ow, oh) =
+            if (m <= maxDim) (img.width, img.height)
+            else (math.max(1, img.width * maxDim / m), math.max(1, img.height * maxDim / m))
+          val ch  = img.channels
+          val out = new Array[Byte](ow * oh * ch)
+          var y = 0
+          while (y < oh) {
+            val sy = y * img.height / oh
+            var x  = 0
+            while (x < ow) {
+              val sx = x * img.width / ow
+              var c  = 0
+              while (c < ch) {
+                out((y * ow + x) * ch + c) = img.pixels((sy * img.width + sx) * ch + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Png.decode(Png.encode(ow, oh, ch, out)).map { rimg =>
+            var sum = 0L
+            var i   = 0
+            while (i < rimg.pixels.length) { sum += rimg.pixels(i) & 0xff; i += 1 }
+            ResizeMeta(r.id, img.width, img.height, rimg.width, rimg.height,
+              rimg.pixels.length.toLong, sum)
+          }
+        }
+      }
+    }
+  }
+
+  /** Registered query: the REAL resize pipeline end-to-end — synthetic
+    * formula pixels → [[Png.encode]] → [[resizePixels]] (decode,
+    * integer nearest-neighbor, re-encode, re-decode) — against an oracle
+    * that replays generation AND resample arithmetic in SQL. Dims span
+    * both sides of `maxDim` = 5 so the pass-through and downscale branches
+    * are each exercised (and hash-checked) on every run.
+    */
+  val multimodalResize: Q = Q(
+    "q_multimodal_resize",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w  = (2 + id % 9).toInt
+          val h  = (2 + (id * 3) % 7).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) {
+                px((y * w + x) * 3 + c) = ((x + 31L * y + 7L * c + id) % 251).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          MediaRecord(id, "image", Png.encode(w, h, 3, px))
+        }
+      resizePixels(recs, maxDim = 5).toDF().orderBy("id")
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 9 AS w, 2 + (doc_id * 3) % 7 AS h FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN greatest(w, h) <= 5 THEN w
+        |         ELSE greatest(1, w * 5 // greatest(w, h)) END AS ow,
+        |    CASE WHEN greatest(w, h) <= 5 THEN h
+        |         ELSE greatest(1, h * 5 // greatest(w, h)) END AS oh
+        |  FROM d)
+        |SELECT doc_id AS id,
+        |  CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+        |  CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(ow * oh * 3 AS BIGINT) AS n_px,
+        |  CAST(list_sum(flatten(list_transform(range(oh), y ->
+        |    list_transform(range(ow * 3), i ->
+        |      ((i // 3) * w // ow + 31 * (y * h // oh) + 7 * (i % 3) + doc_id) % 251)))) AS BIGINT) AS px_sum
+        |FROM r ORDER BY id""".stripMargin
+    )
+  )
+
+  /** REAL GIF pixel-decode stage: [[Gif.decode]] per payload (full LZW +
+    * palette resolution + interlace), same batch shape and output grain as
+    * [[decodePixels]]. Non-GIF payloads are dropped.
+    */
+  def decodeGifPixels(records: Dataset[MediaRecord]): Dataset[PixelMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        Gif.decode(r.media).map { img =>
+          var sum = 0L
+          var i   = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          PixelMeta(r.id, img.width, img.height, img.pixels.length.toLong, sum)
+        }
+      }
+    }
+  }
+
+  /** Registered query: GIF encode→LZW-decode round-trip end-to-end against
+    * an independent oracle — the [[multimodalPixels]] trick applied to the
+    * second real codec: per-doc synthetic 16-color palette + index raster
+    * from integer formulas, [[Gif.encode]] (real LZW compressor) to bytes,
+    * [[decodeGifPixels]] (real LZW decompressor) back, and the oracle
+    * replays the formulas directly — so the hash check passes only if
+    * compressor and decompressor both implement GIF's variable-width code
+    * scheme correctly. ([[Gif]]'s ExtSpec cross-checks against
+    * `javax.imageio`'s independent reader/writer pin conformance; this
+    * pins it per-row through the Spark batch path.)
+    */
+  val multimodalGif: Q = Q(
+    "q_multimodal_gif",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w   = (1 + id % 11).toInt
+          val h   = (1 + (id * 7) % 9).toInt
+          val pal = new Array[Byte](16 * 3)
+          var c = 0
+          while (c < 16) {
+            var k = 0
+            while (k < 3) { pal(3 * c + k) = ((5 * c + 11 * k + id) % 256).toByte; k += 1 }
+            c += 1
+          }
+          val idx = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { idx(y * w + x) = ((x + 3L * y + id) % 16).toByte; x += 1 }
+            y += 1
+          }
+          MediaRecord(id, "image", Gif.encode(w, h, pal, idx))
+        }
+      decodeGifPixels(recs).toDF().orderBy("id")
+    },
+    Some(
+      """SELECT doc_id AS id,
+        |  CAST(1 + doc_id % 11 AS INT) AS width,
+        |  CAST(1 + (doc_id * 7) % 9 AS INT) AS height,
+        |  CAST((1 + doc_id % 11) * (1 + (doc_id * 7) % 9) * 3 AS BIGINT) AS n_px,
+        |  CAST(list_sum(flatten(list_transform(range(1 + (doc_id * 7) % 9), y ->
+        |    list_transform(range((1 + doc_id % 11) * 3), i ->
+        |      (5 * ((i // 3 + 3 * y + doc_id) % 16) + 11 * (i % 3) + doc_id) % 256)))) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalAudio,
-      multimodalFrames, multimodalVideo)
+    Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalGif,
+      multimodalResize, multimodalAudio, multimodalFrames, multimodalVideo)
 }

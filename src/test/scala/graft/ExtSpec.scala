@@ -329,6 +329,146 @@ class ExtSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e9 < 1.0, "forged-IHDR rejection allocated/inflated")
   }
 
+  test("Gif.decode matches javax.imageio pixel-for-pixel on ImageIO-written GIFs") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.ImageIO
+    // explicit IndexColorModel so the writer carries OUR palette instead of
+    // quantizing; covers palette sizes that exercise 2-, 4- and 8-bit LZW
+    // minimum code sizes
+    for (nColors <- Seq(4, 16, 256); (w, h) <- Seq((1, 1), (9, 5), (40, 27), (64, 64))) {
+      val r = new scala.util.Random(nColors * 1000 + w)
+      val pal = Array.tabulate(nColors * 3)(_ => r.nextInt(256).toByte)
+      val icm = new IndexColorModel(
+        8, nColors,
+        Array.tabulate(nColors)(i => pal(3 * i)),
+        Array.tabulate(nColors)(i => pal(3 * i + 1)),
+        Array.tabulate(nColors)(i => pal(3 * i + 2))
+      )
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 7 + y * 13 + x * y) % nColors)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "gif", baos))
+      val d = graft.ext.Gif.decode(baos.toByteArray)
+        .getOrElse(fail(s"decode failed nColors=$nColors ${w}x$h"))
+      assert((d.width, d.height) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val off  = (y * w + x) * 3
+        assert((d.pixels(off) & 0xff) == ((argb >> 16) & 0xff), s"R ($x,$y) n=$nColors")
+        assert((d.pixels(off + 1) & 0xff) == ((argb >> 8) & 0xff), s"G ($x,$y) n=$nColors")
+        assert((d.pixels(off + 2) & 0xff) == (argb & 0xff), s"B ($x,$y) n=$nColors")
+      }
+    }
+  }
+
+  test("Gif.decode handles the interlaced row order") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.ImageIO
+    val nColors = 16
+    val (w, h)  = (13, 23) // odd dims so all four interlace passes carry rows
+    val icm = new IndexColorModel(
+      8, nColors,
+      Array.tabulate(nColors)(i => (i * 16).toByte),
+      Array.tabulate(nColors)(i => (255 - i * 16).toByte),
+      Array.tabulate(nColors)(i => (i * 5 + 3).toByte)
+    )
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, (x + 3 * y) % nColors)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val param  = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // GIF: interlace
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios  = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    val bytes = baos.toByteArray
+    // locate the image descriptor and assert the writer really interlaced —
+    // otherwise this test would silently degrade to the sequential path
+    var p = 13 + 3 * (2 << (bytes(10) & 0x07))
+    while ((bytes(p) & 0xff) == 0x21) {
+      p += 2
+      while ((bytes(p) & 0xff) != 0) p += 1 + (bytes(p) & 0xff)
+      p += 1
+    }
+    assert((bytes(p) & 0xff) == 0x2c, "expected image descriptor")
+    assert((bytes(p + 9) & 0x40) != 0, "ImageIO did not write an interlaced GIF")
+    val d = graft.ext.Gif.decode(bytes).getOrElse(fail("interlaced decode failed"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val off  = (y * w + x) * 3
+      assert((d.pixels(off) & 0xff) == ((argb >> 16) & 0xff), s"R ($x,$y)")
+      assert((d.pixels(off + 1) & 0xff) == ((argb >> 8) & 0xff), s"G ($x,$y)")
+      assert((d.pixels(off + 2) & 0xff) == (argb & 0xff), s"B ($x,$y)")
+    }
+  }
+
+  test("Gif.encode round-trips through javax.imageio and Gif.decode; malformed inputs yield None") {
+    import javax.imageio.ImageIO
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 12) {
+      val nColors = Seq(4, 16, 64, 256)(trial % 4)
+      val w       = 1 + rnd.nextInt(40)
+      val h       = 1 + rnd.nextInt(30)
+      val pal     = Array.tabulate(nColors * 3)(_ => rnd.nextInt(256).toByte)
+      // runs + noise: exercises real LZW matches, not just literals
+      val idx = new Array[Byte](w * h)
+      var i   = 0
+      while (i < idx.length) {
+        val run = 1 + rnd.nextInt(9)
+        val v   = rnd.nextInt(nColors).toByte
+        var j   = 0
+        while (j < run && i < idx.length) { idx(i) = v; i += 1; j += 1 }
+      }
+      val bytes = graft.ext.Gif.encode(w, h, pal, idx)
+      // our own decoder round-trips to the palette-resolved RGB
+      val own = graft.ext.Gif.decode(bytes).getOrElse(fail(s"own decode failed trial=$trial"))
+      assert(own.width == w && own.height == h)
+      for (p <- 0 until w * h) {
+        val c = idx(p) & 0xff
+        assert(own.pixels(3 * p) == pal(3 * c) && own.pixels(3 * p + 1) == pal(3 * c + 1) &&
+          own.pixels(3 * p + 2) == pal(3 * c + 2), s"own px $p trial=$trial")
+      }
+      // a conformant third-party reader agrees (LZW width growth, framing)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"ImageIO rejected trial=$trial")
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = idx(y * w + x) & 0xff
+        val want = (0xff << 24) | ((pal(3 * c) & 0xff) << 16) |
+          ((pal(3 * c + 1) & 0xff) << 8) | (pal(3 * c + 2) & 0xff)
+        assert(img.getRGB(x, y) == want, s"ImageIO disagrees at ($x,$y) trial=$trial")
+      }
+    }
+    // a large low-entropy image forces the 12-bit table to fill: the
+    // Clear-and-reset path must survive both our decoder and ImageIO's
+    val w2  = 200; val h2 = 150
+    val pal = Array.tabulate(256 * 3)(i => (i * 37 % 256).toByte)
+    val idx = Array.tabulate(w2 * h2)(i => ((i / 3 + i % 7) % 256).toByte)
+    val big = graft.ext.Gif.encode(w2, h2, pal, idx)
+    val ownBig = graft.ext.Gif.decode(big).getOrElse(fail("table-fill decode failed"))
+    assert(ownBig.pixels.length == w2 * h2 * 3)
+    val imgBig = ImageIO.read(new java.io.ByteArrayInputStream(big))
+    assert(imgBig != null && imgBig.getWidth == w2)
+    for (p <- Seq(0, w2 * h2 / 2, w2 * h2 - 1)) {
+      val c    = idx(p) & 0xff
+      val want = (0xff << 24) | ((pal(3 * c) & 0xff) << 16) |
+        ((pal(3 * c + 1) & 0xff) << 8) | (pal(3 * c + 2) & 0xff)
+      assert(imgBig.getRGB(p % w2, p / w2) == want, s"ImageIO disagrees at flat $p after table fill")
+    }
+    // malformed: truncation, bad signature, oversize dims, missing data
+    val ok = graft.ext.Gif.encode(3, 3, Array.tabulate(12)(_.toByte), Array.fill(9)(1.toByte))
+    assert(graft.ext.Gif.decode(ok.take(ok.length - 2)).isEmpty, "missing terminator accepted")
+    assert(graft.ext.Gif.decode("GIF90a garbage".getBytes).isEmpty)
+    assert(graft.ext.Gif.decode(Array[Byte]()).isEmpty)
+    // forge the IMAGE DESCRIPTOR width (the decode authority; the logical
+    // screen dims are display metadata): header 13 + GCT 12 + 0x2c, width
+    // at descriptor offset +5
+    val forged = ok.clone()
+    forged(13 + 12 + 5) = 0xff.toByte; forged(13 + 12 + 6) = 0x7f.toByte
+    assert(graft.ext.Gif.decode(forged).isEmpty, "dims/stream mismatch accepted")
+  }
+
   test("mp4Meta terminates on adversarial 64-bit largesize near Long.MaxValue") {
     // top-level box: size==1 with largesize that would wrap `i + step`
     // negative — must clamp to EOF and return, not loop or index OOB
