@@ -21,10 +21,13 @@ import graft.queries.Q
   * runs the encode→decode round-trip end-to-end against an independent
   * oracle). GIF pixel decode is real too: [[Gif]] implements the full LZW
   * scheme both directions (`q_multimodal_gif`, same oracle trick, ImageIO
-  * cross-check). Pixel-level work for the REMAINING codecs (JPEG decode,
-  * resize, learned feature extraction) would need libraries that are NOT
-  * in this container, so those stages remain clearly-marked DETERMINISTIC
-  * STUBS fabricating plausible values from the bytes. Everything around them — the schema,
+  * cross-check), as are baseline-JPEG decode ([[Jpeg]] — Huffman + dequant
+  * + reference IDCT, tolerance-checked because T.81 makes bit-exactness
+  * undefined for lossy JPEG; `q_multimodal_jpeg`) and nearest-neighbor
+  * resize ([[resizePixels]], `q_multimodal_resize`). The only remaining
+  * DETERMINISTIC STUB is learned feature extraction (a trained embedding
+  * model cannot exist in this container), plus [[decodeStub]] kept as the
+  * registered pipeline's engine-replayable path. Everything around them — the schema,
   * the Dataset encoders, the mapPartitions batch shape (one reusable
   * MessageDigest per partition, streaming iterator, no materialization) —
   * is the real 100 TB-shaped plumbing a production pipeline would drop
@@ -889,7 +892,87 @@ object Multimodal {
     )
   )
 
+  /** Registered query: REAL baseline-JPEG decode ([[Jpeg.decode]] — the
+    * full SOF0 Huffman + dequant + IDCT path) through the Spark batch
+    * stage. JPEG is LOSSY and T.81 permits IDCT variance, so unlike the
+    * PNG/GIF round-trips the pixels cannot replay exactly in any oracle;
+    * the result therefore reduces to exactly-checkable dimensions plus
+    * bounded-deviation booleans against the known source pixels — the
+    * same reduce-to-bound pattern as the HLL/KLL sketch queries
+    * (`q_approx_distinct`/`q_approx_quantiles`). Per doc: a smooth
+    * formula gradient (no mod wraps — smoothness keeps quantization loss
+    * small and the bound meaningful) is JPEG-encoded by the JDK's
+    * independent `javax.imageio` writer at q=0.95 and decoded by OUR
+    * decoder; max |err| ≤ 8 and mean×100 ≤ 200 must hold for every row.
+    * A decode failure drops the row and fails the row-count gate loudly.
+    * (ExtSpec separately pins ours-vs-ImageIO agreement within ±2 gray.)
+    */
+  val multimodalJpeg: Q = Q(
+    "q_multimodal_jpeg",
+    (s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val w = (16 + id % 17).toInt
+            val h = (16 + (id * 5) % 13).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.getRaster.setSample(x, y, 0,
+                  30 + x * 150 / math.max(w - 1, 1) + y * 60 / math.max(h - 1, 1))
+                x += 1
+              }
+              y += 1
+            }
+            val baos   = new java.io.ByteArrayOutputStream()
+            val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+            val param  = writer.getDefaultWriteParam
+            param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(0.95f)
+            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+            ios.close()
+            writer.dispose()
+            Jpeg.decode(baos.toByteArray).map { d =>
+              var worst = 0
+              var sum   = 0L
+              var yy = 0
+              while (yy < h) {
+                var xx = 0
+                while (xx < w) {
+                  val want = 30 + xx * 150 / math.max(w - 1, 1) + yy * 60 / math.max(h - 1, 1)
+                  val got  = d.pixels(yy * d.width + xx) & 0xff
+                  val e    = math.abs(got - want)
+                  if (e > worst) worst = e
+                  sum += e
+                  xx += 1
+                }
+                yy += 1
+              }
+              (id, d.width, d.height, worst <= 8, sum * 100 / (w.toLong * h) <= 200)
+            }
+          }
+        }
+        .toDF("id", "width", "height", "ok_max", "ok_mean")
+      recs.orderBy("id")
+    },
+    Some(
+      """SELECT doc_id AS id,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(16 + (doc_id * 5) % 13 AS INT) AS height,
+        |  TRUE AS ok_max, TRUE AS ok_mean
+        |FROM documents ORDER BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalGif,
-      multimodalResize, multimodalAudio, multimodalFrames, multimodalVideo)
+      multimodalResize, multimodalJpeg, multimodalAudio, multimodalFrames, multimodalVideo)
 }

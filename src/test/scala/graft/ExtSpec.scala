@@ -469,6 +469,84 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Gif.decode(forged).isEmpty, "dims/stream mismatch accepted")
   }
 
+  test("Jpeg.decode tracks javax.imageio within the T.81 IDCT tolerance") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // JPEG decoders are spec-permitted to differ in the low bits (T.81
+    // §A.3.3), so unlike the PNG/GIF equality checks this one is bounded:
+    // per-sample |ours − ImageIO's| must stay tiny. Smooth gradients keep
+    // the chroma-upsampling method difference (our nearest vs libjpeg's
+    // triangle filter) inside the same bound for subsampled color images.
+    def maxDev(img: BufferedImage, quality: Float): (Int, Int) = {
+      val baos   = new java.io.ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param  = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val ios = ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close()
+      val bytes = baos.toByteArray
+      val ours = graft.ext.Jpeg.decode(bytes)
+        .getOrElse(fail(s"decode failed ${img.getWidth}x${img.getHeight} q=$quality"))
+      assert(ours.width == img.getWidth && ours.height == img.getHeight)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var worst = 0
+      var sumAbs = 0L
+      for (y <- 0 until ours.height; x <- 0 until ours.width; c <- 0 until ours.channels) {
+        val argb = ref.getRGB(x, y)
+        val rc   = ours.channels match {
+          case 1 => ref.getRaster.getSample(x, y, 0)
+          case _ => (argb >> (16 - 8 * c)) & 0xff
+        }
+        val d = math.abs((ours.pixels((y * ours.width + x) * ours.channels + c) & 0xff) - rc)
+        worst = math.max(worst, d)
+        sumAbs += d
+      }
+      (worst, (sumAbs / (ours.width.toLong * ours.height * ours.channels)).toInt)
+    }
+    // grayscale: no upsampling, no color convert — differences are IDCT-only
+    val gray = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 23; x <- 0 until 37)
+      gray.getRaster.setSample(x, y, 0, (x * 5 + y * 9 + (x * y) % 31) % 256)
+    val (gw, gm) = maxDev(gray, 0.95f)
+    assert(gw <= 2, s"gray max deviation $gw > 2")
+    assert(gm <= 1, s"gray mean deviation $gm > 1")
+    // color gradient (default writer subsampling): bounded by IDCT + chroma
+    // filter differences on a smooth field
+    val rgb = new BufferedImage(48, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val r = 40 + x * 3
+      val g = 30 + y * 4
+      val b = 200 - x - y * 2
+      rgb.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val (cw, cm) = maxDev(rgb, 0.9f)
+    assert(cw <= 6, s"color max deviation $cw > 6")
+    assert(cm <= 2, s"color mean deviation $cm > 2")
+    // structural grayscale detail at a dimension that is not a multiple of
+    // 8 (partial edge MCUs) and a second quality point
+    val det = new BufferedImage(65, 17, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 17; x <- 0 until 65)
+      det.getRaster.setSample(x, y, 0, if (((x / 4) + (y / 4)) % 2 == 0) 40 else 215)
+    val (dw, _) = maxDev(det, 0.85f)
+    assert(dw <= 2, s"detail max deviation $dw > 2")
+    // malformed inputs: truncated entropy segment, progressive SOF2, junk
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(gray, "jpeg", baos))
+    val ok = baos.toByteArray
+    assert(graft.ext.Jpeg.decode(ok.take(ok.length / 2)).isEmpty, "truncated stream accepted")
+    assert(graft.ext.Jpeg.decode("not a jpeg".getBytes).isEmpty)
+    val sof2 = ok.clone()
+    // flip the SOF0 marker to SOF2 (progressive): must be rejected, not
+    // misparsed — locate the 0xFFC0 marker first
+    var mp = 2
+    while (!((sof2(mp) & 0xff) == 0xff && (sof2(mp + 1) & 0xff) == 0xc0)) mp += 1
+    sof2(mp + 1) = 0xc2.toByte
+    assert(graft.ext.Jpeg.decode(sof2).isEmpty, "progressive accepted by baseline decoder")
+  }
+
   test("mp4Meta terminates on adversarial 64-bit largesize near Long.MaxValue") {
     // top-level box: size==1 with largesize that would wrap `i + step`
     // negative — must clamp to EOF and return, not loop or index OOB
