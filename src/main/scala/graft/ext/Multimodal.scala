@@ -268,9 +268,80 @@ object Multimodal {
   /** A fixed-width feature vector extracted from a media payload. */
   final case class MediaFeature(id: Long, kind: String, feature: Array[Float])
 
+  /** Decode any of the three real codecs to a raster:
+    * (width, height, channels, row-major samples). Tries the cheap
+    * signature checks in order; None if no codec claims the payload.
+    */
+  private[graft] def decodeRaster(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val png = Png.decode(b)
+    if (png.isDefined) {
+      val i = png.get
+      return Some((i.width, i.height, i.channels, i.pixels))
+    }
+    val gif = Gif.decode(b)
+    if (gif.isDefined) {
+      val i = gif.get
+      return Some((i.width, i.height, 3, i.pixels))
+    }
+    Jpeg.decode(b).map(i => (i.width, i.height, i.channels, i.pixels))
+  }
+
+  /** REAL classical feature extraction (replaces [[featureStub]] for any
+    * payload the [[Png]]/[[Gif]]/[[Jpeg]] codecs decode): an integer luma
+    * histogram over the ACTUAL pixels — luma = (299·R + 587·G + 114·B)
+    * div 1000 (ITU BT.601 weights in exact integer form), `bins` equal
+    * bins, normalized to fractions, plus mean luma as the last component.
+    * Classical histogram features are what pre-neural CBIR ran, and the
+    * output shape (fixed-dim float vector per row) is exactly what
+    * [[Similarity]]/[[Ivf]] consume downstream. The arithmetic is pure
+    * integer until the final normalization, so `q_multimodal_features`
+    * hash-checks the underlying counts exactly; the learned-encoder stub
+    * ([[featureStub]]) remains only for payloads no classical decoder
+    * claims.
+    */
+  /** Exact integer luma histogram of a raster: (per-bin counts, luma sum). */
+  private[graft] def lumaHistogram(
+      w: Int, h: Int, ch: Int, px: Array[Byte], bins: Int): (Array[Long], Long) = {
+    val counts  = new Array[Long](bins)
+    var lumaSum = 0L
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val luma =
+        if (ch == 1) px(p) & 0xff
+        else {
+          val o = p * ch
+          (299 * (px(o) & 0xff) + 587 * (px(o + 1) & 0xff) + 114 * (px(o + 2) & 0xff)) / 1000
+        }
+      counts(luma * bins / 256) += 1
+      lumaSum += luma
+      p += 1
+    }
+    (counts, lumaSum)
+  }
+
+  def featurePixels(records: Dataset[MediaRecord], bins: Int = 8): Dataset[MediaFeature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRaster(r.media).map { case (w, h, ch, px) =>
+          val (counts, lumaSum) = lumaHistogram(w, h, ch, px, bins)
+          val n = w * h
+          val f = new Array[Float](bins + 1)
+          var i = 0
+          while (i < bins) { f(i) = counts(i).toFloat / n; i += 1 }
+          f(bins) = (lumaSum.toDouble / n / 255.0).toFloat
+          MediaFeature(r.id, r.kind, f)
+        }
+      }
+    }
+  }
+
   /** STUB feature-extract: a deterministic pseudo-embedding derived from
-    * the payload's sha bytes (a real pipeline would run a vision/audio
-    * encoder here; the output shape — fixed-dim float vector per row,
+    * the payload's sha bytes (a real pipeline would run a learned
+    * vision/audio ENCODER here, which cannot exist in this container —
+    * [[featurePixels]] is the REAL classical path for decodable images;
+    * the output shape — fixed-dim float vector per row,
     * batch-friendly — is exactly what [[Similarity]]/[[Ivf]] consume
     * downstream).
     */
@@ -972,7 +1043,72 @@ object Multimodal {
     )
   )
 
+  /** Registered query: REAL feature extraction end-to-end — formula
+    * pixels → [[Png.encode]] → [[decodeRaster]] → [[lumaHistogram]] —
+    * hash-checked EXACTLY: the luma weights and binning are pure integer
+    * arithmetic, so the oracle replays pixel generation, BT.601 luma and
+    * the 8-bin histogram in SQL. The float vector [[featurePixels]] hands
+    * to [[Similarity]]/[[Ivf]] is a normalization of precisely these
+    * counts, so checking the counts checks the feature.
+    */
+  val multimodalFeatures: Q = Q(
+    "q_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val w  = (1 + id % 8).toInt
+          val h  = (1 + (id * 3) % 6).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) {
+                px((y * w + x) * 3 + c) = ((x + 31L * y + 7L * c + id) % 251).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          decodeRaster(Png.encode(w, h, 3, px)).map { case (dw, dh, ch, dpx) =>
+            val (counts, lumaSum) = lumaHistogram(dw, dh, ch, dpx, 8)
+            (id, dw, dh, counts(0), counts(1), counts(2), counts(3), counts(4), counts(5),
+              counts(6), counts(7), lumaSum)
+          }
+        }
+        .toDF("id", "width", "height", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7", "luma_sum")
+        .orderBy("id")
+    },
+    Some(
+      """WITH px AS (
+        |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id * 3) % 6 AS h,
+        |    list_transform(range((1 + doc_id % 8) * (1 + (doc_id * 3) % 6)), p ->
+        |      (299 * (((p % (1 + doc_id % 8)) + 31 * (p // (1 + doc_id % 8)) + doc_id) % 251)
+        |       + 587 * (((p % (1 + doc_id % 8)) + 31 * (p // (1 + doc_id % 8)) + 7 + doc_id) % 251)
+        |       + 114 * (((p % (1 + doc_id % 8)) + 31 * (p // (1 + doc_id % 8)) + 14 + doc_id) % 251)) // 1000
+        |    ) AS lumas
+        |  FROM documents)
+        |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 3)) AS BIGINT) AS h3,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 4)) AS BIGINT) AS h4,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 5)) AS BIGINT) AS h5,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 6)) AS BIGINT) AS h6,
+        |  CAST(len(list_filter(lumas, L -> L * 8 // 256 = 7)) AS BIGINT) AS h7,
+        |  CAST(list_sum(lumas) AS BIGINT) AS luma_sum
+        |FROM px ORDER BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalGif,
-      multimodalResize, multimodalJpeg, multimodalAudio, multimodalFrames, multimodalVideo)
+      multimodalResize, multimodalJpeg, multimodalFeatures, multimodalAudio, multimodalFrames,
+      multimodalVideo)
 }

@@ -547,6 +547,41 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Jpeg.decode(sof2).isEmpty, "progressive accepted by baseline decoder")
   }
 
+  test("featurePixels: identical features through the PNG and GIF routes; JPEG within tolerance") {
+    import spark.implicits._
+    // one underlying image, three container encodings: the lossless codecs
+    // must produce the SAME classical feature vector, and decodeRaster must
+    // route each payload to the right decoder by signature
+    val nColors = 16
+    val (w, h)  = (24, 18)
+    val pal     = Array.tabulate(nColors * 3)(i => ((i / 3) * 16 + 8).toByte) // 16 gray levels
+    val idx     = Array.tabulate(w * h)(p => ((p % w) / 2 % nColors).toByte)
+    val rgb = new Array[Byte](w * h * 3)
+    for (p <- 0 until w * h; c <- 0 until 3) rgb(3 * p + c) = pal(3 * (idx(p) & 0xff) + c)
+    val pngBytes = graft.ext.Png.encode(w, h, 3, rgb)
+    val gifBytes = graft.ext.Gif.encode(w, h, pal, idx)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y,
+        ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", baos))
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes),
+      Multimodal.MediaRecord(2L, "image", gifBytes),
+      Multimodal.MediaRecord(3L, "image", baos.toByteArray)
+    ).toDS()
+    val fs = Multimodal.featurePixels(recs, bins = 8).collect().sortBy(_.id).map(_.feature)
+    assert(fs.length == 3, "a codec failed to decode its own payload")
+    assert(fs(0).sameElements(fs(1)), "PNG and GIF routes disagree on a lossless image")
+    // JPEG is lossy: histogram mass may shift one bin at quant boundaries,
+    // but the mean-luma component must stay very close
+    assert(math.abs(fs(0)(8) - fs(2)(8)) < 0.02f,
+      s"JPEG mean luma drifted: ${fs(0)(8)} vs ${fs(2)(8)}")
+  }
+
   test("mp4Meta terminates on adversarial 64-bit largesize near Long.MaxValue") {
     // top-level box: size==1 with largesize that would wrap `i + step`
     // negative — must clamp to EOF and return, not loop or index OOB
