@@ -190,6 +190,80 @@ object Multimodal {
     bb.array()
   }
 
+  /** A complete PCM WAV file: canonical header + little-endian 16-bit
+    * sample payload ([[wavHeaderBytes]] writes the header-only fixture;
+    * this is the audio analog of [[Png.encode]] — a real, playable file).
+    */
+  def wavPcmBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val data = samples.length * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wavHeaderBytes(sampleRate, channels, 16, data))
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Sample-level stats from a REAL PCM decode. */
+  final case class PcmMeta(
+      id: Long,
+      sampleRate: Int,
+      nSamples: Long,
+      sumAmp: Long,
+      peakAbs: Int,
+      durationMs: Long
+  )
+
+  /** REAL PCM sample decode (the audio analog of [[decodePixels]]):
+    * chunk-walk to the data chunk, read signed 16-bit LE samples, emit the
+    * exact integer amplitude sum and peak — the loudness/clipping audit a
+    * speech-data pipeline runs before feature extraction. Same unsigned
+    * Long-cursor totality discipline as [[wavMeta]]; non-PCM-16 or
+    * truncated payloads are dropped.
+    */
+  def decodePcm(records: Dataset[MediaRecord]): Dataset[PcmMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.media
+        wavMeta(b) match {
+          case Some((rate, ch, 16, _)) =>
+            @inline def u8(i: Int): Int = b(i) & 0xff
+            @inline def le32(i: Int): Long =
+              (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+            def tag(i: Int, t: String): Boolean =
+              i + 4 <= b.length && t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
+            var i: Long = 12L
+            var found: Option[(Int, Int)] = None // (payload offset, byte length)
+            while (i + 8 <= b.length && found.isEmpty) {
+              val at   = i.toInt
+              val size = le32(at + 4)
+              if (tag(at, "data") && at + 8 + size <= b.length)
+                found = Some((at + 8, size.toInt))
+              i += 8L + size + (size & 1L)
+            }
+            found.map { case (off, len) =>
+              val n    = len / 2
+              var sum  = 0L
+              var peak = 0
+              var k = 0
+              while (k < n) {
+                val v = ((u8(off + 2 * k) | (u8(off + 2 * k + 1) << 8)) << 16) >> 16 // sign-extend
+                sum += v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                k += 1
+              }
+              PcmMeta(r.id, rate, n.toLong, sum, peak,
+                n.toLong * 1000 / math.max(rate.toLong * ch, 1L))
+            }
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** STUB dims: fake-but-deterministic dimensions from the payload bytes —
     * the path for payloads with no recognized container (audio/video codecs
     * are not in this container).
@@ -1107,8 +1181,53 @@ object Multimodal {
     )
   )
 
+  /** Registered query: REAL PCM sample decode end-to-end — formula-
+    * generated signed 16-bit samples → [[wavPcmBytes]] (a complete
+    * playable WAV) → [[decodePcm]] (chunk walk + LE sample read) — with
+    * the oracle replaying the waveform formula exactly. Together with
+    * [[multimodalAudio]] (header metadata) this covers the full audio
+    * ingest path a speech-data pipeline runs: container audit + sample
+    * loudness/clipping stats.
+    */
+  val multimodalPcm: Q = Q(
+    "q_multimodal_pcm",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val n = (200 + id % 300).toInt
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (((i * 37L + id * 11) % 2003) - 1001).toShort
+            i += 1
+          }
+          MediaRecord(id, "audio", wavPcmBytes(8000, 1, samples))
+        }
+        .transform(decodePcm)
+        .toDF()
+        .orderBy("id")
+    },
+    Some(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_transform(range(200 + doc_id % 300),
+        |                   i -> (i * 37 + doc_id * 11) % 2003 - 1001) AS s
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(8000 AS INT) AS "sampleRate",
+        |  CAST(200 + doc_id % 300 AS BIGINT) AS "nSamples",
+        |  CAST(list_sum(s) AS BIGINT) AS "sumAmp",
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS "peakAbs",
+        |  CAST((200 + doc_id % 300) * 1000 // 8000 AS BIGINT) AS "durationMs"
+        |FROM w ORDER BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalGif,
-      multimodalResize, multimodalJpeg, multimodalFeatures, multimodalAudio, multimodalFrames,
-      multimodalVideo)
+      multimodalResize, multimodalJpeg, multimodalFeatures, multimodalAudio, multimodalPcm,
+      multimodalFrames, multimodalVideo)
 }

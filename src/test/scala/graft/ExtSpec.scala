@@ -582,6 +582,24 @@ class ExtSpec extends SparkSpec {
       s"JPEG mean luma drifted: ${fs(0)(8)} vs ${fs(2)(8)}")
   }
 
+  test("wavPcmBytes parses in javax.sound.sampled with bit-identical samples") {
+    // the JDK's independent RIFF/WAVE reader (no audio device needed for
+    // stream parsing) — the audio analog of the ImageIO codec cross-checks
+    val samples = Array.tabulate[Short](500)(i => (((i * 77) % 3001) - 1500).toShort)
+    val bytes   = Multimodal.wavPcmBytes(16000, 1, samples)
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+    assert(!fmt.isBigEndian)
+    val raw = ais.readAllBytes()
+    assert(raw.length == 1000, s"payload length ${raw.length}")
+    for (i <- 0 until 500) {
+      val v = ((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)).toShort
+      assert(v == samples(i), s"sample $i differs")
+    }
+  }
+
   test("mp4Meta terminates on adversarial 64-bit largesize near Long.MaxValue") {
     // top-level box: size==1 with largesize that would wrap `i + step`
     // negative — must clamp to EOF and return, not loop or index OOB
