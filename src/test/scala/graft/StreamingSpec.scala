@@ -53,6 +53,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media ingest: featurePixels runs per-micro-batch and agrees with batch") {
+    import spark.implicits._
+    import graft.ext.{Multimodal, Png}
+    implicit val sqlCtx = spark.sqlContext
+    // the multimodal stages are stateless mapPartitions transforms, so the
+    // same code runs unchanged over a stream — the media-ingest analog of
+    // the relational batch/streaming duals in this suite
+    def rec(id: Long): Multimodal.MediaRecord = {
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val px = Array.tabulate(w * h * 3)(i => ((i * 13 + id * 7) % 256).toByte)
+      Multimodal.MediaRecord(id, "image", Png.encode(w, h, 3, px))
+    }
+    val input = MemoryStream[Multimodal.MediaRecord]
+    val q = Multimodal
+      .featurePixels(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("media_feats")
+      .outputMode(OutputMode.Append)
+      .start()
+    val all = (1L to 40L).map(rec)
+    try {
+      input.addData(all.take(25): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .sql("SELECT id, feature FROM media_feats ORDER BY id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .toSeq
+      assert(streamed.size == 40)
+      val batch = Multimodal
+        .featurePixels(all.toDS())
+        .collect()
+        .sortBy(_.id)
+        .map(m => (m.id, m.feature.toSeq))
+        .toSeq
+      assert(streamed == batch, "streaming features diverge from batch")
+    } finally q.stop()
+  }
+
   test("streaming latest-by-key upserts across micro-batches and agrees with batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
