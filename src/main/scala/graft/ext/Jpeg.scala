@@ -223,8 +223,9 @@ object Jpeg {
               val hv  = u8(seg + 7 + 3 * i)
               val h   = hv >> 4
               val v   = hv & 0x0f
-              if (h < 1 || h > 2 || v < 1 || v > 2) return None
-              cs(i) = Component(cid, h, v, u8(seg + 8 + 3 * i), 0, 0)
+              val tq  = u8(seg + 8 + 3 * i)
+              if (h < 1 || h > 2 || v < 1 || v > 2 || tq > 3) return None
+              cs(i) = Component(cid, h, v, tq, 0, 0)
               i += 1
             }
             comps = cs
@@ -242,7 +243,7 @@ object Jpeg {
               val cid = u8(seg + 1 + 2 * i)
               val tt  = u8(seg + 2 + 2 * i)
               val k   = comps.indexWhere(_.id == cid)
-              if (k < 0) return None
+              if (k < 0 || (tt >> 4) > 3 || (tt & 0x0f) > 3) return None
               comps(k).dcTable = tt >> 4
               comps(k).acTable = tt & 0x0f
               i += 1

@@ -138,4 +138,42 @@ class PropertySpec extends SparkSpec {
       img.exists(i => i.width == w && i.height == h && i.channels == ch && i.pixels.sameElements(px))
     }, minSuccessful = 100)
   }
+
+  test("Gif.decode and Jpeg.decode never throw and terminate on arbitrary bytes") {
+    // same totality contract as the PNG/MP4 walks: untrusted media bytes
+    // may decline (None) but never throw, hang, or index out of bounds —
+    // including signature-prefixed garbage that reaches the LZW/Huffman
+    // decoders, and bit-flipped mutations of VALID files whose tables and
+    // length fields are then internally inconsistent
+    val gifSig  = "GIF89a".getBytes.toSeq
+    val jpegSig = Seq(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+    val validGif = graft.ext.Gif.encode(
+      9, 7, Array.tabulate(48)(i => (i * 11).toByte), Array.tabulate(63)(i => (i % 16).toByte))
+    val img = new java.awt.image.BufferedImage(9, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9) img.getRaster.setSample(x, y, 0, (x * 29 + y * 17) % 256)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    val validJpeg = baos.toByteArray
+    def mutGen(valid: Array[Byte]): Gen[Array[Byte]] =
+      for {
+        n    <- Gen.choose(1, 8)
+        idxs <- Gen.listOfN(n, Gen.choose(2, valid.length - 1))
+        vals <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      } yield {
+        val m = valid.clone()
+        idxs.zip(vals).foreach { case (i, v) => m(i) = v }
+        m
+      }
+    check(Prop.forAll(Gen.oneOf(
+      bytesGen,
+      bytesGen.map(gifSig.toArray ++ _),
+      bytesGen.map(jpegSig.toArray ++ _),
+      mutGen(validGif),
+      mutGen(validJpeg)
+    )) { b =>
+      graft.ext.Gif.decode(b)
+      graft.ext.Jpeg.decode(b)
+      Prop.passed
+    }, minSuccessful = 400)
+  }
 }
