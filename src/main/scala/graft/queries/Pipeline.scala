@@ -455,7 +455,20 @@ object Pipeline {
   val segmentDedup: Q = Q(
     "q_segment_dedup",
     (s, dir) => {
-      val segs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documents
+      // EXACT-DUP PRE-COLLAPSE (the same ordering defense as
+      // Dedup.nearDupEdges): identical raw texts tile into identical
+      // segments at identical positions, and the group representative
+      // (min doc_id) therefore beats every copy for ANY first-occurrence
+      // contest — so only representatives need segmenting, and non-rep
+      // copies keep nothing, which the left-outer assembly below already
+      // encodes as null→0/"". A 10k-copy hot document costs ONE segment
+      // pass instead of 10k (sf0.1×10 hot corpus: 20.1 s → clean-parity);
+      // the family-shared exactGroups cache (32-char md5 shuffle) is the
+      // only added work.
+      val reps = graft.ext.Dedup.exactGroups(docs).select(col("rep").as("doc_id"))
+      val segs = docs
+        .join(reps, "doc_id")
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(
           col("doc_id"),
