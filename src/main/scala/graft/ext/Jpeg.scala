@@ -1,7 +1,7 @@
 package graft.ext
 
-/** Pure-JVM baseline JPEG decoder — no codec library, `java.lang.Math`
-  * alone.
+/** Pure-JVM baseline JPEG codec (both directions) — no codec library,
+  * `java.lang.Math` alone.
   *
   * Completes the image-codec family next to [[Png]] and [[Gif]], with one
   * honest difference: JPEG is LOSSY and ITU T.81 §A.3.3 permits IDCT
@@ -152,6 +152,197 @@ object Jpeg {
       var dcTable: Int,
       var acTable: Int
   )
+
+  // ---- encode -------------------------------------------------------------
+
+  /** Baseline JPEG encoder — completes the codec both directions (like
+    * [[Png]]/[[Gif]]), optimized for SPEC VALIDITY and verifiability over
+    * compression ratio: 4:4:4 (no chroma subsampling — decoder-agnostic
+    * pixel mapping), a UNIFORM quantization table (value `q` everywhere —
+    * any table is T.81-valid, and a constant one bounds every
+    * coefficient's error by q/2 with no table-constant transcription
+    * risk), and fixed one-length canonical Huffman tables (12 DC symbols
+    * at 4 bits, 162 AC symbols at 8 bits — Kraft-valid, no all-ones code,
+    * trivially correct at the cost of larger files). Compression is not
+    * the point of this engine; producing streams that independent
+    * decoders (ExtSpec: [[decode]] AND `javax.imageio`) read back within
+    * the quantization bound is.
+    */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte], q: Int = 4): Array[Byte] = {
+    require(channels == 1 || channels == 3, "grayscale or RGB input")
+    require(width > 0 && height > 0 && pixels.length == width * height * channels)
+    // q >= 2 bounds every coefficient inside the fixed tables: |F| <= 128 *
+    // (sum_x |C(u)cos|/2)^2 <= 1024, so AC magnitude <= 512 (size <= 10)
+    // and DC diff <= 1024 (size <= 11) — exactly what the 12-category DC /
+    // size-10 AC tables encode
+    require(q >= 2 && q <= 255, "uniform quant value in [2,255]")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    // DQT: table 0, uniform (zigzag order is irrelevant for a constant)
+    m(0xdb, Array[Byte](0x00.toByte) ++ Array.fill(64)(q.toByte))
+    // SOF0: 8-bit, n components, 4:4:4, all on quant table 0
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(channels)
+    var c = 0
+    while (c < channels) { sof.write(c + 1); sof.write(0x11); sof.write(0); c += 1 }
+    m(0xc0, sof.toByteArray)
+    // DHT: DC table 0 = the 12 magnitude categories, all 4-bit codes;
+    //      AC table 0 = EOB, ZRL, then (run 0..15)x(size 1..10), all 8-bit
+    val dcVals = Array.tabulate[Byte](12)(_.toByte)
+    val dcBits = Array.tabulate[Byte](16)(i => if (i == 3) 12.toByte else 0.toByte)
+    m(0xc4, Array[Byte](0x00.toByte) ++ dcBits ++ dcVals)
+    val acVals = (Seq(0x00, 0xf0) ++
+      (for (run <- 0 until 16; sz <- 1 to 10) yield (run << 4) | sz)).map(_.toByte).toArray
+    val acBits = Array.tabulate[Byte](16)(i => if (i == 7) 162.toByte else 0.toByte)
+    m(0xc4, Array[Byte](0x10.toByte) ++ acBits ++ acVals)
+    // SOS: every component uses DC 0 / AC 0
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(channels)
+    c = 0
+    while (c < channels) { sos.write(c + 1); sos.write(0x00); c += 1 }
+    sos.write(0); sos.write(63); sos.write(0)
+    m(0xda, sos.toByteArray)
+
+    // canonical codes for the one-length tables: symbol i at index i
+    @inline def dcCode(sym: Int): (Int, Int) = (sym, 4)
+    @inline def acCode(sym: Int): (Int, Int) = {
+      val idx =
+        if (sym == 0x00) 0
+        else if (sym == 0xf0) 1
+        else 2 + (sym >> 4) * 10 + ((sym & 0x0f) - 1)
+      (idx, 8)
+    }
+    // MSB-first bit writer with 0xFF byte stuffing
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      bitBuf = (bitBuf << n) | (v & ((1L << n) - 1))
+      bitCnt += n
+      while (bitCnt >= 8) {
+        val byte = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        out.write(byte)
+        if (byte == 0xff) out.write(0x00)
+        bitCnt -= 8
+      }
+    }
+    @inline def size(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMagnitude(v: Int, sz: Int): Unit =
+      if (sz > 0) putBits(if (v < 0) v + (1 << sz) - 1 else v, sz)
+
+    // planes in YCbCr (JFIF full range) at full resolution
+    val nPix = width * height
+    val planes = Array.ofDim[Byte](channels, nPix)
+    if (channels == 1) System.arraycopy(pixels, 0, planes(0), 0, nPix)
+    else {
+      var p = 0
+      while (p < nPix) {
+        val r = pixels(3 * p) & 0xff
+        val g = pixels(3 * p + 1) & 0xff
+        val bl = pixels(3 * p + 2) & 0xff
+        def clamp(x: Double): Byte = {
+          val v = math.rint(x).toInt
+          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        }
+        planes(0)(p) = clamp(0.299 * r + 0.587 * g + 0.114 * bl)
+        planes(1)(p) = clamp(-0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0)
+        planes(2)(p) = clamp(0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0)
+        p += 1
+      }
+    }
+
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val pred    = new Array[Int](channels)
+    val spatial = new Array[Double](64)
+    val tmp     = new Array[Double](64)
+    val coef    = new Array[Int](64)
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        c = 0
+        while (c < channels) {
+          // gather the 8x8 block, replicating edges for partial blocks
+          var y0 = 0
+          while (y0 < 8) {
+            val sy = math.min(by * 8 + y0, height - 1)
+            var x0 = 0
+            while (x0 < 8) {
+              val sx = math.min(bx * 8 + x0, width - 1)
+              spatial(y0 * 8 + x0) = (planes(c)(sy * width + sx) & 0xff) - 128.0
+              x0 += 1
+            }
+            y0 += 1
+          }
+          // forward reference DCT: the same orthonormal cosine array as the
+          // IDCT, applied in the transposed direction
+          var u = 0
+          while (u < 8) {
+            var x1 = 0
+            while (x1 < 8) {
+              var s = 0.0
+              var x = 0
+              while (x < 8) { s += spatial(x1 * 8 + x) * IdctCos(u * 8 + x); x += 1 }
+              tmp(x1 * 8 + u) = s
+              x1 += 1
+            }
+            u += 1
+          }
+          var v = 0
+          while (v < 8) {
+            var u1 = 0
+            while (u1 < 8) {
+              var s = 0.0
+              var y = 0
+              while (y < 8) { s += tmp(y * 8 + u1) * IdctCos(v * 8 + y); y += 1 }
+              coef(v * 8 + u1) = math.rint(s / q).toInt
+              u1 += 1
+            }
+            v += 1
+          }
+          // entropy-code: DC diff then zigzag AC run-lengths
+          val dc = coef(0)
+          val diff = dc - pred(c)
+          pred(c) = dc
+          val dsz = size(diff)
+          val (dcc, dcl) = dcCode(dsz)
+          putBits(dcc, dcl)
+          putMagnitude(diff, dsz)
+          var k = 1
+          var run = 0
+          while (k < 64) {
+            val v2 = coef(Zigzag(k))
+            if (v2 == 0) run += 1
+            else {
+              while (run > 15) { val (zc, zl) = acCode(0xf0); putBits(zc, zl); run -= 16 }
+              val sz = size(v2)
+              val (ac, al) = acCode((run << 4) | sz)
+              putBits(ac, al)
+              putMagnitude(v2, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (ec, el) = acCode(0x00); putBits(ec, el) }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (bitCnt > 0) putBits(0x7f, 8 - bitCnt) // pad with 1-bits to a byte
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
 
   def decode(b: Array[Byte]): Option[Image] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None

@@ -1226,8 +1226,69 @@ object Multimodal {
     )
   )
 
+  /** Registered query: the FULL in-library JPEG loop — [[Jpeg.encode]]
+    * (forward DCT + uniform quant + fixed-table Huffman) feeding
+    * [[Jpeg.decode]] — where [[multimodalJpeg]] pairs our decoder with
+    * the JDK's independent encoder. Both a grayscale and an RGB image per
+    * doc (odd/even split), reduced to exact dims + bounded-deviation
+    * booleans (lossy codec ⟹ the reduce-to-bound oracle pattern; the
+    * ±8 bound is the q=4 quantization error through the orthonormal
+    * IDCT, asserted per-row for every document).
+    */
+  val multimodalJpegRt: Q = Q(
+    "q_multimodal_jpeg_rt",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val w  = (16 + id % 13).toInt
+          val h  = (16 + (id * 3) % 11).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](w * h * ch)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < ch) {
+                px((y * w + x) * ch + c) =
+                  (30 + x * 150 / math.max(w - 1, 1) + y * 50 / math.max(h - 1, 1) + 5 * c).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Jpeg.decode(Jpeg.encode(w, h, ch, px, q = 4)).map { d =>
+            var worst = 0
+            var sum   = 0L
+            var i = 0
+            while (i < px.length) {
+              val e = math.abs((d.pixels(i) & 0xff) - (px(i) & 0xff))
+              if (e > worst) worst = e
+              sum += e
+              i += 1
+            }
+            (id, d.width, d.height, d.channels, worst <= 8, sum * 100 / px.length <= 300)
+          }
+        }
+        .toDF("id", "width", "height", "channels", "ok_max", "ok_mean")
+        .orderBy("id")
+    },
+    Some(
+      """SELECT doc_id AS id,
+        |  CAST(16 + doc_id % 13 AS INT) AS width,
+        |  CAST(16 + (doc_id * 3) % 11 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  TRUE AS ok_max, TRUE AS ok_mean
+        |FROM documents ORDER BY id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalGif,
-      multimodalResize, multimodalJpeg, multimodalFeatures, multimodalAudio, multimodalPcm,
-      multimodalFrames, multimodalVideo)
+      multimodalResize, multimodalJpeg, multimodalJpegRt, multimodalFeatures, multimodalAudio,
+      multimodalPcm, multimodalFrames, multimodalVideo)
 }

@@ -582,6 +582,48 @@ class ExtSpec extends SparkSpec {
       s"JPEG mean luma drifted: ${fs(0)(8)} vs ${fs(2)(8)}")
   }
 
+  test("Jpeg.encode streams decode in both Jpeg.decode and javax.imageio within the quant bound") {
+    import javax.imageio.ImageIO
+    // uniform q=4 bounds every dequantized coefficient error by 2; through
+    // the orthonormal IDCT that is a per-pixel error of a few levels on
+    // any input (not just smooth ones) — both independent decoders must
+    // agree with the source within that bound
+    val rnd = new scala.util.Random(11)
+    for ((w, h, ch) <- Seq((16, 16, 1), (37, 23, 1), (24, 17, 3), (64, 48, 3), (8, 8, 3), (9, 1, 1))) {
+      // smooth base + mild noise: representative yet not adversarial
+      val px = new Array[Byte](w * h * ch)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        px((y * w + x) * ch + c) =
+          (40 + x * 140 / math.max(w - 1, 1) + y * 50 / math.max(h - 1, 1) + rnd.nextInt(7)).toByte
+      val bytes = graft.ext.Jpeg.encode(w, h, ch, px, q = 4)
+      val own = graft.ext.Jpeg.decode(bytes).getOrElse(fail(s"own decode rejected ${w}x$h ch=$ch"))
+      assert(own.width == w && own.height == h && own.channels == ch)
+      var worstOwn = 0
+      for (i <- px.indices) worstOwn = math.max(worstOwn, math.abs((own.pixels(i) & 0xff) - (px(i) & 0xff)))
+      assert(worstOwn <= 8, s"own round-trip deviation $worstOwn > 8 (${w}x$h ch=$ch)")
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"ImageIO rejected ${w}x$h ch=$ch")
+      var worstRef = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+        val want = px((y * w + x) * ch + c) & 0xff
+        val got =
+          if (ch == 1) ref.getRaster.getSample(x, y, 0)
+          else (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        worstRef = math.max(worstRef, math.abs(got - want))
+      }
+      assert(worstRef <= 8, s"ImageIO deviation $worstRef > 8 (${w}x$h ch=$ch)")
+    }
+    // the 12-bit worst case: a full-amplitude checkerboard maximizes the
+    // highest-frequency coefficient (|F| -> ~1024) — encode must stay inside
+    // the fixed Huffman size categories and still round-trip
+    val w2 = 16; val h2 = 16
+    val checker = Array.tabulate[Byte](w2 * h2)(i =>
+      if (((i % w2) + (i / w2)) % 2 == 0) 0.toByte else 255.toByte)
+    val cb = graft.ext.Jpeg.encode(w2, h2, 1, checker, q = 4)
+    assert(graft.ext.Jpeg.decode(cb).isDefined, "checkerboard stream rejected by own decoder")
+    assert(ImageIO.read(new java.io.ByteArrayInputStream(cb)) != null, "checkerboard rejected by ImageIO")
+  }
+
   test("wavPcmBytes parses in javax.sound.sampled with bit-identical samples") {
     // the JDK's independent RIFF/WAVE reader (no audio device needed for
     // stream parsing) — the audio analog of the ImageIO codec cross-checks

@@ -139,6 +139,27 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 100)
   }
 
+  test("Jpeg encode∘decode stays within the analytic quantization bound on ANY raster") {
+    // per-pixel error <= sum_uv (q/2)|basis_uv| <= (q/2) * (sum|IdctCos|)^2
+    // = 2 * 2.829^2 ≈ 16 at q=4 — holds for arbitrary noise, not just
+    // smooth images (the ExtSpec bound of 8 is for representative content)
+    val rasterGen = for {
+      w  <- Gen.choose(1, 32)
+      h  <- Gen.choose(1, 24)
+      ch <- Gen.oneOf(1, 3)
+      px <- Gen.containerOfN[Array, Byte](w * h * ch, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, ch, px)
+    check(Prop.forAll(rasterGen) { case (w, h, ch, px) =>
+      graft.ext.Jpeg.decode(graft.ext.Jpeg.encode(w, h, ch, px, q = 4)).exists { d =>
+        d.width == w && d.height == h && d.channels == ch &&
+        px.indices.forall { i =>
+          // color adds the YCbCr forward/back rounding on top of quant
+          math.abs((d.pixels(i) & 0xff) - (px(i) & 0xff)) <= (if (ch == 1) 17 else 21)
+        }
+      }
+    }, minSuccessful = 60)
+  }
+
   test("Gif.decode and Jpeg.decode never throw and terminate on arbitrary bytes") {
     // same totality contract as the PNG/MP4 walks: untrusted media bytes
     // may decline (None) but never throw, hang, or index out of bounds —
