@@ -56,6 +56,7 @@ object Png {
     var w, h, depth, interlace       = 0
     var colorType                    = -1
     var sawIhdr, sawIend             = false
+    var plte: Array[Byte]            = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend && i + 8 <= b.length) {
       val len = be32(i)
@@ -68,13 +69,21 @@ object Png {
           depth = u8(i + 16); colorType = u8(i + 17); interlace = u8(i + 20)
           sawIhdr = true
         case "IDAT" => idat.write(b, i + 8, len)
+        case "PLTE" =>
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
         case "IEND" => sawIend = true
         case _      => () // ancillary chunks skipped
       }
       i += 12 + len
     }
-    val channels = channelsOf(colorType)
+    // color type 3 (palette): the raster carries one index byte per pixel
+    // (depth 8 only, like the other types) and PLTE must be present; the
+    // decoded output is palette-resolved RGB, same as [[Gif]]
+    val paletted = colorType == 3
+    val channels = if (paletted) 1 else channelsOf(colorType)
     if (!sawIhdr || !sawIend || depth != 8 || interlace != 0 || channels < 0) return None
+    if (paletted && plte == null) return None
     if (w <= 0 || h <= 0 || w.toLong * h * channels > MaxRaster) return None
 
     val stride = w * channels
@@ -137,7 +146,21 @@ object Png {
       }
       y += 1
     }
-    Some(Image(w, h, channels, out))
+    if (!paletted) Some(Image(w, h, channels, out))
+    else {
+      val nColors = plte.length / 3
+      val rgb     = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val idx = out(p) & 0xff
+        if (idx >= nColors) return None
+        rgb(3 * p) = plte(3 * idx)
+        rgb(3 * p + 1) = plte(3 * idx + 1)
+        rgb(3 * p + 2) = plte(3 * idx + 2)
+        p += 1
+      }
+      Some(Image(w, h, 3, rgb))
+    }
   }
 
   /** Spec-valid PNG encoder: filter-0 scanlines, one deflated IDAT, real

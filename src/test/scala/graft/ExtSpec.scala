@@ -289,6 +289,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Png.decode resolves palette (color type 3) PNGs written by javax.imageio") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.ImageIO
+    // a 256-entry IndexColorModel forces ImageIO's writer to 8-bit palette
+    // depth (the supported form; sub-byte palette depths still decline)
+    val rnd = new scala.util.Random(5)
+    val pal = Array.tabulate(256 * 3)(_ => rnd.nextInt(256).toByte)
+    val icm = new IndexColorModel(
+      8, 256,
+      Array.tabulate(256)(i => pal(3 * i)),
+      Array.tabulate(256)(i => pal(3 * i + 1)),
+      Array.tabulate(256)(i => pal(3 * i + 2))
+    )
+    val (w, h) = (21, 13)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, (x * 11 + y * 29) % 256)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", baos))
+    val bytes = baos.toByteArray
+    // assert the file really is color type 3 (IHDR byte at offset 25) so
+    // this test cannot silently degrade to the RGB path
+    assert((bytes(25) & 0xff) == 3, s"writer did not emit a palette PNG (colorType=${bytes(25)})")
+    val d = graft.ext.Png.decode(bytes).getOrElse(fail("palette decode failed"))
+    assert(d.width == w && d.height == h && d.channels == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val off  = (y * w + x) * 3
+      assert((d.pixels(off) & 0xff) == ((argb >> 16) & 0xff), s"R ($x,$y)")
+      assert((d.pixels(off + 1) & 0xff) == ((argb >> 8) & 0xff), s"G ($x,$y)")
+      assert((d.pixels(off + 2) & 0xff) == (argb & 0xff), s"B ($x,$y)")
+    }
+  }
+
   test("Png.encode round-trips through javax.imageio and Png.decode; malformed inputs yield None") {
     import javax.imageio.ImageIO
     val w = 9; val h = 4
