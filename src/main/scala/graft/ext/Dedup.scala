@@ -558,7 +558,7 @@ object Dedup {
     // star construction below only runs when duplicate groups exist, which
     // is exactly when it is worth any price
     val hasDups =
-      groups.agg(max("copies").as("m")).head().getLong(0) > 1L
+      groups.agg(coalesce(max("copies"), lit(0L)).as("m")).head().getLong(0) > 1L
     if (!hasDups) return nearDuplicates(docs, threshold).select("d1", "d2")
     val members = keyed
       .join(groups, "tkey")

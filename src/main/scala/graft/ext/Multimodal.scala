@@ -137,7 +137,19 @@ object Multimodal {
     * chunk size (RIFF spec / MS WAVE format). Returns None for anything
     * that is not a well-formed WAV header.
     */
-  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    wavParse(b).map { case (rate, ch, bits, data, _) =>
+      val bytesPerMs = rate.toLong * ch * (bits / 8)
+      (rate, ch, bits, if (bytesPerMs == 0) 0L else data * 1000L / bytesPerMs)
+    }
+
+  /** The ONE RIFF chunk walk behind [[wavMeta]] and [[decodePcm]]:
+    * (rate, channels, bits, declared data size, data payload offset).
+    * The declared size may overrun the buffer — header metadata is still a
+    * parse ([[wavMeta]] reports the declared duration); sample readers
+    * must bounds-check the payload themselves.
+    */
+  private[graft] def wavParse(b: Array[Byte]): Option[(Int, Int, Int, Long, Int)] = {
     @inline def u8(i: Int): Int   = b(i) & 0xff
     @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     @inline def le32(i: Int): Long =
@@ -152,8 +164,8 @@ object Multimodal {
     // guaranteed and the cursor never goes backwards.
     var i: Long                           = 12L
     var fmt: Option[(Int, Int, Int)]      = None
-    var dataBytes: Option[Long]           = None
-    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+    var data: Option[(Long, Int)]         = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val at   = i.toInt
       val size = le32(at + 4)
       // the fmt chunk must DECLARE at least the 16 PCM bytes — a shorter
@@ -161,15 +173,12 @@ object Multimodal {
       // chunk's bytes, i.e. fabricated metadata, not a parse
       if (tag(at, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
         fmt = Some((le32(at + 12).toInt, le16(at + 10), le16(at + 22)))
-      if (tag(at, "data")) dataBytes = Some(size)
+      if (tag(at, "data") && data.isEmpty) data = Some((size, at + 8))
       // chunks are word-aligned: odd sizes carry a pad byte (RIFF spec)
       i += 8L + size + (size & 1L)
     }
-    for ((rate, ch, bits) <- fmt; data <- dataBytes if rate > 0 && ch > 0 && bits > 0)
-      yield {
-        val bytesPerMs = rate.toLong * ch * (bits / 8)
-        (rate, ch, bits, if (bytesPerMs == 0) 0L else data * 1000L / bytesPerMs)
-      }
+    for ((rate, ch, bits) <- fmt; (sz, off) <- data if rate > 0 && ch > 0 && bits > 0)
+      yield (rate, ch, bits, sz, off)
   }
 
   /** A minimal canonical 44-byte WAV header (PCM fmt chunk + empty-bodied
@@ -227,37 +236,25 @@ object Multimodal {
     records.mapPartitions { it =>
       it.flatMap { r =>
         val b = r.media
-        wavMeta(b) match {
-          case Some((rate, ch, 16, _)) =>
-            @inline def u8(i: Int): Int = b(i) & 0xff
-            @inline def le32(i: Int): Long =
-              (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
-            def tag(i: Int, t: String): Boolean =
-              i + 4 <= b.length && t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
-            var i: Long = 12L
-            var found: Option[(Int, Int)] = None // (payload offset, byte length)
-            while (i + 8 <= b.length && found.isEmpty) {
-              val at   = i.toInt
-              val size = le32(at + 4)
-              if (tag(at, "data") && at + 8 + size <= b.length)
-                found = Some((at + 8, size.toInt))
-              i += 8L + size + (size & 1L)
+        wavParse(b) match {
+          // strict payload check (unlike the header-metadata path): the
+          // declared data size must actually fit the buffer to read samples
+          case Some((rate, ch, 16, declared, off)) if off + declared <= b.length =>
+            val n    = (declared / 2).toInt
+            var sum  = 0L
+            var peak = 0
+            var k = 0
+            while (k < n) {
+              val lo = b(off + 2 * k) & 0xff
+              val hi = b(off + 2 * k + 1) & 0xff
+              val v  = ((lo | (hi << 8)) << 16) >> 16 // sign-extend
+              sum += v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              k += 1
             }
-            found.map { case (off, len) =>
-              val n    = len / 2
-              var sum  = 0L
-              var peak = 0
-              var k = 0
-              while (k < n) {
-                val v = ((u8(off + 2 * k) | (u8(off + 2 * k + 1) << 8)) << 16) >> 16 // sign-extend
-                sum += v
-                val a = math.abs(v)
-                if (a > peak) peak = a
-                k += 1
-              }
-              PcmMeta(r.id, rate, n.toLong, sum, peak,
-                n.toLong * 1000 / math.max(rate.toLong * ch, 1L))
-            }
+            Some(PcmMeta(r.id, rate, n.toLong, sum, peak,
+              n.toLong * 1000 / math.max(rate.toLong * ch, 1L)))
           case _ => None
         }
       }
@@ -381,8 +378,10 @@ object Multimodal {
     var p = 0
     val n = w * h
     while (p < n) {
+      // ch 1 = gray, 2 = gray+alpha (PNG color type 4 — luma IS the gray
+      // sample, alpha ignored), 3/4 = RGB(+alpha ignored)
       val luma =
-        if (ch == 1) px(p) & 0xff
+        if (ch <= 2) px(p * ch) & 0xff
         else {
           val o = p * ch
           (299 * (px(o) & 0xff) + 587 * (px(o + 1) & 0xff) + 114 * (px(o + 2) & 0xff)) / 1000
@@ -1060,6 +1059,13 @@ object Multimodal {
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions { it =>
+          // one writer + param per PARTITION (the same reuse discipline as
+          // the per-partition MessageDigest in decodeWith) — only the
+          // output stream is per-row
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+          val param  = writer.getDefaultWriteParam
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(0.95f)
           it.flatMap { id =>
             val w = (16 + id % 17).toInt
             val h = (16 + (id * 5) % 13).toInt
@@ -1075,16 +1081,11 @@ object Multimodal {
               }
               y += 1
             }
-            val baos   = new java.io.ByteArrayOutputStream()
-            val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-            val param  = writer.getDefaultWriteParam
-            param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-            param.setCompressionQuality(0.95f)
-            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+            val baos = new java.io.ByteArrayOutputStream()
+            val ios  = javax.imageio.ImageIO.createImageOutputStream(baos)
             writer.setOutput(ios)
             writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
             ios.close()
-            writer.dispose()
             Jpeg.decode(baos.toByteArray).map { d =>
               var worst = 0
               var sum   = 0L

@@ -657,6 +657,26 @@ class ExtSpec extends SparkSpec {
     assert(ImageIO.read(new java.io.ByteArrayInputStream(cb)) != null, "checkerboard rejected by ImageIO")
   }
 
+  test("featurePixels handles gray+alpha (2-channel) PNGs; luma is the gray sample") {
+    import spark.implicits._
+    // PNG color type 4 decodes to 2 channels — the luma must be the gray
+    // sample (alpha ignored), not an RGB read past the row end
+    val (w, h) = (6, 4)
+    val px = Array.tabulate[Byte](w * h * 2)(i => if (i % 2 == 0) (i * 5).toByte else 200.toByte)
+    val recs = Seq(Multimodal.MediaRecord(1L, "image", graft.ext.Png.encode(w, h, 2, px))).toDS()
+    val fs = Multimodal.featurePixels(recs, bins = 8).collect()
+    assert(fs.length == 1)
+    val grays   = (0 until w * h).map(p => px(2 * p) & 0xff)
+    val meanRef = grays.sum.toDouble / (w * h) / 255.0
+    assert(math.abs(fs(0).feature(8) - meanRef.toFloat) < 1e-6f, "mean luma must come from the gray channel")
+  }
+
+  test("nearDupClusters returns empty (not NPE) on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ext.Dedup.nearDupClusters(empty, 0.2).count() == 0L)
+  }
+
   test("wavPcmBytes parses in javax.sound.sampled with bit-identical samples") {
     // the JDK's independent RIFF/WAVE reader (no audio device needed for
     // stream parsing) — the audio analog of the ImageIO codec cross-checks
