@@ -644,6 +644,11 @@ object Dedup {
     // any corpus size) sum strictly decreases on every changing iteration
     // and is stationary exactly at the fixpoint. One scalar action per
     // iteration on the already-materialized frame, no compare join.
+    // (Superstep batching — two propagation rounds per materialization to
+    // halve the barriers — was MEASURED and rejected: near-dup components
+    // are shallow (diameter 2-3), so the mandatory overshoot round costs
+    // more join work than the saved barrier: 4.3 s → 5.2 s at sf0.1.
+    // It would win only on deep-chain graphs this operator never sees.)
     var prevSum: Option[java.math.BigDecimal] = Some(labelSum(labels))
     var prevCached: DataFrame                 = labels
     var it                                    = 0
