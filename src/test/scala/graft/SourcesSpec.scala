@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.Sources
+import graft.sources.{AvroIO, Sources}
 
 /** Round-trip specs for every source/sink format, plus partition pruning
   * through a partitioned parquet layout.
@@ -95,5 +95,37 @@ class SourcesSpec extends SparkSpec {
     val n0 = new java.io.File(s"$out2/bucket=0").listFiles().count(_.getName.endsWith(".parquet"))
     assert(n0 == 3, s"50 rows at cap 20 should split into 3 files, got $n0") // ceil(50/20)
     assert(Sources.parquet(spark, out2).count() == 100)
+  }
+
+  test("avro round-trip preserves rows, schema, nulls, and binary through the bare-library path") {
+    val df = spark.range(500).select(
+      col("id"),
+      concat(lit("doc-"), col("id")).as("name"),
+      (col("id") * 1.5).as("score"),
+      when(col("id") % 7 === 0, lit(null).cast("string")).otherwise(lit("tag")).as("maybe"),
+      (col("id") % 2 === 0).as("even"),
+      md5(col("id").cast("string")).cast("binary").as("blob")
+    ).repartition(4)
+    val out = tmp("avro")
+    AvroIO.writeAvro(df, out)
+    // one container file per partition
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4, files.mkString(","))
+    val back = AvroIO.readAvro(spark, out)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 500)
+    assert(back.where(col("maybe").isNull).count() == df.where(col("maybe").isNull).count())
+    // value-identical, binary included (compare via a stable projection)
+    val a = df.select(col("id"), col("name"), col("score"), col("maybe"), col("even"),
+      hex(col("blob")).as("b")).orderBy("id").collect().toSeq
+    val b = back.select(col("id"), col("name"), col("score"), col("maybe"), col("even"),
+      hex(col("blob")).as("b")).orderBy("id").collect().toSeq
+    assert(a == b, "avro round-trip altered values")
+    // an Avro schema the mapper cannot represent declines loudly
+    val ex = intercept[IllegalArgumentException] {
+      AvroIO.writeAvro(spark.range(1).select(col("id").cast("decimal(10,2)")), tmp("avro_bad"))
+    }
+    assert(ex.getMessage.contains("primitive core"))
   }
 }
