@@ -228,7 +228,9 @@ object Gif {
 
   /** Encode an indexed image as a non-interlaced GIF89a with a global
     * color table. `palette` is RGB triplets (length 3·nColors, nColors a
-    * power of two in [4, 256]); `indices` is row-major, one byte per
+    * power of two in [2, 256] — a 2-color palette works because
+    * minCodeSize is clamped to 2 per the GIF89a spec); `indices` is
+    * row-major, one byte per
     * pixel, each < nColors. A REAL LZW compressor: longest-prefix-match
     * table growth, Clear emitted when the 12-bit table fills.
     */

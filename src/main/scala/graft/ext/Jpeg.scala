@@ -416,7 +416,13 @@ object Jpeg {
               val v   = hv & 0x0f
               val tq  = u8(seg + 8 + 3 * i)
               if (h < 1 || h > 2 || v < 1 || v > 2 || tq > 3) return None
-              cs(i) = Component(cid, h, v, tq, 0, 0)
+              // T.81 §A.2.2: a single-component scan is NON-interleaved —
+              // one 8x8 data unit per MCU regardless of the sampling
+              // factors declared in the frame header. Force h=v=1 so a
+              // grayscale SOF0 declaring 2x2 sampling decodes correctly
+              // instead of being misread as a 4-block interleaved MCU.
+              if (nc == 1) cs(i) = Component(cid, 1, 1, tq, 0, 0)
+              else cs(i) = Component(cid, h, v, tq, 0, 0)
               i += 1
             }
             comps = cs

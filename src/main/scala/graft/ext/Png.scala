@@ -10,10 +10,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * and [[Png.encode]] produces a spec-valid file the decoder (and
   * `javax.imageio`, cross-checked in ExtSpec) reads back bit-exactly.
   *
-  * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  * 6 (RGBA), non-interlaced — what `javax.imageio`'s writer emits for the
-  * standard BufferedImage types. Anything else (palette, 1/2/4/16-bit,
-  * Adam7 interlace) returns None and falls back to the caller's stub path,
+  * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette,
+  * expanded to RGB via the PLTE chunk), 4 (gray+alpha), 6 (RGBA),
+  * non-interlaced — what `javax.imageio`'s writer emits for the standard
+  * BufferedImage types. Anything else (1/2/4/16-bit depths, Adam7
+  * interlace) returns None and falls back to the caller's stub path,
   * same contract as the header parsers. Layout per ISO/IEC 15948 (PNG):
   * signature, length-tagged chunks with CRC32 over type+data, scanlines
   * prefixed by a filter byte (§9: None/Sub/Up/Average/Paeth).

@@ -578,6 +578,22 @@ class ExtSpec extends SparkSpec {
     while (!((sof2(mp) & 0xff) == 0xff && (sof2(mp + 1) & 0xff) == 0xc0)) mp += 1
     sof2(mp + 1) = 0xc2.toByte
     assert(graft.ext.Jpeg.decode(sof2).isEmpty, "progressive accepted by baseline decoder")
+    // T.81 §A.2.2: a single-component scan is NON-interleaved, so declared
+    // sampling factors in SOF0 are irrelevant — a grayscale file patched to
+    // claim 2x2 sampling must decode to the SAME pixels, not garbled 4-block
+    // MCUs (the frame header layout is otherwise untouched)
+    val hv22 = ok.clone()
+    var sp = 2
+    while (!((hv22(sp) & 0xff) == 0xff && (hv22(sp + 1) & 0xff) == 0xc0)) sp += 1
+    // SOF0 segment: marker(2) len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]
+    assert((hv22(sp + 9) & 0xff) == 1, "expected a single-component SOF0")
+    assert((hv22(sp + 11) & 0xff) == 0x11, "expected declared 1x1 sampling")
+    hv22(sp + 11) = 0x22.toByte
+    val base    = graft.ext.Jpeg.decode(ok).getOrElse(fail("baseline gray decode failed"))
+    val patched = graft.ext.Jpeg.decode(hv22).getOrElse(fail("2x2-sampled gray rejected"))
+    assert(patched.width == base.width && patched.height == base.height)
+    assert(patched.pixels.sameElements(base.pixels),
+      "grayscale pixels changed when SOF0 declared 2x2 sampling")
   }
 
   test("featurePixels: identical features through the PNG and GIF routes; JPEG within tolerance") {
