@@ -98,21 +98,36 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case scala.util.control.NonFatal(_) => () } // its timed run will report the error
     }
+    // Min-of-N timing (default 3): the 32-thread local bench inflates any
+    // single run 3-8× when a co-tenant process lands inside it, and BENCH_r07
+    // showed phantom +1.2 s "regressions" on queries whose source and plan
+    // were unchanged. The minimum of N consecutive runs is robust to that
+    // one-sided noise — contention only ever ADDS time — so round-over-round
+    // diffs reflect plan changes, not scheduler luck. SPARK_GRAFT_REPS=1
+    // restores single-shot timing for quick local iteration.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results: Seq[(String, Double, Option[String])] =
       ordered.map { case (name, fn) =>
-        // steady-state hygiene: collect the previous query's garbage outside
-        // the timed region so one query's heap pressure doesn't show up as a
-        // GC pause inside the next query's timing (BENCH_r03: q_rollup read
-        // 7.6 s in sequence vs 0.96 s in isolation)
-        System.gc()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (name, (System.nanoTime() - t0) / 1e9, None)
-        } catch {
-          case e: Throwable =>
-            (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+        var best = Double.MaxValue
+        var err: Option[String] = None
+        var r = 0
+        while (r < reps && err.isEmpty) {
+          // steady-state hygiene: collect the previous run's garbage outside
+          // the timed region so one query's heap pressure doesn't show up as
+          // a GC pause inside the next query's timing (BENCH_r03: q_rollup
+          // read 7.6 s in sequence vs 0.96 s in isolation)
+          System.gc()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+          r += 1
         }
+        if (err.isDefined) (name, -1.0, err) else (name, best, None)
       }
 
     val qs = results
