@@ -410,10 +410,86 @@ object Multimodal {
     }
   }
 
+  /** Exact integer block-luma sums of a raster: the image is cut into a
+    * `grid`×`grid` lattice (pixel (x, y) lands in block
+    * (y·grid div h, x·grid div w) — pure integer arithmetic, every block
+    * non-empty once w, h ≥ grid) and each block accumulates its BT.601
+    * luma sum and pixel count. These integer sums are the exact quantity
+    * `q_multimodal_embed`'s DuckDB oracle replays; the float embedding
+    * [[embedPixels]] ships downstream is a normalization of precisely
+    * these sums.
+    */
+  private[graft] def lumaBlockSums(
+      w: Int, h: Int, ch: Int, px: Array[Byte], grid: Int): (Array[Long], Array[Long]) = {
+    val sums   = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val x = p % w
+      val y = p / w
+      val luma =
+        if (ch <= 2) px(p * ch) & 0xff
+        else {
+          val o = p * ch
+          (299 * (px(o) & 0xff) + 587 * (px(o + 1) & 0xff) + 114 * (px(o + 2) & 0xff)) / 1000
+        }
+      sums((y * grid / h) * grid + (x * grid / w)) += luma
+      counts((y * grid / h) * grid + (x * grid / w)) += 1
+      p += 1
+    }
+    (sums, counts)
+  }
+
+  /** REAL classical embedding — the classical stand-in for a learned
+    * vision encoder, and the path that makes [[featureStub]] reachable
+    * ONLY for payloads no codec decodes: a `grid`×`grid` block-mean
+    * BT.601 luma vector (default 16-dim) over the ACTUAL decoded pixels
+    * of any PNG/GIF/JPEG payload, each component the block's mean luma
+    * normalized to [0, 1]. Block-mean grids are the classical CBIR
+    * "tiny image" descriptor; the output shape is exactly what
+    * [[Similarity]]/[[Ivf]] consume, so decoded media flows into the ANN
+    * family with no stub in the path (ExtSpec round-trips it). Payloads
+    * no classical decoder claims fall back to the sha-derived
+    * [[featureStub]] arithmetic — the honest boundary, since a learned
+    * encoder cannot exist in this container.
+    */
+  def embedPixels(records: Dataset[MediaRecord], grid: Int = 4): Dataset[MediaFeature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val md = MessageDigest.getInstance("SHA-256") // one per partition, reused
+      it.map { r =>
+        decodeRaster(r.media) match {
+          case Some((w, h, ch, px)) =>
+            val (sums, counts) = lumaBlockSums(w, h, ch, px, grid)
+            val f = new Array[Float](grid * grid)
+            var i = 0
+            while (i < f.length) {
+              f(i) =
+                if (counts(i) == 0L) 0f
+                else (sums(i).toDouble / counts(i) / 255.0).toFloat
+              i += 1
+            }
+            MediaFeature(r.id, r.kind, f)
+          case None =>
+            // undecodable payload: the sha-derived stub embedding, same
+            // arithmetic as featureStub (kept bit-identical so the two
+            // entry points cannot drift apart)
+            md.reset()
+            val sha = md.digest(r.media)
+            val f = Array.tabulate(grid * grid)(i => ((sha(i) & 0xff) / 255.0f) - 0.5f)
+            MediaFeature(r.id, r.kind, f)
+        }
+      }
+    }
+  }
+
   /** STUB feature-extract: a deterministic pseudo-embedding derived from
     * the payload's sha bytes (a real pipeline would run a learned
     * vision/audio ENCODER here, which cannot exist in this container —
-    * [[featurePixels]] is the REAL classical path for decodable images;
+    * [[featurePixels]] and [[embedPixels]] are the REAL classical paths
+    * for decodable images, and [[embedPixels]] routes here itself on
+    * undecodable payloads, making this the fallback-only path;
     * the output shape — fixed-dim float vector per row,
     * batch-friendly — is exactly what [[Similarity]]/[[Ivf]] consume
     * downstream).
@@ -1288,8 +1364,78 @@ object Multimodal {
     )
   )
 
+  /** Registered query: REAL classical embedding end-to-end — formula
+    * pixels → [[Png.encode]] → [[decodeRaster]] → [[lumaBlockSums]] —
+    * hash-checked EXACTLY. Emits the 4×4 block-luma SUMS (pure integers)
+    * rather than the normalized floats: the float vector [[embedPixels]]
+    * hands to [[Similarity]]/[[Ivf]] is sum/count/255 of precisely these
+    * values (counts are fully determined by width/height), so checking
+    * the sums checks the embedding. Dimensions start at 4 so every block
+    * of the 4×4 lattice is non-empty. The oracle replays pixel
+    * generation, BT.601 integer luma, and the block assignment
+    * (y·4 div h, x·4 div w) independently in SQL.
+    */
+  val multimodalEmbed: Q = Q(
+    "q_multimodal_embed",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val w  = (4 + id % 13).toInt
+          val h  = (4 + (id * 7) % 11).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) {
+                px((y * w + x) * 3 + c) = ((x + 31L * y + 7L * c + id) % 251).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          decodeRaster(Png.encode(w, h, 3, px)).map { case (dw, dh, ch, dpx) =>
+            val (b, _) = lumaBlockSums(dw, dh, ch, dpx, 4)
+            (id, dw, dh, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7), b(8), b(9), b(10),
+              b(11), b(12), b(13), b(14), b(15))
+          }
+        }
+        .toDF("id", "width", "height", "b00", "b01", "b02", "b03", "b10", "b11", "b12", "b13",
+          "b20", "b21", "b22", "b23", "b30", "b31", "b32", "b33")
+        .orderBy("id")
+    },
+    Some {
+      // per-pixel (block, luma) struct list, then one filtered sum per block
+      val blockSums = (0 until 16)
+        .map { b =>
+          val r = b / 4; val c = b % 4
+          s"""  CAST(coalesce(list_sum(list_transform(list_filter(bl, s -> s.b = $b), s -> s.l)), 0) AS BIGINT) AS b$r$c"""
+        }
+        .mkString(",\n")
+      s"""WITH px AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 7) % 11 AS h,
+         |    list_transform(range((4 + doc_id % 13) * (4 + (doc_id * 7) % 11)), p ->
+         |      struct_pack(
+         |        b := ((p // (4 + doc_id % 13)) * 4 // (4 + (doc_id * 7) % 11)) * 4
+         |             + ((p % (4 + doc_id % 13)) * 4 // (4 + doc_id % 13)),
+         |        l := (299 * (((p % (4 + doc_id % 13)) + 31 * (p // (4 + doc_id % 13)) + doc_id) % 251)
+         |            + 587 * (((p % (4 + doc_id % 13)) + 31 * (p // (4 + doc_id % 13)) + 7 + doc_id) % 251)
+         |            + 114 * (((p % (4 + doc_id % 13)) + 31 * (p // (4 + doc_id % 13)) + 14 + doc_id) % 251)) // 1000
+         |      )) AS bl
+         |  FROM documents)
+         |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |$blockSums
+         |FROM px ORDER BY id""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(multimodalMeta, multimodalPipeline, multimodalDecode, multimodalPixels, multimodalGif,
-      multimodalResize, multimodalJpeg, multimodalJpegRt, multimodalFeatures, multimodalAudio,
-      multimodalPcm, multimodalFrames, multimodalVideo)
+      multimodalResize, multimodalJpeg, multimodalJpegRt, multimodalFeatures, multimodalEmbed,
+      multimodalAudio, multimodalPcm, multimodalFrames, multimodalVideo)
 }

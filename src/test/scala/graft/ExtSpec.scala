@@ -814,6 +814,54 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(selfCos.getDouble(0) - 1.0) < 1e-9 && math.abs(selfCos.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("embedPixels: decoded media flows into the ANN family; stub only for undecodable payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one underlying image in three container encodings plus a shifted
+    // variant and an undecodable payload — the block-mean embedding must be
+    // IDENTICAL through the lossless routes, near-identical through JPEG,
+    // and the sha-stub fallback must match featureStub bit-for-bit
+    val nColors = 16
+    val (w, h)  = (32, 24)
+    val pal     = Array.tabulate(nColors * 3)(i => ((i / 3) * 16 + 8).toByte)
+    val idx     = Array.tabulate(w * h)(p => (((p % w) / 2 + (p / w) / 3) % nColors).toByte)
+    val rgb = new Array[Byte](w * h * 3)
+    for (p <- 0 until w * h; c <- 0 until 3) rgb(3 * p + c) = pal(3 * (idx(p) & 0xff) + c)
+    val pngBytes = graft.ext.Png.encode(w, h, 3, rgb)
+    val gifBytes = graft.ext.Gif.encode(w, h, pal, idx)
+    val jpgBytes = graft.ext.Jpeg.encode(w, h, 3, rgb, q = 2)
+    // a brighter variant: every palette level shifted up — a DIFFERENT image
+    val rgb2 = rgb.map(b => math.min(255, (b & 0xff) + 90).toByte)
+    val png2 = graft.ext.Png.encode(w, h, 3, rgb2)
+    val junk = "definitely not an image payload".getBytes
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes),
+      Multimodal.MediaRecord(2L, "image", gifBytes),
+      Multimodal.MediaRecord(3L, "image", jpgBytes),
+      Multimodal.MediaRecord(4L, "image", png2),
+      Multimodal.MediaRecord(5L, "other", junk)
+    ).toDS()
+    val feats = Multimodal.embedPixels(recs, grid = 4)
+    val byId  = feats.collect().map(f => f.id -> f.feature).toMap
+    assert(byId.values.forall(_.length == 16))
+    assert(byId(1L).sameElements(byId(2L)), "PNG and GIF routes disagree on a lossless image")
+    // JPEG is lossy but q=2 keeps block means within a few luma levels
+    for (i <- 0 until 16)
+      assert(math.abs(byId(1L)(i) - byId(3L)(i)) < 0.03f, s"JPEG block $i drifted")
+    // the undecodable payload must take the featureStub arithmetic exactly
+    val stub = Multimodal
+      .featureStub(Multimodal.decodeStub(Seq(Multimodal.MediaRecord(5L, "other", junk)).toDS()), 16)
+      .collect()(0)
+    assert(byId(5L).sameElements(stub.feature), "stub fallback drifted from featureStub")
+    // round-trip into Similarity: querying the PNG must rank its lossless
+    // twin (the GIF encoding, identical embedding) at the top
+    val emb = feats.toDF()
+      .select(col("id").as("vec_id"), col("kind").as("label"), col("feature").as("embedding"))
+    val top = graft.ext.Similarity.topKCosine(emb, queryId = 1L, k = 3).collect()
+    assert(top.map(_.getLong(1)).take(2).toSet == Set(1L, 2L),
+      s"lossless twin not at the top: ${top.mkString(", ")}")
+  }
+
   test("imageDims parses real PNG/GIF/JPEG headers produced by javax.imageio") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
