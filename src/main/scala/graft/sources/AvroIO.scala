@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   * not just local disk), with the Avro schema derived from the DataFrame
   * schema (nullable fields become `[null, T]` unions, Avro's idiom). The
   * reader recovers the embedded writer schema from the first file on the
-  * driver, then parses files in parallel. Caveat, documented rather than
-  * hidden: `binaryFiles` assigns ONE TASK PER FILE, so read parallelism
-  * equals the file count — the production path is the spark-avro
-  * connector, which additionally splits WITHIN files on Avro's sync
-  * markers; writing many moderate files (as the per-partition writer
-  * does) gives the same effective parallelism either way.
+  * driver, then reads in parallel WITH within-file splits: each file is
+  * cut into byte ranges and every task `DataFileReader.sync`s to the
+  * first Avro sync marker at-or-after its range start, reading blocks
+  * until `pastSync(end)` — the same split contract as the spark-avro
+  * connector and Hadoop's AvroInputFormat, so one giant container file
+  * fans out across the cluster instead of becoming a single task. A
+  * block belongs to exactly the split containing its preceding sync
+  * marker, so ranges cover every record exactly once.
   *
   * Supported field types: long, int, double, float, boolean, string,
   * binary — the primitive core every Avro implementation shares. Nested/
@@ -88,7 +90,7 @@ object AvroIO {
     * like the other sinks). The schema travels as JSON — `Schema` itself
     * is not reliably serializable across Avro versions.
     */
-  def writeAvro(df: DataFrame, path: String): Unit = {
+  def writeAvro(df: DataFrame, path: String, syncInterval: Int = 64 * 1024): Unit = {
     val spark      = df.sparkSession
     val schemaJson = toAvroSchema(df.schema).toString
     val sparkSchema = df.schema
@@ -104,6 +106,7 @@ object AvroIO {
       val file   = new Path(s"$path/part-%05d.avro".format(pid))
       val os     = file.getFileSystem(hconf.value).create(file, true)
       val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      writer.setSyncInterval(syncInterval) // block size → within-file split granularity on read
       writer.create(schema, os)
       var n = 0L
       rows.foreach { row =>
@@ -131,39 +134,63 @@ object AvroIO {
     * is recovered from the first file; every file must carry a compatible
     * schema (Avro containers embed it, so no external schema registry is
     * needed for self-describing archives).
+    *
+    * `splitBytes` bounds the byte range one task reads: files larger than
+    * it fan out across multiple tasks via the sync-marker protocol
+    * (`sync(start)` / `pastSync(end)`). Streams are closed by a
+    * task-completion listener, so a downstream `limit()`/`take()` that
+    * abandons the iterator mid-file cannot leak the open file handle.
     */
-  def readAvro(spark: SparkSession, path: String): DataFrame = {
+  def readAvro(
+      spark: SparkSession,
+      path: String,
+      splitBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs
       .listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-      .map(_.getPath)
-      .sortBy(_.getName)
+      .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"no .avro container files under $path")
     val schemaJson = {
-      val in     = fs.open(files.head)
+      val in     = fs.open(files.head.getPath)
       val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
       try stream.getSchema.toString
       finally { stream.close(); in.close() }
     }
     val sparkSchema = toStructType(new Schema.Parser().parse(schemaJson))
     val nFields     = sparkSchema.length
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration
+    )
+    // (file, rangeStart, rangeEnd): a block belongs to the range holding
+    // its preceding sync marker — exactly-once coverage with no
+    // cross-range coordination, the property that makes OCF splittable
+    val splits: Seq[(String, Long, Long)] = files.toIndexedSeq.flatMap { st =>
+      val len = st.getLen
+      (0L until math.max(len, 1L) by splitBytes).map { off =>
+        (st.getPath.toString, off, math.min(off + splitBytes, len))
+      }
+    }
     val rows = spark.sparkContext
-      .binaryFiles(files.map(_.toString).mkString(","))
-      .flatMap { case (_, pds) =>
-        val schema = new Schema.Parser().parse(schemaJson)
-        val stream = new DataFileStream[GenericRecord](
-          pds.open(),
-          new GenericDatumReader[GenericRecord](schema)
+      .parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
+        val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+          new org.apache.avro.mapred.FsInput(new Path(file), hconf.value),
+          new GenericDatumReader[GenericRecord](new Schema.Parser().parse(schemaJson))
         )
+        // close when the task ends regardless of how much was consumed
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        reader.sync(start) // seek to the first block boundary at-or-after start
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) stream.close()
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) reader.close() // eager close on exhaustion; listener is the backstop
             h
           }
           def next(): Row = {
-            val rec    = stream.next()
+            val rec    = reader.next()
             val values = new Array[Any](nFields)
             var i = 0
             while (i < nFields) {

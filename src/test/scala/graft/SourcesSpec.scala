@@ -128,4 +128,29 @@ class SourcesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("primitive core"))
   }
+
+  test("a single multi-block avro file splits on sync markers and fans out over multiple tasks") {
+    // ONE container file, many small Avro blocks (tiny sync interval):
+    // the sync-marker split must fan it out across tasks, and every range
+    // must see each block exactly once (no dropped or doubled records)
+    val df = spark.range(20000).select(
+      col("id"),
+      concat(lit("row-"), col("id")).as("name")
+    ).coalesce(1)
+    val out = tmp("avro_blocks")
+    AvroIO.writeAvro(df, out, syncInterval = 512)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1, files.mkString(","))
+    assert(files(0).length() > 64 * 1024, "fixture too small to exercise multi-range splits")
+    val back  = AvroIO.readAvro(spark, out, splitBytes = 16 * 1024)
+    val tasks = back.rdd.getNumPartitions
+    assert(tasks > 1, s"single file read with $tasks task(s) — within-file split not engaged")
+    assert(back.count() == 20000, "split ranges dropped or doubled records")
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) == 20000L * 19999 / 2)
+    // a range boundary inside a block must not split ownership: distinct ids
+    assert(back.select("id").distinct().count() == 20000)
+    // limit() abandons iterators mid-file — the task-completion listener
+    // must close the readers without error (the ADVICE leak regression)
+    assert(AvroIO.readAvro(spark, out, splitBytes = 16 * 1024).limit(7).count() == 7)
+  }
 }
