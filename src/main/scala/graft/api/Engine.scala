@@ -15,46 +15,82 @@ import graft.ops.{GroupStage, MapStage, ReduceStage, Sinks}
   *   read.text → map (flatMap | pipe) → group (shuffle+sort) →
   *   reduce (mapPartitions | pipe) → outputfileNN sink
   *
-  * Jobs run strictly FIFO, one at a time — the reference queues new jobs
-  * while BUSY (`/root/reference/mapreduce/manager/__main__.py:278-291`) —
-  * via a single-threaded executor, so `submit` is async like the reference's
-  * TCP submit and `await` is the client's join. Worker membership,
-  * heartbeats, dead-task reassignment and shutdown (reference O9-O11) are
-  * subsumed by Spark's scheduler/executor liveness machinery; `close()`
-  * mirrors the manager's shutdown fan-out by draining the job queue, and
-  * stops the session only when this Engine owns it (`ownsSession`).
+  * Jobs run strictly FIFO by default, one at a time — the reference queues
+  * new jobs while BUSY (`/root/reference/mapreduce/manager/__main__.py:
+  * 278-291`) — via a single-threaded executor, so `submit` is async like
+  * the reference's TCP submit and `await` is the client's join. Worker
+  * membership, heartbeats, dead-task reassignment and shutdown (reference
+  * O9-O11) are subsumed by Spark's scheduler/executor liveness machinery;
+  * `close()` mirrors the manager's shutdown fan-out by draining the job
+  * queue, and stops the session only when this Engine owns it
+  * (`ownsSession`).
+  *
+  * `maxConcurrent > 1` opts OUT of reference parity into concurrent
+  * scheduling: up to that many jobs run simultaneously, and each job tags
+  * its Spark stages with a per-job scheduler pool
+  * (`spark.scheduler.pool = graft-job-N`), so a session built with
+  * `spark.scheduler.mode=FAIR` time-slices the cluster fairly between
+  * in-flight jobs instead of running their stages strictly
+  * first-come-first-served (with the default FIFO scheduler the jobs
+  * still overlap; only the stage-level arbitration differs). Job ids are
+  * then assigned at execution start, so they no longer reflect
+  * submission order — that ordering guarantee is FIFO-mode parity.
   *
   * `parityMode` selects the golden-parity rank-mod group router
   * ([[graft.ops.GroupStage.rankMod]]) instead of the scalable hash router.
   */
-final class Engine(spark: SparkSession, parityMode: Boolean = false, ownsSession: Boolean = false)
+final class Engine(
+    spark: SparkSession,
+    parityMode: Boolean = false,
+    ownsSession: Boolean = false,
+    maxConcurrent: Int = 1)
     extends AutoCloseable {
+  require(maxConcurrent >= 1, s"maxConcurrent must be >= 1, got $maxConcurrent")
 
   private val jobIds                                   = new AtomicInteger(0)
   private val pool: ExecutionContextExecutorService    =
-    ExecutionContext.fromExecutorService(Executors.newSingleThreadExecutor())
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(maxConcurrent))
+  // every submitted-but-not-awaited job; await() drains this snapshot so
+  // the join works for BOTH the single-thread FIFO pool (where a marker
+  // task would suffice) and the concurrent pool (where it would not)
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Future[JobResult]]()
 
   /** Run one job synchronously (the internal path; `submit` queues this). */
   def runJob(spec: JobSpec): JobResult = {
-    val jobId  = jobIds.getAndIncrement()
+    val jobId = jobIds.getAndIncrement()
+    val t0    = System.nanoTime()
+    if (maxConcurrent > 1)
+      // thread-local: names this job's stages into its own FAIR pool
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-job-$jobId")
     val lines  = spark.sparkContext.textFile(spec.inputDirectory, spec.numMappers)
     val mapped = MapStage(lines, spec.mapperExecutable)
     val grouped = GroupStage(mapped, spec.numReducers, parityMode)
     val reduced = ReduceStage(grouped, spec.reducerExecutable)
-    JobResult(jobId, Sinks.outputFiles(reduced, spec.outputDirectory))
+    JobResult(jobId, Sinks.outputFiles(reduced, spec.outputDirectory), t0, System.nanoTime())
   }
 
-  /** FIFO-queued asynchronous submission (reference `new_manager_job`). */
-  def submit(spec: JobSpec): Future[JobResult] = Future(runJob(spec))(pool)
-
-  /** Block until every job queued so far has finished: a marker task on the
-    * single-threaded FIFO pool completes only after all prior jobs.
+  /** Queued asynchronous submission (reference `new_manager_job`): strict
+    * FIFO at `maxConcurrent = 1`, overlapping otherwise.
     */
-  def await(timeoutSec: Long = 600): Unit =
-    scala.concurrent.Await.result(
-      Future(())(pool),
-      scala.concurrent.duration.Duration(timeoutSec, TimeUnit.SECONDS)
-    )
+  def submit(spec: JobSpec): Future[JobResult] = {
+    val f = Future(runJob(spec))(pool)
+    pending.add(f)
+    f
+  }
+
+  /** Block until every job queued so far has finished. Failed jobs count
+    * as finished (their Futures carry the failure for the submitter);
+    * `timeoutSec` bounds the TOTAL wait across all in-flight jobs.
+    */
+  def await(timeoutSec: Long = 600): Unit = {
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(timeoutSec)
+    var f = pending.poll()
+    while (f != null) {
+      val left = math.max(deadline - System.nanoTime(), 1L)
+      scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.fromNanos(left))
+      f = pending.poll()
+    }
+  }
 
   override def close(): Unit = {
     // drain queued/in-flight jobs before tearing down the context —

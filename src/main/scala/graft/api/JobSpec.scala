@@ -25,5 +25,13 @@ final case class JobSpec(
   require(numReducers > 0, "numReducers must be positive")
 }
 
-/** Completed-job summary: id plus the final `outputfileNN` paths. */
-final case class JobResult(jobId: Int, outputFiles: Seq[String])
+/** Completed-job summary: id plus the final `outputfileNN` paths.
+  * `startedNanos`/`finishedNanos` bracket the job's execution on the
+  * engine's pool (monotonic clock) — the observable that lets a client,
+  * and `EngineSpec`, verify whether two jobs actually ran concurrently.
+  */
+final case class JobResult(
+    jobId: Int,
+    outputFiles: Seq[String],
+    startedNanos: Long = 0L,
+    finishedNanos: Long = 0L)

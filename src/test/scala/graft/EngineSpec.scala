@@ -75,6 +75,36 @@ class EngineSpec extends SparkSpec {
     assert(Await.result(f1, 1.second).jobId < Await.result(f2, 1.second).jobId)
   }
 
+  test("concurrent mode: two submitted jobs overlap in time and still match the goldens") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    // opt-in departure from reference FIFO parity: a 2-wide pool runs both
+    // jobs at once (each tagging its stages with its own scheduler pool for
+    // FAIR-configured sessions); outputs must be byte-identical to the
+    // FIFO-mode goldens, and the JobResult clocks must show actual overlap
+    val engine = new Engine(spark, parityMode = true, maxConcurrent = 2)
+    def attempt(tag: String): (Long, Boolean) = {
+      val out1 = tmpDir(s"conc1$tag")
+      val out2 = tmpDir(s"conc2$tag")
+      val f1 = engine.submit(JobSpec(inputDir, out1, "wc_map", "wc_reduce", 4, 1))
+      val f2 = engine.submit(JobSpec(inputDir, out2, "grep_map", "grep_reduce", 4, 1))
+      engine.await()
+      val r1 = Await.result(f1, 1.second)
+      val r2 = Await.result(f2, 1.second)
+      assert(readLines(out1 + "/outputfile01") == wcGolden)
+      assert(readLines(out2 + "/outputfile01").sorted == grepGolden.sorted)
+      val overlap =
+        math.min(r1.finishedNanos, r2.finishedNanos) - math.max(r1.startedNanos, r2.startedNanos)
+      (overlap, r1.jobId != r2.jobId)
+    }
+    val (overlap1, idsDistinct) = attempt("a")
+    assert(idsDistinct)
+    // scheduler hiccups could serialize one attempt; a genuine concurrency
+    // bug (e.g. a 1-wide pool) serializes every attempt
+    val overlap = if (overlap1 > 0) overlap1 else attempt("b")._1
+    assert(overlap > 0, s"jobs never overlapped on a 2-wide pool (overlap=${overlap}ns)")
+  }
+
   test("output directory is clobbered on re-run (reference _move_result_files)") {
     val engine = new Engine(spark, parityMode = true)
     val out = tmpDir("clobber")
