@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-golden snapshots for the heaviest registered queries: the
+  * normalized `EXPLAIN FORMATTED` text is committed as a golden, so any
+  * plan change — a join strategy flip, a lost pushdown, a new exchange —
+  * surfaces as a reviewable TEXT DIFF instead of (only) a numeric budget
+  * breach in `PlanSpec`/`ScanAuditSpec`. The numeric pins catch "worse";
+  * these goldens catch "different", which is what a reviewer actually
+  * wants to see when a Spark upgrade or refactor lands.
+  *
+  * The normalizer strips everything run-dependent — expression ids,
+  * plan ids, file-index locations, tmp paths — and nothing else: the
+  * operator tree, pushed filters, read schemas, partitioning and
+  * storage levels all stay load-bearing.
+  *
+  * Regenerate after an INTENDED plan change with:
+  *   SPARK_GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanGoldenSpec"
+  * then review the golden diff like any other code change.
+  *
+  * Plans are pinned at sf0.01 (the driver's correctness scale): file-size
+  * statistics feed broadcast decisions, so the golden is only meaningful
+  * against the fixture scale it was recorded at.
+  */
+class PlanGoldenSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** VERDICT r7's most expensive queries plus the widest join/agg shapes —
+    * the plans where a silent regression costs the most at 100 TB.
+    */
+  private val Pinned = Seq(
+    "q_shared_passages",
+    "q_segment_dedup",
+    "q_promo_share",
+    "q_tpch_q21",
+    "q_tpch_q16",
+    "q_tpch_q9",
+    "q_tpch_q8",
+    "q_window_suite",
+    "q_dedup_clusters",
+    "q_minhash_neardup"
+  )
+
+  private def goldenFile(name: String) =
+    new java.io.File(s"src/test/resources/plans/$name.txt")
+
+  private[graft] def normalize(plan: String): String =
+    plan.linesIterator
+      .map { line =>
+        line
+          .replaceAll("#\\d+", "#x")                     // expression ids
+          .replaceAll("plan_id=\\d+", "plan_id=x")       // plan ids
+          // typed-API closures print as JVM lambda identities
+          .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$x")
+          .replaceAll("@[0-9a-f]+\\b", "@x")             // object identity hashes
+          // Catalyst lambda variables are freshly numbered per SESSION, so
+          // their names depend on how many lambdas earlier suites analyzed
+          .replaceAll("\\blambda x_\\d+", "lambda x_n")
+          .replaceAll("\\[id=#x\\]", "[id=#x]")
+          // file-index locations carry absolute paths and path counts
+          .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "InMemoryFileIndex [<paths>]")
+          .replaceAll("Location: [^,\\]]*", "Location: <location>")
+          // any remaining absolute path (tmp layouts, warehouse dirs)
+          .replaceAll("file:/[^\\s,\\])]*", "<path>")
+          .replaceAll("/tmp/[^\\s,\\])]*", "<path>")
+          .replaceAll("\\s+$", "")
+      }
+      .mkString("\n")
+      .trim
+
+  for (name <- Pinned) test(s"plan golden: $name") {
+    val df        = SparkEntry.queries(name)(spark, sf)
+    val formatted = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val norm      = normalize(formatted)
+    val f         = goldenFile(name)
+    if (sys.env.contains("SPARK_GRAFT_REGEN_PLANS")) {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, (norm + "\n").getBytes("UTF-8"))
+      info(s"regenerated ${f.getPath}")
+    } else {
+      assert(f.exists(), s"missing golden ${f.getPath} — run with SPARK_GRAFT_REGEN_PLANS=1")
+      val golden = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      if (norm != golden) {
+        // a line-anchored diff beats two full plan dumps in a test log
+        val g = golden.linesIterator.toVector
+        val n = norm.linesIterator.toVector
+        val firstDiff = g.zipAll(n, "<missing>", "<missing>").indexWhere { case (a, b) => a != b }
+        val ctx = 3
+        val lo  = math.max(0, firstDiff - ctx)
+        val hi  = firstDiff + ctx
+        val window = (lo to hi).map { i =>
+          val a = g.lift(i).getOrElse("<eof>")
+          val b = n.lift(i).getOrElse("<eof>")
+          if (a == b) s"  $a" else s"- $a\n+ $b"
+        }
+        fail(
+          s"$name: plan drifted from golden at line ${firstDiff + 1} " +
+            s"(golden ${g.size} lines, current ${n.size}):\n${window.mkString("\n")}\n" +
+            s"If intended, regenerate: SPARK_GRAFT_REGEN_PLANS=1 sbt 'testOnly graft.PlanGoldenSpec'"
+        )
+      }
+    }
+  }
+}
