@@ -11,32 +11,24 @@ import graft.core.SparkEnv
   * as a bogus fast timing) plus an `errors` map.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkEnv.session("graft-bench")
 
-    def esc(s: String): String =
-      s.flatMap {
-        case '"'          => "\\\""
-        case '\\'         => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c            => c.toString
-      }
-
-    // Optional comma-separated subset for local iteration (SPARK_GRAFT_ONLY);
-    // the driver never sets it, so the driver path is always the full set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    // true when the full set runs OR the subset contains a matching query —
-    // gates the offline builds below so SPARK_GRAFT_ONLY=q1_agg iteration
-    // doesn't pay an IVF fit + dedup cache materialization it never uses
+  /** Warm up JIT/codegen/shuffle AND the parquet reader stack so the
+    * alphabetically-first query doesn't absorb one-time JVM/IO init in its
+    * timing (BENCH_r02: `grep` = 24.5s of which ~24s was first-query init).
+    * Every fixture table is scanned once (string/array/timestamp column
+    * codecs each have their own first-use cost), plus one sort (range-
+    * partitioner machinery) and one native vector expression (codegen).
+    * Shared with the scale gate, which warms BOTH its corpus variants.
+    *
+    * `only` gates the offline builds so SPARK_GRAFT_ONLY=q1_agg iteration
+    * doesn't pay an IVF fit + dedup cache materialization it never uses.
+    */
+  def warmUp(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      only: Option[Set[String]]): Unit = {
+    // true when the full set runs OR the subset contains a matching query
     def subsetNeeds(p: String => Boolean): Boolean = only.forall(_.exists(p))
-
-    // Warm up JIT/codegen/shuffle AND the parquet reader stack so the
-    // alphabetically-first query doesn't absorb one-time JVM/IO init in its
-    // timing (BENCH_r02: `grep` = 24.5s of which ~24s was first-query init).
-    // Every fixture table is scanned once (string/array/timestamp column
-    // codecs each have their own first-use cost), plus one sort (range-
-    // partitioner machinery) and one native vector expression (codegen).
     try {
       import org.apache.spark.sql.functions.{call_function, col}
       spark.range(1000000).groupBy((col("id") % 100).as("k")).count()
@@ -82,6 +74,24 @@ object Bench {
         // q_ann_ivf's timed region and masquerade as a probe regression
         System.err.println(s"[bench] warm-up failed (timings may include one-time init): $e")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkEnv.session("graft-bench")
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'          => "\\\""
+        case '\\'         => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c            => c.toString
+      }
+
+    // Optional comma-separated subset for local iteration (SPARK_GRAFT_ONLY);
+    // the driver never sets it, so the driver path is always the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    warmUp(spark, sfDir, only)
 
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }

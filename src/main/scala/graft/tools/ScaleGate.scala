@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-registry 10× scale gate: runs EVERY registered query against a
+  * [[StressGen]]-built blow-up of the bench corpus (default sf0.1×10 —
+  * 6M-row lineitem, 500k documents, 1M events) in BOTH variants — `clean`
+  * (new data only) and `hot` (injected pathologies: 20% duplicated
+  * document, 30% hot event user, 30% skewed join key) — and asserts the
+  * hot/clean wall-time ratio of every query stays under a fixed ceiling.
+  *
+  * This is the whole-registry generalization of `StressSpec` (which gates
+  * 6 heavy queries at sf0.01×10): the clean run proves the engine sustains
+  * 100× the driver's correctness scale, and the ratio proves no query
+  * hides a pathology-triggered super-linear term. `StressSpec` stays the
+  * in-suite gate; this sweep costs tens of minutes at full width, so it
+  * runs via `ScaleGateSpec` only when SPARK_GRAFT_SCALE_GATE=1 (or
+  * standalone: `runMain graft.tools.ScaleGate [base] [workDir] [mult]`).
+  * Results land in `<workDir>/SCALE_GATE.md` (the table COVERAGE.md
+  * records) and one JSON line on stdout.
+  *
+  * Ratio ceiling [[Ceiling]] matches StressSpec's Factor: the defenses
+  * (star pre-collapse, df-caps, salting, AQE skew-split) bound the hot
+  * penalty to a constant factor; a quadratic blow-up at these row counts
+  * lands orders of magnitude beyond it. Sub-second clean times are floored
+  * ([[FloorSec]]) so scheduler noise on trivial queries cannot fake a
+  * breach; a breach is re-measured once as a matched pair (contention on
+  * the 32-thread bench inflates any single run 3-8×) and only a
+  * reproduced breach fails the gate.
+  */
+object ScaleGate {
+
+  val Ceiling: Double  = 6.0
+  val FloorSec: Double = 1.0
+
+  final case class Timing(name: String, cleanSec: Double, hotSec: Double, err: Option[String]) {
+    def ratio: Double = hotSec / math.max(cleanSec, FloorSec)
+  }
+
+  final case class GateResult(timings: Seq[Timing], breaches: Seq[Timing], failed: Seq[Timing])
+
+  private def timed(spark: SparkSession, name: String, dir: String): Double = {
+    System.gc()
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Build (or reuse) the corpora under `workDir` and sweep the registry.
+    * Progress goes to stderr so a long run is observable.
+    */
+  def run(spark: SparkSession, base: String, workDir: String, mult: Int): GateResult = {
+    val clean = s"$workDir/clean"
+    val hot   = s"$workDir/hot"
+    if (!new java.io.File(s"$hot/lineitem.parquet/_SUCCESS").exists()) {
+      System.err.println(s"[scale-gate] building ${mult}x corpora from $base under $workDir")
+      StressGen.write(spark, base, clean, mult, hot = false, partsScale = 4)
+      StressGen.write(spark, base, hot, mult, hot = true, partsScale = 4)
+    } else System.err.println(s"[scale-gate] reusing corpora under $workDir")
+
+    // optional subset for local iteration, same contract as Bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+
+    // offline builds (IVF index, z-order layout, dedup caches, bigram LM)
+    // for BOTH dirs, so per-query timings measure the steady-state path
+    graft.Bench.warmUp(spark, clean, only)
+    graft.Bench.warmUp(spark, hot, only)
+
+    val names = only
+      .map(o => graft.SparkEntry.queries.keys.filter(o).toSeq)
+      .getOrElse(graft.SparkEntry.queries.keys.toSeq)
+      .sorted
+    val timings = names.zipWithIndex.map { case (name, i) =>
+      val t =
+        try {
+          val tc = timed(spark, name, clean)
+          val th = timed(spark, name, hot)
+          Timing(name, tc, th, None)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Timing(name, -1, -1, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(160)))
+        }
+      System.err.println(
+        f"[scale-gate] ${i + 1}%3d/${names.size} $name clean=${t.cleanSec}%.2fs " +
+          f"hot=${t.hotSec}%.2fs ratio=${t.ratio}%.2f ${t.err.getOrElse("")}"
+      )
+      t
+    }
+
+    // re-measure suspicious ratios as matched pairs; only a reproduced
+    // breach counts (same discipline as StressSpec.assertBounded)
+    val rechecked = timings.map { t =>
+      if (t.err.isEmpty && t.ratio > Ceiling) {
+        System.err.println(s"[scale-gate] re-measuring ${t.name} (first ratio ${t.ratio})")
+        try {
+          val t2 = Timing(t.name, timed(spark, t.name, clean), timed(spark, t.name, hot), None)
+          System.err.println(
+            f"[scale-gate] retry ${t.name} clean=${t2.cleanSec}%.2fs hot=${t2.hotSec}%.2fs ratio=${t2.ratio}%.2f"
+          )
+          t2
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Timing(t.name, t.cleanSec, t.hotSec, Some(Option(e.getMessage).getOrElse("").take(160)))
+        }
+      } else t
+    }
+
+    GateResult(
+      rechecked,
+      rechecked.filter(t => t.err.isEmpty && t.ratio > Ceiling),
+      rechecked.filter(_.err.isDefined)
+    )
+  }
+
+  def markdown(r: GateResult, base: String, mult: Int): String = {
+    val total = r.timings.filter(_.err.isEmpty)
+    val sb    = new StringBuilder
+    sb ++= s"# Scale gate: full registry at ${mult}x $base (clean vs hot)\n\n"
+    sb ++= f"${total.size} queries; clean total ${total.map(_.cleanSec).sum}%.1f s, " +
+      f"hot total ${total.map(_.hotSec).sum}%.1f s; ceiling ${Ceiling}%.1f " +
+      f"(clean floored at ${FloorSec}%.1f s); breaches: ${r.breaches.size}; errors: ${r.failed.size}\n\n"
+    sb ++= "| query | clean s | hot s | hot/clean |\n|---|---|---|---|\n"
+    for (t <- r.timings.sortBy(-_.hotSec))
+      sb ++= (t.err match {
+        case Some(m) => s"| ${t.name} | — | — | ERROR: $m |\n"
+        case None    => f"| ${t.name} | ${t.cleanSec}%.2f | ${t.hotSec}%.2f | ${t.ratio}%.2f |\n"
+      })
+    sb.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base    = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "target/scalegate"
+    val mult    = if (args.length > 2) args(2).toInt else 10
+    val spark   = graft.core.SparkEnv.session("graft-scale-gate")
+    val result  = run(spark, base, workDir, mult)
+    val md      = markdown(result, base, mult)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$workDir/SCALE_GATE.md"),
+      md.getBytes("UTF-8")
+    )
+    val ok = result.breaches.isEmpty && result.failed.isEmpty
+    println(
+      s"""{"queries":${result.timings.size},"breaches":${result.breaches.size},""" +
+        s""""errors":${result.failed.size},"ok":$ok,"table":"$workDir/SCALE_GATE.md"}"""
+    )
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

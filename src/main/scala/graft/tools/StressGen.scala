@@ -202,13 +202,23 @@ object StressGen {
 
   private val copiedAsIs = Seq("region", "nation", "customer", "supplier", "part", "orders")
 
-  def write(spark: SparkSession, baseDir: String, outDir: String, mult: Int, hot: Boolean): Unit = {
+  /** `partsScale` multiplies the output file counts — the sf0.01-tuned
+    * defaults underparallelize a larger base (e.g. the sf0.1×10 scale
+    * gate passes 4 so scans fan out over 32 threads).
+    */
+  def write(
+      spark: SparkSession,
+      baseDir: String,
+      outDir: String,
+      mult: Int,
+      hot: Boolean,
+      partsScale: Int = 1): Unit = {
     def out(t: String, df: DataFrame, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    out("documents", documents(spark, baseDir, mult, hot), 4)
-    out("events", events(spark, baseDir, mult, hot), 4)
-    out("lineitem", lineitem(spark, baseDir, mult, hot), 8)
-    out("embeddings", embeddings(spark, baseDir, mult), 4)
+    out("documents", documents(spark, baseDir, mult, hot), 4 * partsScale)
+    out("events", events(spark, baseDir, mult, hot), 4 * partsScale)
+    out("lineitem", lineitem(spark, baseDir, mult, hot), 8 * partsScale)
+    out("embeddings", embeddings(spark, baseDir, mult), 4 * partsScale)
     copiedAsIs.foreach(t => out(t, spark.read.parquet(s"$baseDir/$t.parquet"), 1))
   }
 
