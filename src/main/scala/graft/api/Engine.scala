@@ -84,11 +84,16 @@ final class Engine(
     */
   def await(timeoutSec: Long = 600): Unit = {
     val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(timeoutSec)
-    var f = pending.poll()
+    // peek-then-remove: the Future leaves the queue only AFTER it completes,
+    // so a timed-out await() (Await.ready throws) leaves the still-running
+    // job in `pending` and a retrying caller genuinely waits for it —
+    // poll-first dropped it and made the retry a silent no-op
+    var f = pending.peek()
     while (f != null) {
       val left = math.max(deadline - System.nanoTime(), 1L)
       scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.fromNanos(left))
-      f = pending.poll()
+      pending.remove(f)
+      f = pending.peek()
     }
   }
 

@@ -455,6 +455,11 @@ object Multimodal {
     * encoder cannot exist in this container.
     */
   def embedPixels(records: Dataset[MediaRecord], grid: Int = 4): Dataset[MediaFeature] = {
+    // mirror featureStub's bound, and fail on the DRIVER at plan time: the
+    // undecodable-payload fallback below indexes sha(i) for i < grid*grid
+    // against SHA-256's 32 bytes, so grid >= 6 would otherwise surface as an
+    // ArrayIndexOutOfBoundsException inside an executor task
+    require(grid * grid <= 32, s"sha256 provides 32 bytes of stub entropy; grid*grid = ${grid * grid}")
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val md = MessageDigest.getInstance("SHA-256") // one per partition, reused

@@ -77,6 +77,15 @@ object ZOrder {
         })
     )
     task.run() // FutureTask runs at most once; losers of the race just wait
-    task.get()
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        // a failed build must not be memoized: drop the entry so a later
+        // call can retry (transient IO/Spark errors would otherwise replay
+        // forever), and rethrow the original cause, not the wrapper —
+        // the standard Goetz memoizer failure-handling refinement
+        built.remove(dir, task)
+        throw Option(e.getCause).getOrElse(e)
+    }
   }
 }

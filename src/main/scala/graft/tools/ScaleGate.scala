@@ -52,10 +52,16 @@ object ScaleGate {
   def run(spark: SparkSession, base: String, workDir: String, mult: Int): GateResult = {
     val clean = s"$workDir/clean"
     val hot   = s"$workDir/hot"
-    if (!new java.io.File(s"$hot/lineitem.parquet/_SUCCESS").exists()) {
+    // reuse is gated on an explicit marker written only after BOTH corpora
+    // finish — sentinel-on-first-artifact (hot/lineitem _SUCCESS) treated a
+    // build interrupted mid-way as complete and every query touching the
+    // missing tables reported spurious errors
+    val done = new java.io.File(s"$workDir/GRAFT_CORPORA_DONE")
+    if (!done.exists()) {
       System.err.println(s"[scale-gate] building ${mult}x corpora from $base under $workDir")
       StressGen.write(spark, base, clean, mult, hot = false, partsScale = 4)
       StressGen.write(spark, base, hot, mult, hot = true, partsScale = 4)
+      done.createNewFile(): Unit
     } else System.err.println(s"[scale-gate] reusing corpora under $workDir")
 
     // optional subset for local iteration, same contract as Bench
