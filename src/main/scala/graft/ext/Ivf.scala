@@ -263,14 +263,19 @@ object Ivf {
     * engines; the only floating-point steps (mean division + cosine) are
     * single IEEE ops on identical inputs.
     */
-  def oracleSql(queryId: Long, k: Int, nCentroids: Int, nProbe: Int, iters: Int): String = {
-    def d2(v: String, c: String) =
-      s"list_sum(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
+  private def d2Sql(v: String, c: String) =
+    s"list_sum(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
+
+  /** The shared fit-replay prefix (quantize → head-sample init → `iters`
+    * unrolled Lloyd's iterations): the CTE body both IVF oracles compose.
+    * Returns (cte text, name of the fitted-centroid CTE).
+    */
+  private def fitCtesSql(nCentroids: Int, iters: Int): (String, String) = {
     def assignCte(prev: String) =
       s"""SELECT vec_id, qv, cid FROM (
          |    SELECT q.vec_id, q.qv, c.cid,
          |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${d2("q.qv", "c.cv")}, c.cid) AS rn
+         |        ORDER BY ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
          |    FROM q, $prev c) WHERE rn = 1""".stripMargin
     val iterCtes = (0 until iters).flatMap { it =>
       Seq(
@@ -285,15 +290,28 @@ object Ivf {
            |    GROUP BY cid) m ON m.cid = p.cid)""".stripMargin
       )
     }
-    val fitted = s"c$iters"
-    s"""WITH q AS (
-       |  SELECT vec_id, label,
-       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |c0 AS (
-       |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
-       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $nCentroids)),
-       |${iterCtes.mkString(",\n")},
+    val prefix =
+      s"""q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $nCentroids)),
+         |${iterCtes.mkString(",\n")}""".stripMargin
+    (prefix, s"c$iters")
+  }
+
+  def oracleSql(queryId: Long, k: Int, nCentroids: Int, nProbe: Int, iters: Int): String = {
+    def d2(v: String, c: String) = d2Sql(v, c)
+    def assignCte(prev: String) =
+      s"""SELECT vec_id, qv, cid FROM (
+         |    SELECT q.vec_id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${d2("q.qv", "c.cv")}, c.cid) AS rn
+         |    FROM q, $prev c) WHERE rn = 1""".stripMargin
+    val (fitPrefix, fitted) = fitCtesSql(nCentroids, iters)
+    s"""WITH $fitPrefix,
        |qq AS (SELECT qv FROM q WHERE vec_id = $queryId),
        |probes AS (
        |  SELECT c.cid FROM $fitted c, qq
@@ -326,5 +344,48 @@ object Ivf {
     Some(oracleSql(0L, 10, NCentroids, NProbe, Iters))
   )
 
-  val all: Seq[Q] = Seq(annIvf)
+  /** Oracle for [[topicClusters]]: the same full k-means replay as the ANN
+    * oracle, ending in the final assignment joined back to labels and a
+    * (cid, label) count — a fit regression changes the mixture and flips
+    * the hash.
+    */
+  def topicOracleSql(nCentroids: Int, iters: Int): String = {
+    val (fitPrefix, fitted) = fitCtesSql(nCentroids, iters)
+    s"""WITH $fitPrefix,
+       |af AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+       |    FROM q, $fitted c) WHERE rn = 1)
+       |SELECT CAST(af.cid AS INTEGER) AS cid, q.label, COUNT(*) AS n_vecs
+       |FROM af JOIN q USING (vec_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Topic/cluster mixture over the corpus embeddings: k-means cluster ×
+    * label counts — the "what topics is my training mix made of, and how do
+    * they correlate with the known labels" audit every data-curation
+    * pipeline runs before sampling. Reads the PERSISTED cid-partitioned
+    * index ([[indexFor]] — the offline-build analog), so the query itself
+    * is a groupBy over an already-clustered table: partial+final counts,
+    * one exchange of at most C·|labels| rows, no vector math in the query
+    * path at all. At 100 TB the index is the artifact a production
+    * curation pipeline maintains anyway; the mixture audit stays a
+    * metadata-sized aggregate no matter the corpus size.
+    */
+  val topicClusters: Q = Q(
+    "q_topic_clusters",
+    (s, dir) => {
+      val index = indexFor(s, dir)
+      s.read
+        .parquet(index.path)
+        .groupBy(col("cid").cast("int").as("cid"), col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("cid", "label")
+    },
+    Some(topicOracleSql(NCentroids, Iters))
+  )
+
+  val all: Seq[Q] = Seq(annIvf, topicClusters)
 }

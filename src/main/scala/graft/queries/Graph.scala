@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Iterative graph analytics — the genre the MapReduce lineage is named
+  * for (PageRank was THE canonical multi-job MapReduce workload; the
+  * reference's FIFO job queue exists to chain exactly such jobs,
+  * `/root/reference/mapreduce/manager/__main__.py:278-291`). Here one
+  * declarative lineage expresses the whole K-iteration computation and
+  * Catalyst/AQE plan each superstep's join+aggregate.
+  *
+  * The graph is the supplier–part bipartite graph observed in `lineitem`
+  * (distinct (l_suppkey, l_partkey) pairs), bidirected so every node both
+  * emits and receives mass. Node ids are namespaced into one integer
+  * space: supplier s → 2·s, part p → 2·p+1.
+  *
+  * Cross-engine determinism: the entire power iteration runs in FIXED-
+  * POINT integer arithmetic at scale 10¹² — contribution = rank div
+  * outdeg, damping = (15·(SCALE div N)) div 100 + (85·Σcontrib) div 100 —
+  * so ranks are exact BIGINTs in both engines regardless of partitioning
+  * or summation order (a float PageRank's sum order would break the hash
+  * compare; the div-floor dust lost per step is ≤ outdeg ulps of 10⁻¹²).
+  *
+  * Scale shape: the edge set with its out-degrees is built ONCE (explode
+  * of the two struct variants — NOT a union of two projections of the
+  * distinct, which would evaluate the dedup twice; the out-degree rides a
+  * window over the same shuffle) and cached — the production analog is a
+  * bucketed-by-src edge table written once and co-partition-joined every
+  * iteration with zero edge re-shuffle. Each iteration then shuffles only
+  * the (node, rank) frame: |V|-sized, NEVER |E|-sized intermediate state,
+  * and the per-dst sum is a partial+final aggregate (map-side combine
+  * absorbs hub fan-in). K is fixed, so the oracle replays every step with
+  * unrolled CTEs. At 100 TB each iteration would checkpoint its rank
+  * table to break lineage; at K = 5 the chained plan is what AQE handles
+  * directly.
+  */
+object GraphQueries {
+
+  /** Fixed-point scale: ranks are integers at 10⁻¹² resolution. */
+  val Scale = 1000000000000L
+
+  /** Power-iteration count (fixed — the oracle unrolls it). */
+  val Iters = 5
+
+  /** The full (node, kind, rank_scaled) table after [[Iters]] supersteps —
+    * exposed separately from the registered top-20 query so invariants
+    * (mass conservation, node-set preservation) are testable on the whole
+    * frame.
+    */
+  def pagerankRanks(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = Tables(s, dir).lineitem
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = pairs
+      .select(
+        explode(
+          array(
+            struct((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst")),
+            struct((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val adj = graft.core.Cached.frame(
+      edges.withColumn(
+        "outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src"))
+      )
+    )
+    val nodes = adj.select(col("src").as("node")).distinct()
+    val nN    = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes
+      .crossJoin(broadcast(nN))
+      .select(col("node"), expr(s"${Scale}L div n").as("rank"))
+    for (_ <- 0 until Iters) {
+      ranks = adj
+        .join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("m"))
+        .crossJoin(broadcast(nN))
+        .select(
+          col("dst").as("node"),
+          expr(s"(15 * (${Scale}L div n)) div 100 + (85 * m) div 100").as("rank")
+        )
+    }
+    ranks.select(
+      col("node"),
+      when(col("node") % 2 === 0, "supplier").otherwise("part").as("kind"),
+      col("rank").as("rank_scaled")
+    )
+  }
+
+  val pagerank: Q = Q(
+    "q_pagerank",
+    (s, dir) =>
+      pagerankRanks(s, dir)
+        .orderBy(col("rank_scaled").desc, col("node"))
+        .limit(20),
+    Some(pagerankOracleSql(Iters))
+  )
+
+  /** Unrolled power-iteration replay: r0 → r`iters`, each step the same
+    * integer expressions the Spark lineage evaluates.
+    */
+  def pagerankOracleSql(iters: Int): String = {
+    val steps = (1 to iters)
+      .map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    (15 * ($Scale // nn.n)) // 100
+           |      + (85 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN deg d ON d.src = e.src, nn
+           |  GROUP BY e.dst, nn.n)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+       |edges AS (
+       |  SELECT 2*sk AS src, 2*pk+1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 2*pk+1 AS src, 2*sk AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT deg.src AS node, $Scale // nn.n AS rank FROM deg, nn),
+       |$steps
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       |  rank AS rank_scaled
+       |FROM r$iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank)
+}

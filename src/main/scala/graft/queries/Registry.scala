@@ -14,6 +14,7 @@ object Registry {
     Relational.all ++
       TextQueries.all ++
       Pipeline.all ++
+      GraphQueries.all ++
       EventQueries.all ++
       Dedup.all ++
       Similarity.all ++

@@ -206,15 +206,16 @@ object TextQueries {
     "q_tfidf",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
-      val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // tf already has exactly one row per (doc_id, term), so the document
-      // frequency is a reaggregation of tf — NOT a second scan+explode of
-      // the corpus text (at 100 TB that would be a full extra pass). The
-      // reaggregation only avoids that pass if tf is MATERIALIZED: tf is
-      // referenced twice (df derivation + the score join) and Catalyst
-      // does not dedup common subtrees, so an unpersisted tf re-explodes
-      // the corpus (ScanAuditSpec measured the double pass).
+      // one row per (doc_id, term): the retrieval family's shared grain —
+      // df, dl, and totals are all reaggregations of it, NOT second
+      // scan+explodes of the corpus text (at 100 TB that would be a full
+      // extra pass). The reaggregation only avoids that pass if tf is
+      // MATERIALIZED: tf is referenced twice (df derivation + the score
+      // join) and Catalyst does not dedup common subtrees, so an
+      // unpersisted tf re-explodes the corpus (ScanAuditSpec measured the
+      // double pass). Spark's CacheManager keys on the logical plan, so
+      // q_bm25's identical lineage hits the same cache entry.
+      val tf = docTermTf(docs)
       graft.core.Cached.frame(tf)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -595,7 +596,84 @@ object TextQueries {
     )
   )
 
+  /** The retrieval family's shared grain: one row per (doc_id, term) with
+    * its in-document count, from one scan+explode of the corpus.
+    * [[tfidf]] and [[bm25]] both build exactly this lineage, so Spark's
+    * plan-keyed CacheManager gives them one shared materialization.
+    */
+  private def docTermTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 query terms: fixed literals, the retrieval benchmark's "query". */
+  private val Bm25Terms = Seq("scan", "join", "window")
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; k1 = 1.2, b = 0.75) for
+    * a fixed term set — the scoring function behind every classical search
+    * stack and the hard-negative mining step of embedding-model training
+    * pipelines. Top 20 documents by score.
+    *
+    * Cross-engine determinism: the whole score is integer arithmetic. With
+    * S = total corpus tokens and N = docs, the saturation term
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl·N/S)) multiplied through by 10·S is the
+    * integer ratio 22·S·tf / (10·S·tf + 3·S + 9·dl·N), floored at scale
+    * 10³; idf is q_tfidf's integer-scaled (10⁶·N) div df. Exact BIGINT in
+    * both engines (bound: 22·S·tf·10³ < 2⁶³ holds to S ≈ 4×10¹⁴ corpus
+    * tokens at tf ≤ 10³; production swaps in float idf unchanged).
+    *
+    * Scale shape: everything derives from the ONE materialized
+    * [[docTermTf]] grain (shared with q_tfidf — one corpus scan for the
+    * whole retrieval family): dl and the 1-row (S, N) totals are
+    * reaggregations, the query-term tf is a pushed `isin` filter over it,
+    * df (≤ |terms| rows) and totals broadcast back, and the final per-doc
+    * sum is a partial+final aggregate feeding TakeOrderedAndProject — the
+    * shuffle carries only matched (doc_id, term_score) rows, never tokens.
+    */
+  val bm25: Q = Q(
+    "q_bm25",
+    (s, dir) => {
+      val tf = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      graft.core.Cached.frame(dl) // referenced by totals AND the score join
+      val tot = dl.agg(sum("dl").as("s"), count(lit(1)).as("n"))
+      val qtf = tf.filter(col("term").isin(Bm25Terms: _*))
+      val dfq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+      qtf
+        .join(broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn(
+          "term_score",
+          expr("((1000000L * n) div df) * ((22L * s * tf * 1000L) div (10L * s * tf + 3L * s + 9L * dl * n))")
+        )
+        .groupBy("doc_id")
+        .agg(sum("term_score").as("bm25_scaled"), count(lit(1)).as("terms_matched"))
+        .orderBy(col("bm25_scaled").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, COUNT(*) AS n FROM dl),
+         |qtf AS (SELECT * FROM tf WHERE term IN ('scan', 'join', 'window')),
+         |df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+         |sc AS (
+         |  SELECT qtf.doc_id,
+         |    ((1000000 * tot.n) // df.df)
+         |      * ((22 * tot.s * qtf.tf * 1000) // (10 * tot.s * qtf.tf + 3 * tot.s + 9 * dl.dl * tot.n))
+         |      AS term_score
+         |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id), tot)
+         |SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled,
+         |  COUNT(*) AS terms_matched
+         |FROM sc GROUP BY 1 ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
-      repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage)
+      repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage, bm25)
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-9 operators beyond their oracle hash checks:
+  * PageRank invariants on the FULL rank table (the registered query is the
+  * top 20), BM25 scoring cross-checked against a driver-side replay on the
+  * fixture, and the topic-mixture totals.
+  */
+class GraphSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pagerank conserves rank mass within the integer-floor dust bound") {
+    val ranks = graft.queries.GraphQueries.pagerankRanks(spark, sf)
+    val row   = ranks.agg(
+      sum("rank_scaled").as("mass"),
+      count(lit(1)).as("n"),
+      min("rank_scaled").as("lo")
+    ).collect()(0)
+    val mass = row.getLong(0)
+    val n    = row.getLong(1)
+    // every node keeps a positive rank, and total mass stays at SCALE minus
+    // bounded div-floor dust: each superstep loses < 1 unit per (edge
+    // contribution + damping div), so after K steps the loss is tiny
+    // relative to SCALE = 10^12
+    assert(row.getLong(2) > 0L, "every node must keep positive rank")
+    assert(mass <= graft.queries.GraphQueries.Scale, s"mass $mass exceeds SCALE")
+    assert(
+      mass > (graft.queries.GraphQueries.Scale / 100L) * 99L,
+      s"mass $mass lost more than 1% to floor dust"
+    )
+    // bidirected construction: the node set is exactly suppliers ∪ parts
+    // present in lineitem, preserved through every superstep
+    val expected = graft.core
+      .Tables(spark, sf)
+      .lineitem
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .agg(
+        (countDistinct(col("sk")) + countDistinct(col("pk"))).as("n_nodes")
+      )
+      .collect()(0)
+      .getLong(0)
+    assert(n == expected, s"rank table has $n nodes, graph has $expected")
+  }
+
+  test("pagerank favors high-degree nodes: top node degree >= median degree") {
+    val top = graft.queries.GraphQueries
+      .pagerankRanks(spark, sf)
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(1)
+      .collect()(0)
+      .getLong(0)
+    val degs = graft.core
+      .Tables(spark, sf)
+      .lineitem
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+      .select(explode(array(col("sk") * 2, col("pk") * 2 + 1)).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val topDeg = degs.filter(col("node") === top).collect()(0).getLong(1)
+    val medianDeg = degs
+      .selectExpr("percentile_approx(deg, 0.5) as m")
+      .collect()(0)
+      .getLong(0)
+    assert(
+      topDeg >= medianDeg,
+      s"top-ranked node's degree $topDeg below median $medianDeg — damped PR should favor hubs"
+    )
+  }
+
+  test("bm25 matches a driver-side integer replay on the fixture") {
+    val docs = graft.core.Tables(spark, sf).documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+    val terms = Seq("scan", "join", "window")
+    val dl    = docs.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val s     = dl.values.sum
+    val n     = docs.length.toLong
+    val tf = docs
+      .flatMap { case (id, ts) => ts.filter(terms.contains).map(t => (id, t)) }
+      .groupBy(identity)
+      .map { case ((id, t), xs) => (id, t, xs.length.toLong) }
+      .toSeq
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val scores = tf
+      .map { case (id, t, f) =>
+        val idf    = (1000000L * n) / df(t)
+        val tfpart = (22L * s * f * 1000L) / (10L * s * f + 3L * s + 9L * dl(id) * n)
+        id -> idf * tfpart
+      }
+      .groupBy(_._1)
+      .map { case (id, xs) => (id, xs.map(_._2).sum, xs.size.toLong) }
+    val expected = scores.toSeq
+      .sortBy { case (id, sc, _) => (-sc, id) }
+      .take(20)
+    val got = graft.queries.TextQueries.bm25
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected, s"bm25 mismatch:\n got     $got\n expected $expected")
+    assert(got.nonEmpty && got.head._2 > 0L)
+  }
+
+  test("topic clusters: mixture totals equal the embedding corpus, cids within range") {
+    val mix = graft.queries.Registry.queries("q_topic_clusters")(spark, sf)
+    val tot = mix.agg(sum("n_vecs")).collect()(0).getLong(0)
+    val nVec = graft.core.Tables(spark, sf).embeddings.count()
+    assert(tot == nVec, s"mixture covers $tot of $nVec vectors")
+    val cids = mix.select("cid").distinct().collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < graft.ext.Ivf.NCentroids))
+  }
+}
