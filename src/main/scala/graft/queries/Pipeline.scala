@@ -591,7 +591,102 @@ object Pipeline {
     )
   )
 
+  /** Weighted priority sample (Duffield–Lund–Thorup, JACM 2007): priority
+    * = w/u with u uniform in (0,1]; the k highest-priority rows form a
+    * weighted sample-without-replacement supporting unbiased subset-sum
+    * estimators — the sampler a data-mixing pipeline uses when documents
+    * should be drawn ∝ length/quality weight rather than uniformly.
+    *
+    * Determinism: u derives from the salted md5 bucket hash (`#ws` salt —
+    * independent of the split/mix hashes), so membership is reproducible
+    * across engines, corpus growth, and repartitioning; the priority is
+    * the exact integer w·2²⁸ div (h+1) (h < 2²⁸, so u = (h+1)/2²⁸ ∈
+    * (0,1]; bound: w·2²⁸ < 2⁶³ holds to w ≈ 3×10¹⁰ chars/doc).
+    *
+    * Scale shape: a per-row expression straight off the scan feeding
+    * TakeOrderedAndProject — no shuffle at all beyond the top-k tree
+    * merge, at any corpus size.
+    */
+  val weightedSample: Q = Q(
+    "q_weighted_sample",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          col("n_chars").as("weight"),
+          Dedup.baseHash(concat(col("doc_id").cast("string"), lit("#ws"))).as("h")
+        )
+        .withColumn("priority", expr("(weight * 268435456L) div (h + 1)"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(50)
+        .select("doc_id", "weight", "priority"),
+    Some(
+      """SELECT doc_id, weight, priority FROM (
+        |  SELECT doc_id, n_chars AS weight,
+        |    (n_chars * 268435456)
+        |      // (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 7) AS BIGINT) + 1)
+        |      AS priority
+        |  FROM documents)
+        |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin
+    )
+  )
+
+  /** Mixture-allocation schedule: given per-source target shares (ppm,
+    * derived deterministically from the source id and normalized), the
+    * largest total sample the corpus can supply WITHOUT oversampling any
+    * source is T = minₛ(nₛ·10⁶ div ppmₛ) — the binding-constraint
+    * computation every "mix N sources to target proportions" planner runs
+    * before sampling (the planned_n column is what q_weighted_sample-style
+    * samplers then draw per source). Integer ppm arithmetic end-to-end.
+    *
+    * Scale shape: one partial+final aggregate to the per-source grain
+    * (|sources| rows — metadata-sized at any corpus scale), cached, then
+    * two 1-row broadcast scalars (weight sum, binding T) joined back; the
+    * corpus is scanned exactly once.
+    */
+  val mixSchedule: Q = Q(
+    "q_mix_schedule",
+    (s, dir) => {
+      val bySrc = graft.core.Cached.frame(
+        Tables(s, dir).documents
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+          .withColumn("w", expr("1 + (CAST(substring(source, 4, 10) AS INT) % 8)"))
+      )
+      val tot = bySrc.agg(sum("w").as("wsum"))
+      val ppm = bySrc
+        .crossJoin(broadcast(tot))
+        .withColumn("target_ppm", expr("(w * 1000000L) div wsum"))
+      val tMax = ppm.agg(min(expr("(n_docs * 1000000L) div target_ppm")).as("t_max"))
+      ppm
+        .crossJoin(broadcast(tMax))
+        .withColumn("planned_n", expr("(target_ppm * t_max) div 1000000L"))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_chars"),
+          col("target_ppm"),
+          col("planned_n"),
+          expr("(planned_n * 1000000L) div n_docs").as("utilization_ppm")
+        )
+        .orderBy("source")
+    },
+    Some(
+      """WITH bysrc AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    1 + (CAST(substr(source, 4) AS INT) % 8) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM bysrc),
+        |ppm AS (SELECT b.*, (w * 1000000) // wsum AS target_ppm FROM bysrc b, tot),
+        |tmax AS (SELECT MIN((n_docs * 1000000) // target_ppm) AS t_max FROM ppm)
+        |SELECT source, n_docs, n_chars, target_ppm,
+        |  (target_ppm * t_max) // 1000000 AS planned_n,
+        |  (((target_ppm * t_max) // 1000000) * 1000000) // n_docs AS utilization_ppm
+        |FROM ppm, tmax ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
-      seqPack, contamination, segmentDedup, chunkOverlap)
+      seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule)
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the sampling/mixing planners beyond their oracle hashes:
+  * the priority sample's weighted-inclusion property and the mix
+  * schedule's feasibility invariants.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("weighted sample: priorities positive, k rows, and heavier docs over-represented") {
+    val got = graft.queries.Registry.queries("q_weighted_sample")(spark, sf)
+    val rows = got.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getLong(2) > 0L))
+    // weighted sampling must pull the sample's mean weight above the corpus
+    // mean (inclusion probability ∝ weight); with 50 of 500 docs drawn by
+    // w/u priority this holds by a wide margin on the fixture
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = graft.core
+      .Tables(spark, sf)
+      .documents
+      .agg(avg("n_chars"))
+      .collect()(0)
+      .getDouble(0)
+    assert(
+      sampleMean > corpusMean,
+      s"sample mean weight $sampleMean not above corpus mean $corpusMean"
+    )
+  }
+
+  test("mix schedule: no source oversampled, and at least one binds exactly") {
+    val plan = graft.queries.Registry.queries("q_mix_schedule")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val nDocs   = r.getLong(1)
+      val planned = r.getLong(4)
+      val util    = r.getLong(5)
+      assert(planned <= nDocs, s"${r.getString(0)} plans $planned of $nDocs docs")
+      assert(util <= 1000000L, s"${r.getString(0)} utilization $util ppm > 100%")
+      assert(planned >= 0L && util >= 0L)
+    }
+    // T is the max feasible total: the binding source uses (nearly) all its
+    // docs. At sf0.001 each source holds only 25 docs, so one floored row is
+    // 40000 ppm of utilization — allow two rows of flooring shave (ppm floor
+    // + T floor), never more
+    val maxUtil = plan.map(_.getLong(5)).max
+    assert(maxUtil >= 920000L, s"binding source utilization $maxUtil ppm — T not maximal")
+  }
+}
