@@ -34,8 +34,9 @@ object SparkEnv {
       .config("spark.sql.session.timeZone", "UTC")
       // native vector expressions (graft_dot / graft_cosine) in every session
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
-      // rejects; read it as raw nanos and convert in Tables.events.
+      // some fixture generations carry TIMESTAMP(NANOS), which the
+      // vectorized reader rejects; read those as raw nanos and let
+      // Tables.nanosToTimestamp normalize (a no-op on timestamp[us] files).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
@@ -61,9 +62,9 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it as a
-    * long (nanosAsLong) and we floor-divide to micros — integer `div`, not
-    * double division, since epoch-nanos exceed 2^53.
+  /** `ts` arrives as whatever the fixture generation chose (epoch-nanos
+    * int64 under nanosAsLong, or a native parquet timestamp);
+    * [[Tables.nanosToTimestamp]] normalizes every variant to TIMESTAMP_NTZ.
     */
   def events: DataFrame = Tables.nanosToTimestamp(t("events"))
   def documents: DataFrame  = t("documents")
@@ -73,17 +74,34 @@ final class Tables(spark: SparkSession, dir: String) {
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 
-  /** The one nanos→micros `ts` conversion, shared by batch and streaming
-    * readers so the two paths can never diverge.
+  /** The one `ts` normalization, shared by batch and streaming readers so
+    * the two paths can never diverge. The fixture generator has shipped two
+    * physical encodings across rounds, so this adapts on the READ schema
+    * rather than assuming one:
     *
-    * The result is cast to TIMESTAMP_NTZ: `timestamp_micros` yields
-    * TimestampType (session-TZ / parquet `isAdjustedToUTC=true`), but the
-    * fixture timestamps are naive wall-clock values and the DuckDB oracle
-    * produces naive TIMESTAMPs — the session TZ is UTC, so the cast changes
-    * only the parquet logical type, not the instant.
+    *   - int64 epoch-nanos (parquet TIMESTAMP(NANOS) surfaced as LongType
+    *     by nanosAsLong): floor-divide to micros — integer `DIV`, not
+    *     double division, since epoch-nanos exceed 2^53;
+    *   - native timestamp[us] (TIMESTAMP_NTZ, or session-TZ TimestampType
+    *     when the file says isAdjustedToUTC): already micros.
+    *
+    * Every variant lands on TIMESTAMP_NTZ: the fixture timestamps are naive
+    * wall-clock values and the DuckDB oracle produces naive TIMESTAMPs —
+    * the session TZ is UTC, so the casts change only the logical type,
+    * never the instant.
     */
   def nanosToTimestamp(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    events.withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema("ts").dataType match {
+      case LongType =>
+        events.withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
+      case TimestampNTZType => events
+      case TimestampType =>
+        events.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other; expected int64 epoch-nanos or a parquet timestamp")
+    }
   }
 }

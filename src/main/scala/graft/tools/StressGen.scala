@@ -98,8 +98,10 @@ object StressGen {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  /** `ts` rides as the raw int64 nanos column (nanosAsLong), so replicas
-    * keep the base corpus's exact session/window structure per user clone.
+  /** `ts` rides through untouched in whatever physical encoding the base
+    * corpus uses (int64 nanos or native timestamp — Tables.nanosToTimestamp
+    * adapts on read), so replicas keep the base corpus's exact
+    * session/window structure per user clone.
     */
   def events(spark: SparkSession, baseDir: String, mult: Int, hot: Boolean): DataFrame = {
     val base = spark.read.parquet(s"$baseDir/events.parquet")
