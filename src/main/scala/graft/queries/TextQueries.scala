@@ -673,7 +673,123 @@ object TextQueries {
     )
   )
 
+  /** PMI collocation mining (Church–Hanks association ratios): the top 50
+    * adjacent-word pairs by pointwise lift c(x,y)·N / (c(x)·c(y)) — the
+    * phrase-detection statistic behind word2phrase-style multi-word-token
+    * induction in tokenizer pipelines. PMI itself is log₂(lift), a
+    * monotone map, so ranking by the integer-scaled lift IS ranking by PMI
+    * without a cross-engine `log` call.
+    *
+    * Cross-engine determinism: lift_ppm is the nested integer expression
+    * ((c_xy·10⁶ div c_x)·N) div c_y — identical floor composition in both
+    * engines; the nesting keeps every intermediate < 2⁶³ to N ≈ 9×10¹²
+    * corpus tokens (the unnested c_xy·N·10⁶ would overflow at N ≈ 3×10⁶).
+    * A minimum support of c_xy ≥ 5 suppresses one-off noise, the
+    * word2phrase discount analog.
+    *
+    * Scale shape: bigram extraction is a scan-stage zip_with over the
+    * token array (no token shuffle — the shuffle carries (bigram, partial
+    * count) pairs with map-side combine); unigram counts and the 1-row
+    * total reaggregate the cached [[docTermTf]] grain shared with
+    * q_tfidf/q_bm25 (no second corpus scan), land on a vocabulary-sized
+    * cached table, and broadcast back to the bigram side twice; the top-50
+    * is TakeOrderedAndProject.
+    */
+  val pmiBigrams: Q = Q(
+    "q_pmi_bigrams",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tf   = graft.core.Cached.frame(docTermTf(docs))
+      val uni  = tf.groupBy("term").agg(sum("tf").as("c"))
+      graft.core.Cached.frame(uni) // referenced 3x: total + both join sides
+      val tot = uni.agg(sum("c").as("n"))
+      val bgc = docs
+        .select(split(lower(col("text")), " ").as("t"))
+        .select(explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))"
+        )).as("bg"))
+        .groupBy("bg")
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      bgc
+        .join(broadcast(uni.select(col("term").as("w1"), col("c").as("c_x"))), "w1")
+        .join(broadcast(uni.select(col("term").as("w2"), col("c").as("c_y"))), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_ppm", expr("(((c_xy * 1000000L) div c_x) * n) div c_y"))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |uni AS (SELECT u AS w, COUNT(*) AS c
+        |        FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        |bgc AS (
+        |  SELECT bg, COUNT(*) AS c_xy FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+        |                                 i -> t[i] || ' ' || t[i+1])) AS bg
+        |    FROM toks)
+        |  GROUP BY 1 HAVING COUNT(*) >= 5)
+        |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |  c_xy, u1.c AS c_x, u2.c AS c_y,
+        |  (((c_xy * 1000000) // u1.c) * tot.n) // u2.c AS lift_ppm
+        |FROM bgc
+        |JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+        |JOIN uni u2 ON u2.w = string_split(bg, ' ')[2], tot
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin
+    )
+  )
+
+  /** BPE merge-pair counting — the inner statistic of byte-pair-encoding
+    * tokenizer TRAINING: for every adjacent character pair inside a word,
+    * the pair's corpus frequency (word frequency × in-word occurrences).
+    * The argmax of this table is exactly the first BPE merge; iterating
+    * (merge, recount) yields the full vocab, so this query is the one
+    * distributed primitive that training loop needs per iteration.
+    *
+    * Scale shape: pair extraction runs over the VOCABULARY (distinct
+    * words + frequencies from the cached [[docTermTf]] grain — zero new
+    * corpus scans), not the corpus: a 100 TB corpus has a ~10⁷-row vocab,
+    * so the explode+sum is metadata-sized no matter the data scale. The
+    * `length ≥ 2` filter drops unpairable single-char words before the
+    * explode, and the top-50 is TakeOrderedAndProject. All-integer counts.
+    */
+  val bpePairs: Q = Q(
+    "q_bpe_pairs",
+    (s, dir) => {
+      val tf    = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      val words = tf.groupBy("term").agg(sum("tf").as("f"))
+      words
+        .filter(length(col("term")) >= 2)
+        .select(
+          col("f"),
+          explode(expr(
+            "transform(sequence(1, char_length(term) - 1), i -> concat(substring(term, i, 1), ' ', substring(term, i + 1, 1)))"
+          )).as("pair")
+        )
+        .groupBy("pair")
+        .agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    },
+    Some(
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |words AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |                               i -> substr(w, i, 1) || ' ' || substr(w, i+1, 1))) AS pair,
+        |         f
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
-      repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage, bm25)
+      repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage, bm25,
+      pmiBigrams, bpePairs)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the text-mining statistics beyond their oracle hashes:
+  * PMI's association invariants checked against a driver-side replay of
+  * the corpus, and the BPE pair table cross-checked against an exact
+  * in-memory recount on the fixture.
+  */
+class CollocationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Driver-side token replay of the sf0.001 corpus (500 docs — small
+    * enough to recount exactly in memory, which is the point of the spec).
+    */
+  private lazy val docTokens: Seq[Array[String]] =
+    graft.core
+      .Tables(spark, sf)
+      .documents
+      .select(lower(col("text")))
+      .collect()
+      .map(_.getString(0).split(" ", -1))
+      .toSeq
+
+  test("q_pmi_bigrams: counts match an exact replay and lift is the pinned integer form") {
+    val rows = graft.queries.Registry.queries("q_pmi_bigrams")(spark, sf).collect()
+    assert(rows.length == 50, s"expected top-50, got ${rows.length}")
+
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bi  = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docTokens.foreach { t =>
+      t.foreach(w => uni(w) += 1)
+      t.sliding(2).foreach { case Array(a, b) => bi((a, b)) += 1; case _ => () }
+    }
+    val n = uni.values.sum
+
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (w1, w2)             = (r.getString(0), r.getString(1))
+      val (cxy, cx, cy, lift)  =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cxy == bi((w1, w2)), s"($w1,$w2) c_xy=$cxy, replay says ${bi((w1, w2))}")
+      assert(cx == uni(w1) && cy == uni(w2), s"($w1,$w2) unigram counts drifted")
+      assert(cxy >= 5L, s"($w1,$w2) below min support")
+      assert(cxy <= math.min(cx, cy), s"($w1,$w2) bigram count exceeds a unigram count")
+      assert(lift == ((cxy * 1000000L) / cx) * n / cy, s"($w1,$w2) lift not the pinned form")
+      assert(lift <= prev, "result not sorted by lift desc")
+      prev = lift
+    }
+
+    // the top-50 really are the 50 best: no unreturned supported pair beats
+    // the worst returned lift (ties broken by (w1, w2) order are allowed)
+    val returned = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val floor    = rows.last.getLong(5)
+    val better = bi.collect {
+      case ((a, b), c) if c >= 5L && !returned((a, b)) =>
+        ((c * 1000000L) / uni(a)) * n / uni(b)
+    }
+    assert(better.forall(_ <= floor), "an unreturned pair beats the returned floor")
+  }
+
+  test("q_bpe_pairs: pair mass matches an exact replay and the argmax is the true first merge") {
+    val rows = graft.queries.Registry.queries("q_bpe_pairs")(spark, sf).collect()
+    assert(rows.length == 50)
+
+    val pairs = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docTokens.foreach(_.foreach { w =>
+      var i = 0
+      while (i < w.length - 1) {
+        pairs(s"${w(i)} ${w(i + 1)}") += 1
+        i += 1
+      }
+    })
+    rows.foreach { r =>
+      assert(
+        r.getLong(1) == pairs(r.getString(0)),
+        s"pair '${r.getString(0)}' n=${r.getLong(1)}, replay says ${pairs(r.getString(0))}"
+      )
+    }
+    // the first BPE merge (max count, pair-string tie-break) heads the table
+    val expectedTop = pairs.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert(
+      (rows(0).getString(0), rows(0).getLong(1)) == expectedTop,
+      s"argmax ${rows(0).getString(0)} != replay ${expectedTop._1}"
+    )
+  }
+}
