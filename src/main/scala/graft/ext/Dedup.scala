@@ -1015,6 +1015,46 @@ object Dedup {
     )
   )
 
+  /** Candidate-pair Jaccard histogram — the threshold-TUNING audit: bucket
+    * every LSH candidate pair by exact shingle Jaccard in 0.05 steps and
+    * count. Reading the histogram answers "where should the near-dup
+    * threshold sit on THIS corpus" (the valley between the background-noise
+    * mass near 0 and the duplicate mass near 1) before committing a
+    * full-corpus dedup pass to it.
+    *
+    * Cross-engine determinism: the bucket is the pure-integer
+    * `(inter · 20) div uni` — never a double multiply whose rounding could
+    * straddle a bucket edge (exact Jaccard 1.0 lands in its own bucket 20).
+    *
+    * Scale shape: everything derives from the band-bucketed candidate set
+    * (pair-bounded, never all-pairs) and the cached shingle-set table the
+    * whole dedup family shares; the histogram itself is a ≤ 21-row
+    * partial+final aggregate.
+    */
+  val jaccardHistogram: Q = Q(
+    "q_jaccard_histogram",
+    (s, dir) =>
+      nearDuplicates(Tables(s, dir).documents, 0.0)
+        .withColumn("bucket", expr("(inter * 20L) div uni"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket"),
+    Some(
+      s"""WITH sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |sets AS ($sqlSets),
+         |p AS (
+         |  SELECT CAST(len(list_intersect(s1.sset, s2.sset)) AS BIGINT) AS inter,
+         |         CAST(len(list_distinct(list_concat(s1.sset, s2.sset))) AS BIGINT) AS uni
+         |  FROM cand
+         |  JOIN sets s1 ON s1.doc_id = d1
+         |  JOIN sets s2 ON s2.doc_id = d2)
+         |SELECT (inter * 20) // uni AS bucket, COUNT(*) AS n_pairs
+         |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality, jaccardHistogram)
 }

@@ -686,7 +686,58 @@ object Pipeline {
     )
   )
 
+  /** Temperature-scaled mixture reweighting (the multilingual-pretraining
+    * balancing rule, p ↦ p^α with α = 1/2): upweight low-resource sources
+    * relative to their raw corpus share by sampling ∝ √n_s instead of
+    * ∝ n_s. Emits, per source, the raw share, the temperature-scaled
+    * target share, and the resulting boost factor — the planner table a
+    * sampler like `q_weighted_sample` then draws against.
+    *
+    * Cross-engine determinism: √n via `floor(sqrt(n))` — IEEE 754 requires
+    * sqrt be correctly rounded and n_docs ≤ 2^52 is exact in a double, so
+    * the isqrt is bit-identical in both engines; every later step is
+    * integer ppm arithmetic.
+    *
+    * Scale shape: one partial+final aggregate to the per-source grain
+    * (metadata-sized at any corpus scale), cached once for its two scalar
+    * reaggregations, then two 1-row broadcasts back — the corpus is
+    * scanned exactly once.
+    */
+  val mixTemperature: Q = Q(
+    "q_mix_temperature",
+    (s, dir) => {
+      val bySrc = graft.core.Cached.frame(
+        Tables(s, dir).documents
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+      )
+      val tot = bySrc.agg(sum("n_docs").as("n_total"), sum("w").as("w_total"))
+      bySrc
+        .crossJoin(broadcast(tot))
+        .withColumn("raw_ppm", expr("(n_docs * 1000000L) div n_total"))
+        .withColumn("temp_ppm", expr("(w * 1000000L) div w_total"))
+        .withColumn("boost_ppm", expr("(temp_ppm * 1000000L) div raw_ppm"))
+        .select("source", "n_docs", "raw_ppm", "temp_ppm", "boost_ppm")
+        .orderBy("source")
+    },
+    Some(
+      """WITH bysrc AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |               CAST(SUM(w) AS BIGINT) AS w_total FROM bysrc)
+        |SELECT source, n_docs,
+        |  (n_docs * 1000000) // n_total AS raw_ppm,
+        |  (w * 1000000) // w_total AS temp_ppm,
+        |  (((w * 1000000) // w_total) * 1000000) // ((n_docs * 1000000) // n_total) AS boost_ppm
+        |FROM bysrc, tot ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
-      seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule)
+      seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule,
+      mixTemperature)
 }

@@ -36,6 +36,24 @@ class ExtSpec extends SparkSpec {
     assert(total == Tables(spark, sf).documents.count())
   }
 
+  test("jaccard histogram partitions the candidate set and brackets the 0.2 verify tier") {
+    val hist = graft.queries.Registry
+      .queries("q_jaccard_histogram")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.forall { case (b, n) => b >= 0L && b <= 20L && n > 0L })
+    // every candidate pair lands in exactly one bucket
+    val nCand = Dedup.candidatePairs(Tables(spark, sf).documents).count()
+    assert(hist.map(_._2).sum == nCand, s"histogram mass ${hist.map(_._2).sum} != candidates $nCand")
+    // bucket >= 4 ⟺ 20·inter >= 4·uni ⟺ jaccard >= 1/5 exactly, which is
+    // the same pair set the 0.2-threshold verify tier admits
+    val nVerified = Dedup.nearDuplicates(Tables(spark, sf).documents, 0.2).count()
+    assert(
+      hist.collect { case (b, n) if b >= 4L => n }.sum == nVerified,
+      "buckets >= 4 disagree with the 0.2 verify tier"
+    )
+  }
+
   test("LSH near-dup candidates contain every injected exact duplicate pair") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents.select("doc_id", "text")

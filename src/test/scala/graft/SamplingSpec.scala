@@ -49,4 +49,35 @@ class SamplingSpec extends SparkSpec {
     val maxUtil = plan.map(_.getLong(5)).max
     assert(maxUtil >= 920000L, s"binding source utilization $maxUtil ppm — T not maximal")
   }
+
+  test("mix temperature: sqrt replay exact, flattening monotone, boosts favor small sources") {
+    val rows = graft.queries.Registry.queries("q_mix_temperature")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wTotal = rows.map(r => math.sqrt(r.getLong(1).toDouble).toLong).sum
+    val nTotal = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n, raw, temp, boost) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw == n * 1000000L / nTotal, s"${r.getString(0)} raw share drifted")
+      assert(
+        temp == math.sqrt(n.toDouble).toLong * 1000000L / wTotal,
+        s"${r.getString(0)} temperature share not the sqrt replay"
+      )
+      assert(boost == temp * 1000000L / raw, s"${r.getString(0)} boost not temp/raw")
+    }
+    // p^(1/2) flattens the distribution: sources below the mean share gain
+    // (boost > 1), sources above it shrink (boost < 1), and the ordering of
+    // shares is preserved
+    val meanRaw = rows.map(_.getLong(2)).sum / rows.length
+    rows.foreach { r =>
+      if (r.getLong(2) < meanRaw - 20000L)
+        assert(r.getLong(4) > 1000000L, s"${r.getString(0)} small source not boosted")
+      if (r.getLong(2) > meanRaw + 20000L)
+        assert(r.getLong(4) < 1000000L, s"${r.getString(0)} large source not shrunk")
+    }
+    val sorted = rows.sortBy(_.getLong(2))
+    assert(
+      sorted.map(_.getLong(3)).sameElements(sorted.map(_.getLong(3)).sorted),
+      "temperature scaling must preserve the share ordering"
+    )
+  }
 }
