@@ -155,11 +155,54 @@ object Dedup {
   private def bandValCols: Seq[Column] =
     (0 until K / 2).map(b => concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
 
+  /** One-row driver-side probe over the cached [[exactGroups]] table: does
+    * any text occur more than once? The same bounded measure-then-decide
+    * discipline as the adaptive skew join — the answer routes the whole
+    * pair family between the plain path and the pre-collapsed path.
+    */
+  private def hasExactDups(docs: DataFrame): Boolean =
+    exactGroups(docs)
+      .agg(coalesce(max("copies"), lit(0L)).as("m"))
+      .head()
+      .getLong(0) > 1L
+
+  /** Representative doc ids (min doc_id per distinct text). */
+  private def repIds(docs: DataFrame): DataFrame =
+    exactGroups(docs).select(col("rep").as("doc_id"))
+
   /** Candidate pairs (d1 < d2) sharing at least one LSH band — a hash join
     * on (band_id, band_val), never a cartesian product.
+    *
+    * EXACT-DUPLICATE PRE-COLLAPSE (family-wide): when the corpus contains
+    * exact-duplicate texts, banding runs over ONE representative (min
+    * doc_id) per distinct text, so a document duplicated 100k× contributes
+    * one band row instead of 100k — the within-group candidate clique
+    * (~5·10⁹ pairs at 100k copies; the uncollapsed shape measured 972 s
+    * hot vs 4.8 s clean in the 10× scale gate via q_clean_corpus) never
+    * exists. Identical text ⟹ identical signature and bands ⟹ a member is
+    * a candidate of exactly the docs its representative partners with, so
+    * rep-level pairs carry the full cross-text candidate structure;
+    * exact-duplicate multiplicity is the exact-dedup tier's job
+    * ([[exactGroups]] / q_dedup_exact), which production pipelines run
+    * BEFORE MinHash (the C4/CCNet ordering this engine documents for the
+    * boilerplate defense). Every consumer's DuckDB oracle replays the
+    * identical collapse (`sqlSigRep`), and on a dup-free corpus the
+    * [[hasExactDups]] probe keeps the plain path with zero overhead —
+    * where collapse and no-collapse are output-identical anyway.
     */
   def candidatePairs(docs: DataFrame): DataFrame = {
-    val b = bands(signatures(docs))
+    val sigs =
+      if (hasExactDups(docs)) signatures(docs).join(repIds(docs), "doc_id")
+      else signatures(docs)
+    candidatePairsFrom(sigs)
+  }
+
+  /** The band self-join itself, over whatever signature table the caller
+    * chose — [[candidatePairs]] feeds it the collapsed grain; tests feed it
+    * the raw grain to prove the collapse output-equivalent.
+    */
+  private[graft] def candidatePairsFrom(sigs: DataFrame): DataFrame = {
+    val b = bands(sigs)
     b.alias("a")
       .join(
         b.alias("b"),
@@ -170,6 +213,13 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
+
+  /** UNCOLLAPSED verified pairs — the quadratic clique shape, retained for
+    * the equivalence proofs in StressSpec (never a registered query's
+    * path). On a dup-free corpus equals [[nearDuplicates]] exactly.
+    */
+  private[graft] def nearDuplicatesUncollapsed(docs: DataFrame, threshold: Double): DataFrame =
+    verifiedPairs(candidatePairsFrom(signatures(docs)), docs, threshold)
 
   /** Character 4-grams of lowercased text (empty array below 4 chars) —
     * same zip-of-shifted-slices shape as [[shingles3]] so the char split
@@ -201,11 +251,22 @@ object Dedup {
 
   /** Candidates verified with exact Jaccard over distinct 3-shingle sets.
     * Candidate generation and verification share the cached [[shingleSets]]
-    * table — one `documents` scan for the whole query.
+    * table — one `documents` scan for the whole query. Pairs are at the
+    * DISTINCT-TEXT grain ([[candidatePairs]]' exact-dup pre-collapse):
+    * exact copies never re-verify, so a 100k-copy group costs nothing here
+    * instead of 5·10⁹ Jaccard evaluations; its multiplicity lives in
+    * [[exactGroups]] and the member star of [[nearDupEdges]].
     */
-  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
+    verifiedPairs(candidatePairs(docs), docs, threshold)
+
+  /** Exact-Jaccard verification of a (d1, d2) candidate set against the
+    * cached shingle-set table — the ONE definition both the collapsed and
+    * the uncollapsed pair paths share.
+    */
+  private def verifiedPairs(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val sets = shingleSets(docs)
-    candidatePairs(docs)
+    cand
       .join(sets.select(col("doc_id").as("d1"), col("sset").as("s1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("sset").as("s2")), "d2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
@@ -352,6 +413,28 @@ object Dedup {
     s"""SELECT doc_id, ${(0 until K).map(sqlMh).mkString(",\n  ")}
        |FROM ($sqlShingles)""".stripMargin
 
+  /** Exact-duplicate collapse for the PAIR oracles: one representative
+    * (min doc_id) per distinct text — the oracle replay of the
+    * [[candidatePairs]] pre-collapse. MIN(text) is the group's one text.
+    */
+  private[graft] val sqlRepDocs =
+    "SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)"
+
+  private[graft] val sqlShinglesRep =
+    s"""SELECT doc_id,
+       |  list_transform(range(1, greatest(len(t)-2, 0)+1),
+       |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM ($sqlRepDocs))""".stripMargin
+
+  /** Signature CTE body over the COLLAPSED doc set — what every pair-family
+    * oracle binds its `sig` name to, so band join + verification replay
+    * the rep-level computation exactly. Per-doc oracles (q_minhash_sig)
+    * keep [[sqlSig]] over all docs.
+    */
+  private[graft] val sqlSigRep =
+    s"""SELECT doc_id, ${(0 until K).map(sqlMh).mkString(",\n  ")}
+       |FROM ($sqlShinglesRep)""".stripMargin
+
   private[graft] val sqlBands =
     (0 until K / 2)
       .map(b =>
@@ -416,7 +499,7 @@ object Dedup {
     "q_lsh_candidates",
     (s, dir) => candidatePairs(Tables(s, dir).documents).orderBy("d1", "d2"),
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand)
          |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin
@@ -428,7 +511,7 @@ object Dedup {
     "q_minhash_neardup",
     (s, dir) => nearDuplicates(Tables(s, dir).documents, 0.2).orderBy("d1", "d2"),
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |sets AS ($sqlSets)
@@ -469,7 +552,7 @@ object Dedup {
         .orderBy("d1", "d2")
     },
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |gsets AS (
@@ -549,51 +632,25 @@ object Dedup {
   )
 
   private[graft] def nearDupEdges(docs: DataFrame, threshold: Double): DataFrame = {
-    val keyed  = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("tkey"))
-    val groups = exactGroups(docs)
-    // ONE driver-side boolean from the narrow group aggregate (the same
-    // bounded measure-then-decide discipline as the adaptive skew join):
-    // a dup-free corpus — the common case — takes the plain verified-pair
-    // path over the family-shared caches with zero collapse overhead; the
-    // star construction below only runs when duplicate groups exist, which
-    // is exactly when it is worth any price
-    val hasDups =
-      groups.agg(coalesce(max("copies"), lit(0L)).as("m")).head().getLong(0) > 1L
-    if (!hasDups) return nearDuplicates(docs, threshold).select("d1", "d2")
+    // rep-level verified pairs: since the pre-collapse moved INTO
+    // [[candidatePairs]] (family-wide), [[nearDuplicates]] already emits
+    // one representative per distinct text — this function only adds the
+    // member star on top. On a dup-free corpus the pair set IS the full
+    // verified-pair set and no star exists.
+    val repPairs = nearDuplicates(docs, threshold).select("d1", "d2")
+    if (!hasExactDups(docs)) return repPairs
+    val keyed   = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("tkey"))
     val members = keyed
-      .join(groups, "tkey")
+      .join(exactGroups(docs), "tkey")
       .select(col("doc_id"), col("rep"), col("copies"))
-    val repIds = groups.select(col("rep").as("doc_id"))
-    // per-doc features are ROW-LOCAL, so restricting to representatives is
-    // a plain filter over the FAMILY-SHARED cached tables — recomputing
-    // signatures from a (docs ⋈ reps) frame would be a different plan the
-    // CacheManager can't dedup, re-paying the scan+md5+min work every
-    // dedup query already shares (measured: 8.5 s vs 3 s at sf0.1)
-    val repSets = shingleSets(docs).join(repIds, "doc_id")
-    val repSigs = signatures(docs).join(repIds, "doc_id")
-    val b       = bands(repSigs)
-    val cand = b
-      .alias("a")
-      .join(
-        b.alias("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val repPairs = cand
-      .join(repSets.select(col("doc_id").as("d1"), col("sset").as("s1")), "d1")
-      .join(repSets.select(col("doc_id").as("d2"), col("sset").as("s2")), "d2")
-      .filter(
-        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2")))) >= threshold
-      )
-      .select("d1", "d2")
     // identical SETLESS docs (< 3 tokens ⟹ no shingles ⟹ null jaccard)
     // are not pairwise-verified in the clique shape, so their groups get
-    // no star either
-    val eligible = repSets
+    // no star either. Restricting the FAMILY-SHARED cached shingle table
+    // to reps is a plain filter over the cache (recomputing features from
+    // a (docs ⋈ reps) frame would be a different plan the CacheManager
+    // can't dedup — measured: 8.5 s vs 3 s at sf0.1).
+    val eligible = shingleSets(docs)
+      .join(repIds(docs), "doc_id")
       .filter(size(col("sset")) > 0)
       .select(col("doc_id").as("rep"))
     val star = members
@@ -719,7 +776,7 @@ object Dedup {
         .orderBy("d1", "d2")
     },
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |sets AS ($sqlSets)
@@ -770,7 +827,7 @@ object Dedup {
         .orderBy("d1", "d2")
     },
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand)
          |SELECT d1, d2,
@@ -918,7 +975,7 @@ object Dedup {
         .orderBy("degree")
     },
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |deg AS (
@@ -957,7 +1014,7 @@ object Dedup {
         .orderBy("source_a", "source_b")
     },
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |sets AS ($sqlSets),
@@ -1002,7 +1059,7 @@ object Dedup {
         )
     },
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |sets AS ($sqlSets),
@@ -1040,7 +1097,7 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("bucket"),
     Some(
-      s"""WITH sig AS ($sqlSig),
+      s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |sets AS ($sqlSets),

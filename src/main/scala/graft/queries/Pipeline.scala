@@ -83,7 +83,13 @@ object Pipeline {
     * Drop rule: a doc is dropped as a near-duplicate when it is the
     * LARGER id of any pair with Jaccard >= 0.2 — deterministic and
     * independent of its partner's own gate verdicts (the simple rule
-    * production gates use, keeping the earliest-ingested copy).
+    * production gates use, keeping the earliest-ingested copy). Pairs are
+    * at the distinct-text grain (the family-wide exact-dup pre-collapse in
+    * [[graft.ext.Dedup.candidatePairs]]): exact copies are already dropped
+    * by the exact_keep stage, so the near-dup tier never re-walks a
+    * duplicate clique — the division of labor that keeps this query linear
+    * under a 100k-copy hot group (uncollapsed it measured 972 s hot vs
+    * 4.8 s clean at the 10× scale gate).
     */
   val cleanCorpus: Q = Q(
     "q_clean_corpus",
@@ -120,7 +126,7 @@ object Pipeline {
         .orderBy("doc_id")
     },
     Some(
-      s"""WITH sig AS (${Dedup.sqlSig}),
+      s"""WITH sig AS (${Dedup.sqlSigRep}),
          |bands AS (${Dedup.sqlBands}),
          |cand AS (${Dedup.sqlCand}),
          |sets AS (${Dedup.sqlSets}),
@@ -414,7 +420,7 @@ object Pipeline {
         .orderBy("test_id", "leak_id")
     },
     Some(
-      s"""WITH sig AS (${Dedup.sqlSig}),
+      s"""WITH sig AS (${Dedup.sqlSigRep}),
          |bands AS (${Dedup.sqlBands}),
          |cand AS (${Dedup.sqlCand}),
          |sets AS (${Dedup.sqlSets}),

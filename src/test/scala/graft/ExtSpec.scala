@@ -54,11 +54,12 @@ class ExtSpec extends SparkSpec {
     )
   }
 
-  test("LSH near-dup candidates contain every injected exact duplicate pair") {
+  test("exact duplicates pre-collapse: injected copies vanish from candidates, structure survives") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents.select("doc_id", "text")
     // inject exact duplicates: copies of docs 0..4 under ids 10000..10004 —
-    // identical text ⇒ identical MinHash signature ⇒ MUST share every band
+    // identical text ⇒ identical signature ⇒ the UNCOLLAPSED shape puts
+    // every copy in every band its original occupies
     val dups = docs.filter(col("doc_id") < 5).select((col("doc_id") + 10000).as("doc_id"), col("text"))
     val corpus = docs.union(dups)
     val candidates = Dedup
@@ -66,8 +67,23 @@ class ExtSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    val expected = (0L until 5L).map(i => (i, i + 10000)).toSet
-    assert(expected.subsetOf(candidates), s"missing: ${expected.diff(candidates)}")
+    // the collapse routes each copy to its representative (the original,
+    // which has the smaller id): no candidate pair may touch a copy id...
+    assert(candidates.forall { case (a, b) => a < 10000L && b < 10000L },
+      s"member ids leaked into candidates: ${candidates.filter(p => p._1 >= 10000L || p._2 >= 10000L)}")
+    // ...and the rep-level candidate structure is EXACTLY the original
+    // corpus's (reps of the dup-injected corpus are the original docs), so
+    // no cross-text candidate was lost to the collapse
+    val original = Dedup
+      .candidatePairs(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(candidates == original, "collapse changed the cross-text candidate structure")
+    // precondition for the equality above: the base fixture is dup-free
+    // (otherwise the originals would collapse among themselves too)
+    val dupGroups = Dedup.dedupExact.fn(spark, sf).filter(col("copies") > 1).count()
+    assert(dupGroups == 0L, "base fixture must be dup-free for this equality to hold")
   }
 
   test("brute-force top-k cosine ranks the query vector itself first") {

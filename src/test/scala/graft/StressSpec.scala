@@ -121,6 +121,24 @@ class StressSpec extends SparkSpec {
     assert(labels.toSeq == Seq(0L), s"hot copies span clusters: ${labels.mkString(",")}")
   }
 
+  test("q_clean_corpus stays bounded under the 1000-copy hot group") {
+    // the near-dup drop tier rides the family-wide exact-dup pre-collapse:
+    // before it, the hot group's 499500-pair clique put this query at
+    // 972 s hot vs 4.8 s clean in the 10x scale gate (201x); collapsed,
+    // the hot corpus costs the same as the clean one
+    assertBounded("q_clean_corpus")
+    // and the verdicts stay right: every hot copy except the group minimum
+    // is dropped (exact_keep false), the minimum survives the near-dup
+    // tier at rep grain
+    val hotRows = SparkEntry
+      .queries("q_clean_corpus")(spark, hot)
+      .filter(pmod(col("doc_id"), lit(StressGen.HotDocMod)) === 0)
+      .select("doc_id", "exact_keep")
+      .collect()
+    val keepers = hotRows.filter(_.getBoolean(1)).map(_.getLong(0))
+    assert(keepers.toSeq == Seq(hotRows.map(_.getLong(0)).min), s"exact_keep keepers: ${keepers.mkString(",")}")
+  }
+
   test("star-collapsed clusters equal brute-force clique components on a dup-heavy corpus") {
     // fixtures have no exact duplicates, so the oracle gate never exercises
     // the star path — build a corpus that does and compare against
@@ -146,9 +164,10 @@ class StressSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    // brute force: raw pairwise verified edges (quadratic on dup groups)
+    // brute force: raw pairwise verified edges (quadratic on dup groups) —
+    // the UNCOLLAPSED shape, which registered queries never run
     val rawPairs = graft.ext.Dedup
-      .nearDuplicates(corpus, 0.2)
+      .nearDuplicatesUncollapsed(corpus, 0.2)
       .select("d1", "d2")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
