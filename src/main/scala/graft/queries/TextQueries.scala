@@ -788,8 +788,74 @@ object TextQueries {
     )
   )
 
+  /** Document-level co-occurrence lift (market-basket association over
+    * term sets; the topic-coherence statistic): for every unordered term
+    * pair co-occurring in ≥ 50 documents, df(x,y)·N / (df(x)·df(y)) —
+    * the doc-set complement to [[pmiBigrams]]' ADJACENCY statistic.
+    *
+    * The quadratic-blowup defense is the stopword df-cap: terms in > 80%
+    * of documents are excluded BEFORE the self-join, so the per-document
+    * pair fan-out d·(d−1)/2 counts only discriminative terms (on a real
+    * corpus the cap plus min-support is what keeps the basket join
+    * tractable — the same df-cap idea [[graft.ext.Winnow]] pins in
+    * StressSpec for shared passages). Lift is the same nested-integer
+    * ppm form as pmiBigrams; the cap predicate `df·10 ≤ N·8` is integer.
+    *
+    * Scale shape: pair generation self-joins the cached [[docTermTf]]
+    * grain on doc_id (never a corpus rescan); df table and the 1-row N
+    * are cached/broadcast; min-support prunes before the dim joins; the
+    * top-50 is TakeOrderedAndProject.
+    */
+  val cooccur: Q = Q(
+    "q_cooccur",
+    (s, dir) => {
+      val tf  = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      val n   = tf.agg(countDistinct("doc_id").as("n_docs"))
+      val dfu = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      graft.core.Cached.frame(dfu) // cap filter + both dim joins
+      val keep = dfu.crossJoin(broadcast(n)).filter(expr("df * 10 <= n_docs * 8"))
+      val kept = tf
+        .join(broadcast(keep.select("term")), "term")
+        .select("doc_id", "term")
+      kept
+        .alias("a")
+        .join(
+          kept.alias("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term")
+        )
+        .select(col("a.term").as("t1"), col("b.term").as("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("df_xy"))
+        .filter(col("df_xy") >= 50)
+        .join(broadcast(keep.select(col("term").as("t1"), col("df").as("df_x"))), "t1")
+        .join(broadcast(keep.select(col("term").as("t2"), col("df").as("df_y"))), "t2")
+        .crossJoin(broadcast(n))
+        .withColumn("lift_ppm", expr("(((df_xy * 1000000L) div df_x) * n_docs) div df_y"))
+        .select("t1", "t2", "df_xy", "df_x", "df_y", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+        .limit(50)
+    },
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |dfu AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |keep AS (SELECT term, df FROM dfu, n WHERE df * 10 <= n_docs * 8),
+        |pair AS (
+        |  SELECT a.term AS t1, b.term AS t2, COUNT(*) AS df_xy
+        |  FROM (SELECT doc_id, term FROM tf WHERE term IN (SELECT term FROM keep)) a
+        |  JOIN (SELECT doc_id, term FROM tf WHERE term IN (SELECT term FROM keep)) b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 50)
+        |SELECT t1, t2, df_xy, k1.df AS df_x, k2.df AS df_y,
+        |  (((df_xy * 1000000) // k1.df) * n.n_docs) // k2.df AS lift_ppm
+        |FROM pair JOIN keep k1 ON k1.term = t1 JOIN keep k2 ON k2.term = t2, n
+        |ORDER BY lift_ppm DESC, t1, t2 LIMIT 50""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage, bm25,
-      pmiBigrams, bpePairs)
+      pmiBigrams, bpePairs, cooccur)
 }

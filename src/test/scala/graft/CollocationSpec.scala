@@ -60,6 +60,33 @@ class CollocationSpec extends SparkSpec {
     assert(better.forall(_ <= floor), "an unreturned pair beats the returned floor")
   }
 
+  test("q_cooccur: counts match an exact doc-set replay; stopword cap and support hold") {
+    val rows = graft.queries.Registry.queries("q_cooccur")(spark, sf).collect()
+    assert(rows.length == 50)
+
+    val docSets = docTokens.map(_.toSet)
+    val n       = docSets.length.toLong
+    val df      = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docSets.foreach(_.foreach(w => df(w) += 1))
+    val dfxy = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docSets.foreach { s =>
+      val kept = s.filter(w => df(w) * 10 <= n * 8).toSeq.sorted
+      for (i <- kept.indices; j <- (i + 1) until kept.length)
+        dfxy((kept(i), kept(j))) += 1
+    }
+    rows.foreach { r =>
+      val (t1, t2) = (r.getString(0), r.getString(1))
+      assert(df(t1) * 10 <= n * 8 && df(t2) * 10 <= n * 8, s"($t1,$t2) breaches the stopword cap")
+      assert(r.getLong(2) == dfxy((t1, t2)), s"($t1,$t2) df_xy drifted from replay")
+      assert(r.getLong(2) >= 50L, s"($t1,$t2) below min support")
+      assert(r.getLong(3) == df(t1) && r.getLong(4) == df(t2), s"($t1,$t2) df drifted")
+      assert(
+        r.getLong(5) == ((r.getLong(2) * 1000000L) / df(t1)) * n / df(t2),
+        s"($t1,$t2) lift not the pinned integer form"
+      )
+    }
+  }
+
   test("q_bpe_pairs: pair mass matches an exact replay and the argmax is the true first merge") {
     val rows = graft.queries.Registry.queries("q_bpe_pairs")(spark, sf).collect()
     assert(rows.length == 50)
