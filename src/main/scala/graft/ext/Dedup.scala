@@ -160,14 +160,14 @@ object Dedup {
     * discipline as the adaptive skew join — the answer routes the whole
     * pair family between the plain path and the pre-collapsed path.
     */
-  private def hasExactDups(docs: DataFrame): Boolean =
+  private[graft] def hasExactDups(docs: DataFrame): Boolean =
     exactGroups(docs)
       .agg(coalesce(max("copies"), lit(0L)).as("m"))
       .head()
       .getLong(0) > 1L
 
   /** Representative doc ids (min doc_id per distinct text). */
-  private def repIds(docs: DataFrame): DataFrame =
+  private[graft] def repIds(docs: DataFrame): DataFrame =
     exactGroups(docs).select(col("rep").as("doc_id"))
 
   /** Candidate pairs (d1 < d2) sharing at least one LSH band — a hash join

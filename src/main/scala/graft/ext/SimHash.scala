@@ -66,9 +66,21 @@ object SimHash {
 
   /** Near-dup pairs within Hamming distance `maxDist` (<= 3 guaranteed
     * recall with 4 chunks), generated via chunk-value hash joins.
+    *
+    * Pairs are at the DISTINCT-TEXT grain — the family-wide exact-dup
+    * pre-collapse of [[graft.ext.Dedup.candidatePairs]] applies here too:
+    * identical text ⟹ identical simhash ⟹ identical chunks, so an
+    * uncollapsed 10k-copy hot group forms a quadratic chunk-bucket clique
+    * of hamming-0 pairs (measured 110 s hot vs 1.6 s clean in the 10×
+    * scale gate) that carries nothing the exact-dedup tier doesn't already
+    * record. One representative (min doc_id) per distinct text is banded;
+    * the dup-free path is zero-overhead via the cached one-row probe.
     */
   def nearDupPairs(spark: SparkSession, docs: DataFrame, maxDist: Int): DataFrame = {
-    val sig = signatures(spark, docs)
+    val pairDocs =
+      if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id")
+      else docs
+    val sig = signatures(spark, pairDocs)
     // 4 chunks of 16 bits each as join keys
     val chunks = (0 until 4).map { c =>
       (shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xffffL))).as(s"c$c")
@@ -146,7 +158,8 @@ object SimHash {
     */
   private val simhashNearDupOracle: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |  FROM (${Dedup.sqlRepDocs})),
        |h AS (
        |  SELECT doc_id,
        |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS uhi,

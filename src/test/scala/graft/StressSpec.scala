@@ -139,6 +139,16 @@ class StressSpec extends SparkSpec {
     assert(keepers.toSeq == Seq(hotRows.map(_.getLong(0)).min), s"exact_keep keepers: ${keepers.mkString(",")}")
   }
 
+  test("simhash near-dup pairs collapse the hot duplicate group") {
+    // identical text means identical simhash and chunks, so uncollapsed the
+    // 1000-copy group alone is >= 499500 hamming-0 pairs (the 10x gate
+    // measured 110 s hot vs 1.6 s clean); collapsed, pairs stay rep-level
+    val docs  = graft.core.Tables(spark, hot).documents
+    val pairs = graft.ext.SimHash.nearDupPairs(spark, docs, 3).count()
+    info(s"simhash hot pairs: $pairs")
+    assert(pairs < 25000, s"pair set not collapsed: $pairs (clique would be >= 499500)")
+  }
+
   test("star-collapsed clusters equal brute-force clique components on a dup-heavy corpus") {
     // fixtures have no exact duplicates, so the oracle gate never exercises
     // the star path — build a corpus that does and compare against
