@@ -186,6 +186,27 @@ object Dedup {
   private[graft] def repIds(docs: DataFrame): DataFrame =
     exactGroups(docs).select(col("rep").as("doc_id"))
 
+  /** Every document with its exact-text representative — the expansion
+    * table that maps the pre-collapsed rep-level pair grain back to member
+    * grain. `extra` columns (e.g. `source`) ride the SAME documents scan,
+    * so consumers never pay a second corpus pass for member attributes.
+    * On a dup-free corpus this is the identity mapping (rep = doc_id).
+    */
+  private[graft] def members(docs: DataFrame, extra: Column*): DataFrame =
+    docs
+      .select(col("doc_id") +: md5(col("text").cast("binary")).as("tkey") +: extra: _*)
+      .join(exactGroups(docs).select("tkey", "rep"), "tkey")
+      .drop("tkey")
+
+  /** Reps whose text has at least one 3-shingle — the banding-eligibility
+    * predicate (`mh0 IS NOT NULL` on the oracle side): setless docs are
+    * never LSH candidates, so their exact-dup groups get no within-group
+    * pair expansion either. A plain filter over the FAMILY-SHARED cached
+    * shingle table.
+    */
+  private[graft] def eligibleReps(docs: DataFrame): DataFrame =
+    shingleSets(docs).filter(size(col("sset")) > 0).select(col("doc_id").as("rep"))
+
   /** Candidate pairs (d1 < d2) sharing at least one LSH band — a hash join
     * on (band_id, band_val), never a cartesian product.
     *
@@ -1014,30 +1035,76 @@ object Dedup {
     * mixing corpora: verified near-dup pairs (same bucketed candidates +
     * exact-Jaccard tier as q_minhash_neardup) tagged with each side's
     * `source` and counted per UNORDERED source pair (least/greatest
-    * canonicalization, so (web,books) and (books,web) are one cell). The
-    * source attach is two broadcast-size joins of the pair-bounded set
-    * back to (doc_id, source); at 100 TB the matrix is |sources|²-bounded
-    * and the heavy work is the same shared cached signature tables every
-    * dedup query reuses. The split-boundary analog is q_contamination.
+    * canonicalization, so (web,books) and (books,web) are one cell).
+    *
+    * EXACT-DUPLICATE EXPANSION BY COUNTING: a document copied verbatim
+    * across two sources is exactly what this matrix exists to measure, and
+    * the rep-level pre-collapse would fold it into one representative (one
+    * source). Instead of re-materializing member pairs (quadratic for a
+    * hot group), the member grain enters as MULTIPLICITIES — per-group
+    * per-source member counts c(g, s), a |groups|·|sources|-bounded
+    * aggregate:
+    *   - cross-group rep pair (g1, g2): cell (s1, s2) gains c(g1,s1)·c(g2,s2)
+    *     — the rep pair joins the count table twice, fan-out |sources|² per
+    *     pair, never |members|²;
+    *   - within an eligible group (rep has ≥ 1 shingle — the banding
+    *     eligibility of the uncollapsed pipeline): same-source pairs are
+    *     C(c,2), cross-source pairs c(g,sa)·c(g,sb) via a |sources|-wide
+    *     self-join per group. All Jaccard-1.0 exact copies, ≥ any threshold.
+    * Pure integer products/sums — identical to brute-force pair counting,
+    * which the UNCOLLAPSED oracle (`sqlSig` over all docs) verifies from
+    * first principles. On a dup-free corpus every c = 1: the within
+    * branches are empty and cross products are all 1 — the plain matrix.
+    * The split-boundary analog is q_contamination.
     */
   val sourceOverlap: Q = Q(
     "q_source_overlap",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val src  = docs.select(col("doc_id"), col("source"))
-      nearDuplicates(docs, 0.2)
-        .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
-        .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      // per-group per-source member counts — the ONE documents scan, with
+      // `source` riding the member projection
+      val gs = graft.core.Cached.frame(
+        members(docs, col("source"))
+          .groupBy("rep", "source")
+          .agg(count(lit(1)).as("cnt"))
+      )
+      val cross = nearDuplicates(docs, 0.2)
+        .select("d1", "d2")
+        .join(gs.select(col("rep").as("d1"), col("source").as("src1"), col("cnt").as("c1")), "d1")
+        .join(gs.select(col("rep").as("d2"), col("source").as("src2"), col("cnt").as("c2")), "d2")
         .select(
           least(col("src1"), col("src2")).as("source_a"),
-          greatest(col("src1"), col("src2")).as("source_b")
+          greatest(col("src1"), col("src2")).as("source_b"),
+          (col("c1") * col("c2")).as("n")
         )
+      val gsElig = gs.join(eligibleReps(docs), "rep")
+      val withinSame = gsElig
+        .filter(col("cnt") >= 2)
+        .select(
+          col("source").as("source_a"),
+          col("source").as("source_b"),
+          expr("(cnt * (cnt - 1)) div 2").as("n")
+        )
+      val withinCross = gsElig
+        .alias("a")
+        .join(
+          gsElig.alias("b"),
+          col("a.rep") === col("b.rep") && col("a.source") < col("b.source")
+        )
+        .select(
+          col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          (col("a.cnt") * col("b.cnt")).as("n")
+        )
+      cross
+        .union(withinSame)
+        .union(withinCross)
         .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum("n").as("n_pairs"))
         .orderBy("source_a", "source_b")
     },
     Some(
-      s"""WITH sig AS ($sqlSigRep),
+      s"""WITH sig AS ($sqlSig),
          |bands AS ($sqlBands),
          |cand AS ($sqlCand),
          |sets AS ($sqlSets),

@@ -388,39 +388,70 @@ object Pipeline {
     * near-duplicate pairs (the MinHash/LSH candidates of
     * [[graft.ext.Dedup.nearDuplicates]], Jaccard >= 0.2) that CROSS the
     * [[splitAssign]] boundary, i.e. a held-out test document whose
-    * near-copy sits in train/val. Composes the cached dedup features with
-    * the hash-split assignment — one `documents` scan plus the bucketed
-    * band join, so the scan stays candidate-bounded at 100 TB exactly like
-    * the dedup queries it reuses. Output: each contaminated test doc, its
+    * near-copy sits in train/val. Output: each contaminated test doc, its
     * leaked partner, which split the partner sits in, and the Jaccard
     * evidence.
+    *
+    * EXACT-DUPLICATE EXPANSION: splits are assigned by doc_id hash, so an
+    * exact copy of a train doc routinely lands in test under a different
+    * doc_id — the MOST COMMON contamination. The family-wide pre-collapse
+    * (rep-level pairs) would silently fold that copy into its train
+    * representative, so this query expands the rep grain back to members
+    * BEFORE the split logic:
+    *   - cross-group: each verified rep pair fans out to (test members of
+    *     one side) × (non-test members of the other) — two branch joins
+    *     generate ONLY output rows, never same-split pairs that a filter
+    *     would then discard (a 100k-copy group entirely in train costs 0
+    *     rows here, where expand-then-filter would cost 5·10⁹);
+    *   - within-group: exact copies of one text across the boundary pair
+    *     (test member × non-test member) per group at Jaccard exactly 1.0
+    *     — identical sets; restricted to banding-eligible reps (≥ 1
+    *     shingle) so the uncollapsed candidate semantics are reproduced
+    *     precisely.
+    * On a dup-free corpus every group is a singleton: the within branch is
+    * empty and the cross branches reduce to the plain pair/split join. The
+    * oracle runs the fully UNCOLLAPSED pipeline (`sqlSig` over all docs),
+    * so the expansion itself is hash-checked against first principles.
     */
   val contamination: Q = Q(
     "q_contamination",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      // split labels derive from the CACHED shingle-set projection (it
-      // carries doc_id), not a second documents scan — the near-dup pairs
-      // and the split table ride the same single corpus pass
-      val sp = Dedup
-        .shingleSets(docs)
-        .select(col("doc_id"), splitOfBucket(bucketOf(col("doc_id"))).as("split"))
-      Dedup
-        .nearDuplicates(docs, 0.2)
-        .select("d1", "d2", "jaccard")
-        .join(sp.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
-        .join(sp.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
-        .filter((col("s1") === "test") =!= (col("s2") === "test"))
-        .select(
-          when(col("s1") === "test", col("d1")).otherwise(col("d2")).as("test_id"),
-          when(col("s1") === "test", col("d2")).otherwise(col("d1")).as("leak_id"),
-          when(col("s1") === "test", col("s2")).otherwise(col("s1")).as("leak_split"),
-          col("jaccard")
+      // member grain (doc_id, rep) + split label — one documents scan via
+      // the cached exact-group table the dedup family shares
+      val mem = Dedup
+        .members(docs)
+        .withColumn("split", splitOfBucket(bucketOf(col("doc_id"))))
+      val mTest = mem.filter(col("split") === "test").select(col("rep"), col("doc_id"))
+      val mLeak =
+        mem.filter(col("split") =!= "test").select(col("rep"), col("doc_id"), col("split"))
+      val rp = Dedup.nearDuplicates(docs, 0.2).select("d1", "d2", "jaccard")
+      val crossA = rp
+        .join(mTest.select(col("rep").as("d1"), col("doc_id").as("test_id")), "d1")
+        .join(
+          mLeak.select(col("rep").as("d2"), col("doc_id").as("leak_id"), col("split").as("leak_split")),
+          "d2"
         )
-        .orderBy("test_id", "leak_id")
+        .select("test_id", "leak_id", "leak_split", "jaccard")
+      val crossB = rp
+        .join(
+          mLeak.select(col("rep").as("d1"), col("doc_id").as("leak_id"), col("split").as("leak_split")),
+          "d1"
+        )
+        .join(mTest.select(col("rep").as("d2"), col("doc_id").as("test_id")), "d2")
+        .select("test_id", "leak_id", "leak_split", "jaccard")
+      val within = mTest
+        .join(Dedup.eligibleReps(docs), "rep")
+        .select(col("rep"), col("doc_id").as("test_id"))
+        .join(
+          mLeak.select(col("rep"), col("doc_id").as("leak_id"), col("split").as("leak_split")),
+          "rep"
+        )
+        .select(col("test_id"), col("leak_id"), col("leak_split"), lit(1.0).as("jaccard"))
+      crossA.union(crossB).union(within).orderBy("test_id", "leak_id")
     },
     Some(
-      s"""WITH sig AS (${Dedup.sqlSigRep}),
+      s"""WITH sig AS (${Dedup.sqlSig}),
          |bands AS (${Dedup.sqlBands}),
          |cand AS (${Dedup.sqlCand}),
          |sets AS (${Dedup.sqlSets}),
@@ -723,7 +754,12 @@ object Pipeline {
         .crossJoin(broadcast(tot))
         .withColumn("raw_ppm", expr("(n_docs * 1000000L) div n_total"))
         .withColumn("temp_ppm", expr("(w * 1000000L) div w_total"))
-        .withColumn("boost_ppm", expr("(temp_ppm * 1000000L) div raw_ppm"))
+        // raw_ppm floors to 0 for a source below 1 ppm of the corpus
+        // (plausible at 100 TB): Spark's non-ANSI div would yield NULL
+        // while DuckDB's // raises — pin the degenerate case in BOTH
+        // engines by flooring the denominator at 1 ppm (the boost is then
+        // "as if the source held 1 ppm", finite and monotone)
+        .withColumn("boost_ppm", expr("(temp_ppm * 1000000L) div greatest(raw_ppm, 1L)"))
         .select("source", "n_docs", "raw_ppm", "temp_ppm", "boost_ppm")
         .orderBy("source")
     },
@@ -737,7 +773,8 @@ object Pipeline {
         |SELECT source, n_docs,
         |  (n_docs * 1000000) // n_total AS raw_ppm,
         |  (w * 1000000) // w_total AS temp_ppm,
-        |  (((w * 1000000) // w_total) * 1000000) // ((n_docs * 1000000) // n_total) AS boost_ppm
+        |  (((w * 1000000) // w_total) * 1000000)
+        |    // greatest((n_docs * 1000000) // n_total, 1) AS boost_ppm
         |FROM bysrc, tot ORDER BY source""".stripMargin
     )
   )

@@ -62,17 +62,24 @@ class SamplingSpec extends SparkSpec {
         temp == math.sqrt(n.toDouble).toLong * 1000000L / wTotal,
         s"${r.getString(0)} temperature share not the sqrt replay"
       )
-      assert(boost == temp * 1000000L / raw, s"${r.getString(0)} boost not temp/raw")
+      assert(boost == temp * 1000000L / math.max(raw, 1L), s"${r.getString(0)} boost not temp/raw")
     }
-    // p^(1/2) flattens the distribution: sources below the mean share gain
-    // (boost > 1), sources above it shrink (boost < 1), and the ordering of
-    // shares is preserved
-    val meanRaw = rows.map(_.getLong(2)).sum / rows.length
+    // p^(1/2) flattening crossover — the TRUE boundary is temp share vs raw
+    // share (equivalently n vs (n_total/w_total)² in real math), NOT the
+    // mean share: a source between the mean and the crossover legitimately
+    // boosts > 1, and at 25 docs/source the isqrt flooring moves the
+    // boundary by whole ppm steps, so assert the exact integer crossover
+    // from the replay with a ±1 ppm guard band for the two ppm floors —
+    // fixture-regeneration-proof because it assumes nothing about the
+    // share distribution.
     rows.foreach { r =>
-      if (r.getLong(2) < meanRaw - 20000L)
-        assert(r.getLong(4) > 1000000L, s"${r.getString(0)} small source not boosted")
-      if (r.getLong(2) > meanRaw + 20000L)
-        assert(r.getLong(4) < 1000000L, s"${r.getString(0)} large source not shrunk")
+      val n       = r.getLong(1)
+      val tempReal = 1e6 * math.sqrt(n.toDouble).toLong / wTotal
+      val rawReal  = 1e6 * n / nTotal
+      if (tempReal > rawReal + 1)
+        assert(r.getLong(4) > 1000000L, s"${r.getString(0)} sub-crossover source not boosted")
+      if (tempReal < rawReal - 1)
+        assert(r.getLong(4) <= 1000000L, s"${r.getString(0)} super-crossover source not shrunk")
     }
     val sorted = rows.sortBy(_.getLong(2))
     assert(

@@ -196,6 +196,91 @@ class StressSpec extends SparkSpec {
     assert(got == want, s"got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
   }
 
+  /** Corpus with exact-dup groups whose copies deterministically CROSS the
+    * hash-split boundary and source labels (doc 0 → {0:train, 1000:test,
+    * 2000:train}, the +2000 batch re-sourced) — written once, shared by the
+    * contamination/source-overlap expansion-equivalence tests, because the
+    * driver fixtures are dup-free at the gate SF and can never exercise the
+    * member-expansion path those queries defend.
+    */
+  private lazy val dupMixDir: String = {
+    val dir   = s"$root/dupmix"
+    val small = graft.core.Tables(spark, base).documents.filter(col("doc_id") < 60)
+    val d1 = small
+      .filter(col("doc_id") < 12)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val d2 = small
+      .filter(col("doc_id") < 12)
+      .select(
+        (col("doc_id") + 2000).as("doc_id"),
+        col("text"),
+        col("lang"),
+        lit("srcx").as("source"), // exact copies that cross SOURCES, not just splits
+        col("n_chars")
+      )
+    small.unionByName(d1).unionByName(d2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("member-expanded contamination equals brute-force uncollapsed pairs under cross-split dups") {
+    val docs = graft.core.Tables(spark, dupMixDir).documents
+    val splitOf = docs
+      .select(
+        col("doc_id"),
+        graft.queries.Pipeline.splitOfBucket(graft.queries.Pipeline.bucketOf(col("doc_id"))).as("split")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val want = graft.ext.Dedup
+      .nearDuplicatesUncollapsed(docs, 0.2)
+      .select("d1", "d2", "jaccard")
+      .collect()
+      .flatMap { r =>
+        val (d1, d2, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val (s1, s2)    = (splitOf(d1), splitOf(d2))
+        if ((s1 == "test") == (s2 == "test")) None
+        else if (s1 == "test") Some((d1, d2, s2, j))
+        else Some((d2, d1, s1, j))
+      }
+      .toSet
+    val got = SparkEntry
+      .queries("q_contamination")(spark, dupMixDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(want.exists(_._4 == 1.0), "corpus must contain a cross-split exact copy — pathology missing")
+    assert(got == want, s"expanded=${got.size} rows, brute-force=${want.size} rows; diff=${(got diff want).take(5)} / ${(want diff got).take(5)}")
+  }
+
+  test("counted source-overlap matrix equals brute-force uncollapsed pair counting under cross-source dups") {
+    val docs  = graft.core.Tables(spark, dupMixDir).documents
+    val srcOf = docs.select("doc_id", "source").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val raw = graft.ext.Dedup
+      .nearDuplicatesUncollapsed(docs, 0.2)
+      .select("d1", "d2", "jaccard")
+      .collect()
+    assert(
+      raw.exists(r => r.getDouble(2) == 1.0 && srcOf(r.getLong(0)) != srcOf(r.getLong(1))),
+      "corpus must contain a cross-source exact copy — pathology missing"
+    )
+    val want = raw
+      .map { r =>
+        val (a, b) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        (if (a <= b) (a, b) else (b, a), 1L)
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum)
+      .toMap
+    val got = SparkEntry
+      .queries("q_source_overlap")(spark, dupMixDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got == want, s"got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
+  }
+
   test("winnow df-cap excludes corpus-wide boilerplate from the passage self-join") {
     assertBounded("q_shared_passages")
     // positive control: the hot doc has plenty of fingerprints — it is
