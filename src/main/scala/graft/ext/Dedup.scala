@@ -191,12 +191,17 @@ object Dedup {
     * grain. `extra` columns (e.g. `source`) ride the SAME documents scan,
     * so consumers never pay a second corpus pass for member attributes.
     * On a dup-free corpus this is the identity mapping (rep = doc_id).
+    * Cached like the other family tables: q_contamination references the
+    * mapping six times (two split sides × three pair branches), which
+    * uncached would be six documents scans.
     */
   private[graft] def members(docs: DataFrame, extra: Column*): DataFrame =
-    docs
-      .select(col("doc_id") +: md5(col("text").cast("binary")).as("tkey") +: extra: _*)
-      .join(exactGroups(docs).select("tkey", "rep"), "tkey")
-      .drop("tkey")
+    cached(
+      docs
+        .select(col("doc_id") +: md5(col("text").cast("binary")).as("tkey") +: extra: _*)
+        .join(exactGroups(docs).select("tkey", "rep"), "tkey")
+        .drop("tkey")
+    )
 
   /** Reps whose text has at least one 3-shingle — the banding-eligibility
     * predicate (`mh0 IS NOT NULL` on the oracle side): setless docs are

@@ -568,14 +568,15 @@ object Relational {
       )
       .groupBy("l_suppkey")
       .agg(dsumExpr(revenue(col("l_extendedprice"), col("l_discount"))).as("total_revenue"))
-    // the view-wide MAX as a global window over the aggregate — rev is
-    // |suppliers|-bounded, so the single-partition window is a dim-sized
-    // frame, and the scalar-subquery side no longer re-scans lineitem
-    rev
-      .withColumn(
-        "mr",
-        max("total_revenue").over(org.apache.spark.sql.expressions.Window.partitionBy())
-      )
+    // the view-wide MAX as a 1-row aggregate broadcast back onto the
+    // cached per-supplier frame: |suppliers| grows linearly with the
+    // corpus, so a keyless window would force the whole frame through ONE
+    // task at 100 TB — the broadcast idiom keeps both sides partitioned,
+    // and the cache holds the single lineitem scan shared by the two
+    // consumers
+    val revC = graft.core.Cached.frame(rev)
+    revC
+      .crossJoin(broadcast(revC.agg(max("total_revenue").as("mr"))))
       .filter(col("total_revenue") === col("mr"))
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")
@@ -1786,15 +1787,15 @@ object Relational {
       |SELECT l_suppkey, cnt, CAST(cnt AS DOUBLE) / total AS share
       |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin
   ) { (s, dir) =>
-    val li     = Tables(s, dir).lineitem
-    val counts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
-    // total = Σ per-key counts over the ALREADY-AGGREGATED (key-bounded)
-    // frame — a global window over |keys| rows, not a second fact scan
+    val li = Tables(s, dir).lineitem
+    val counts =
+      graft.core.Cached.frame(li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt")))
+    // total = Σ per-key counts over the ALREADY-AGGREGATED cached frame as
+    // a 1-row broadcast — not a second fact scan, and not a keyless window
+    // (distinct keys grow with the corpus; a single-partition frame over
+    // ~10⁸ keys at 100 TB would funnel through one task)
     counts
-      .withColumn(
-        "total",
-        sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy())
-      )
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
       .select(col("l_suppkey"), col("cnt"), (col("cnt").cast("double") / col("total")).as("share"))
       .orderBy(col("cnt").desc, col("l_suppkey"))
       .limit(10)
@@ -1923,15 +1924,14 @@ object Relational {
         substring((col("l_extendedprice").cast(Money) * 100).cast("long").cast("string"), 1, 1)
           .as("digit")
       )
-    // total = Σ per-digit counts over the 9-row aggregate — a global
-    // window on a constant-size frame, not a second fact scan
-    digits
-      .groupBy("digit")
-      .agg(count(lit(1)).as("n"))
-      .withColumn(
-        "total",
-        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy())
-      )
+    // total = Σ per-digit counts over the cached 9-row aggregate as a
+    // 1-row broadcast — not a second fact scan; the frame is constant-size
+    // here, but the keyless-window pattern is banned engine-wide (it
+    // single-partitions whatever it touches), so the scale-safe idiom is
+    // used uniformly
+    val byDigit = graft.core.Cached.frame(digits.groupBy("digit").agg(count(lit(1)).as("n")))
+    byDigit
+      .crossJoin(broadcast(byDigit.agg(sum("n").as("total"))))
       .select(col("digit"), col("n"), (col("n").cast("double") / col("total")).as("share"))
       .orderBy("digit")
   }

@@ -541,12 +541,16 @@ object TextQueries {
   /** Vocabulary coverage curve — the tokenizer-design audit: what share
     * of all corpus tokens do the top-k vocabulary entries cover? Emitted
     * as the top-50 words by frequency with their cumulative corpus share
-    * (exact integer cumulative sums; ONE division per row). The ranking
-    * window runs over the VOCABULARY table (already aggregated, bounded
-    * by distinct-word count), never the corpus — the same
-    * aggregate-then-window discipline as q_tfidf — and the total is a
-    * 1-row broadcast. Ordering is total (count desc, word) so the curve
-    * is deterministic.
+    * (exact integer cumulative sums; ONE division per row).
+    *
+    * Scale shape: only ranks ≤ 50 are emitted, so the global order is a
+    * distributed TakeOrderedAndProject over the vocabulary aggregate —
+    * never a keyless window, which would single-partition the whole vocab
+    * (~10⁷ rows at 100 TB; the engine-wide PlanSpec pin bans the
+    * pattern). Rank + running sum then walk the ≤50-row tail on one
+    * coalesced partition (the [[graft.ext.Similarity]] withRank idiom:
+    * coalesce(1) + sortWithinPartitions makes the order well-defined by
+    * construction); the corpus-token total rides as a 1-row broadcast.
     */
   val vocabCoverage: Q = Q(
     "q_vocab_coverage",
@@ -557,27 +561,29 @@ object TextQueries {
         .groupBy("word")
         .agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum("cnt").as("total"))
-      // partitionBy on a constant: the window is DELIBERATELY global over
-      // the bounded vocab table (aggregate-then-window); the constant key
-      // states that choice instead of tripping the no-partition warning
-      val w0 = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0))
+      val top = counts
         .orderBy(col("cnt").desc, col("word"))
-      counts
+        .limit(50)
         .crossJoin(broadcast(total)) // 1-row scalar broadcast
-        .withColumn("rank", row_number().over(w0).cast("long"))
-        .withColumn(
-          "cum_cnt",
-          sum("cnt").over(w0.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-        )
-        .filter(col("rank") <= 50)
-        .select(
-          col("rank"),
-          col("word"),
-          col("cnt"),
-          (col("cum_cnt").cast("double") / col("total")).as("cum_share")
-        )
-        .orderBy("rank")
+        .coalesce(1)
+        .sortWithinPartitions(col("cnt").desc, col("word"))
+        .select("word", "cnt", "total")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cum_share", org.apache.spark.sql.types.DoubleType, nullable = false)
+      ))
+      val ranked = top.rdd.mapPartitions { it =>
+        var rank = 0L
+        var cum  = 0L
+        it.map { r =>
+          rank += 1
+          cum += r.getLong(1)
+          org.apache.spark.sql.Row(rank, r.getString(0), r.getLong(1), cum.toDouble / r.getLong(2))
+        }
+      }
+      s.createDataFrame(ranked, schema).orderBy("rank")
     },
     Some(
       """WITH counts AS (

@@ -310,4 +310,26 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product:\n$p")
     }
   }
+
+  test("no registered query plans a keyless (single-partition) window") {
+    // Window.partitionBy() with no keys forces the ENTIRE input through one
+    // task — fine on a 9-row frame today, a 10⁸-row single-partition frame
+    // after a 100× scale-up. The scale-safe idiom for "global aggregate
+    // attached back to every row" is crossJoin(broadcast(df.agg(...))) over
+    // a cached frame (q_tpch_q15 / q_heavy_hitters / q_benford use it); this
+    // pin keeps the keyless-window pattern from coming back anywhere.
+    graft.queries.Registry.all.foreach { q =>
+      val keyless = q
+        .fn(spark, sf)
+        .queryExecution
+        .optimizedPlan
+        .collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+        }
+      assert(
+        keyless.isEmpty,
+        s"${q.name} plans a keyless window (single-partition frame): ${keyless.headOption}"
+      )
+    }
+  }
 }
