@@ -67,6 +67,50 @@ object Similarity {
     array(tables: _*)
   }
 
+  // ---- corpus-derived plane count (the LSH sizing rule, applied) --------
+
+  /** Per-bucket occupancy the plane count targets: with 2^p buckets per
+    * table, p is sized so n / 2^p ≈ this. Small enough that the bucket
+    * self-join's per-bucket quadratic term stays trivial, large enough
+    * that cosine-close vectors still collide.
+    */
+  private[graft] val TargetOccupancy = 32L
+
+  /** Plane-count ceiling: 2^16 buckets covers ~2M vectors per table at the
+    * target occupancy, far past any fixture scale, and bounds the oracle's
+    * hyperplane-literal text. (A deployment indexing >10^7 vectors per
+    * executor raises it together with the oracle's `MaxPlanes`.)
+    */
+  private[graft] val MaxPlanes = 16
+
+  /** The sizing rule the scaladoc used to state and the code now APPLIES:
+    * the smallest p in [minPlanes, MaxPlanes] with 2^p ≥ ceil(n /
+    * [[TargetOccupancy]]), so per-bucket occupancy — and with it the
+    * bucket self-join's per-bucket quadratic candidate term — stays
+    * ~constant as the corpus grows (the round-9 scale gate measured 10×
+    * vectors ⇒ ~13× wall under a FIXED p). Pure integer arithmetic so the
+    * DuckDB oracle derives the identical p from COUNT(*) — no
+    * float-log2 rounding hazard at exact powers of two.
+    */
+  private[graft] def derivedPlanes(n: Long, minPlanes: Int): Int = {
+    val buckets = (n + TargetOccupancy - 1) / TargetOccupancy
+    (minPlanes to MaxPlanes).find(p => (1L << p) >= buckets).getOrElse(MaxPlanes)
+  }
+
+  /** Corpus count for plane derivation — memoized on the analyzed plan's
+    * semantic hash (same discipline as Dedup's dup-probe memo: ~6 ANN
+    * queries would otherwise each schedule a count job at construction
+    * time; a fixture dir rewritten mid-session must not reuse the
+    * session). Parquet footer metadata makes the first count cheap.
+    */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  private def vecCount(emb: DataFrame): Long =
+    countMemo
+      .computeIfAbsent(emb.queryExecution.analyzed.semanticHash(), _ => emb.count())
+      .longValue()
+
   /** 1-based rank column for an ALREADY-ORDERED ≤k-row result. The heavy
     * ordering work happened upstream (TakeOrderedAndProject); rank is just
     * the row's position, so a `zipWithIndex` over the tiny result replaces
@@ -134,7 +178,8 @@ object Similarity {
     * carries (vec_id, bucket) pairs, never embeddings-times-embeddings),
     * then exact cosine re-rank of the candidate set only.
     */
-  def annTopKLsh(emb: DataFrame, queryId: Long, k: Int, nTables: Int = 4, nPlanes: Int = 4): DataFrame = {
+  def annTopKLsh(emb: DataFrame, queryId: Long, k: Int, nTables: Int = 4, minPlanes: Int = 4): DataFrame = {
+    val nPlanes = derivedPlanes(vecCount(emb), minPlanes)
     val keyed = emb
       .select(col("vec_id"), col("label"), col("embedding"), explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb"))
       .select(col("vec_id"), col("label"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
@@ -183,8 +228,8 @@ object Similarity {
       .dropDuplicates("v1", "v2")
   }
 
-  def nearDupPairs(emb: DataFrame, tau: Double, nTables: Int = 4, nPlanes: Int = 6): DataFrame =
-    bucketCandidates(emb, directed = false, nTables, nPlanes)
+  def nearDupPairs(emb: DataFrame, tau: Double, nTables: Int = 4, minPlanes: Int = 6): DataFrame =
+    bucketCandidates(emb, directed = false, nTables, derivedPlanes(vecCount(emb), minPlanes))
       .withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= tau)
       .select("v1", "v2", "cos")
@@ -211,10 +256,11 @@ object Similarity {
     * the whole approximate path (bucketing, candidate dedup, re-rank, rank
     * attach) is hash-checked, not just row-counted.
     */
-  def annLshOracleSql(queryId: Long, k: Int, nTables: Int = 4, nPlanes: Int = 4, dim: Int = 64): String =
+  def annLshOracleSql(queryId: Long, k: Int, nTables: Int = 4, minPlanes: Int = 4, dim: Int = 64): String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |${planesCte(minPlanes)},
        |b AS (
-       |${bucketSelects(nTables, nPlanes, dim)}
+       |${bucketSelects(nTables, dim)}
        |),
        |q AS (SELECT table_id, bucket FROM b WHERE vec_id = $queryId),
        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = $queryId),
@@ -237,22 +283,41 @@ object Similarity {
     Some(annLshOracleSql(0L, 10))
   )
 
+  /** CTE pair `nv` + `pl`: the oracle replay of [[derivedPlanes]] — the
+    * corpus count and the smallest p in [minPlanes, [[MaxPlanes]]] with
+    * 2^p ≥ ceil(n / [[TargetOccupancy]]). Pure BIGINT shifts/division, so
+    * both engines derive the identical p for any corpus.
+    */
+  private def planesCte(minPlanes: Int): String =
+    s"""nv AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pl AS (SELECT CAST(coalesce(MIN(i), $MaxPlanes) AS INT) AS p
+       |       FROM range($minPlanes, ${MaxPlanes + 1}) t(i), nv
+       |       WHERE (1::BIGINT << i) >= (n + ${TargetOccupancy - 1}) // $TargetOccupancy)""".stripMargin
+
   /** The `b` CTE body shared by the LSH oracles: per-table sign-LSH bucket
     * assignment with the seeded hyperplanes emitted as DOUBLE literals, so
     * DuckDB replays the exact engine bucketing (identical float→double
-    * products and left-to-right fold as `graft_dot`). Expects a CTE `e` with
-    * `(vec_id, …, v DOUBLE[])` in scope.
+    * products and left-to-right fold as `graft_dot`). All [[MaxPlanes]]
+    * sign bits are emitted and the first `p` (the `pl` CTE's derived plane
+    * count) form the bucket — valid because the seeded generator fills
+    * planes row-major, so `hyperplanes(p)` is a strict prefix of
+    * `hyperplanes(MaxPlanes)`. Expects CTEs `e` (`(vec_id, …, v
+    * DOUBLE[])`) and `pl` in scope.
     */
-  private def bucketSelects(nTables: Int, nPlanes: Int, dim: Int): String = {
+  private def bucketSelects(nTables: Int, dim: Int): String = {
     def arr(p: Array[Float]) = p.map(_.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]")
-    (0 until nTables)
+    val full = (0 until nTables)
       .map { t =>
-        val bucket = hyperplanes(nPlanes, dim, seed = 42L + t)
+        val bits = hyperplanes(MaxPlanes, dim, seed = 42L + t)
           .map(p => s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN '1' ELSE '0' END)")
           .mkString(" || ")
-        s"  SELECT vec_id, $t AS table_id, $bucket AS bucket FROM e"
+        s"    SELECT vec_id, $t AS table_id, $bits AS bucket16 FROM e"
       }
-      .mkString("\n  UNION ALL\n")
+      .mkString("\n    UNION ALL\n")
+    s"""  SELECT vec_id, table_id, substr(bucket16, 1, p) AS bucket
+       |  FROM (
+       |$full
+       |  ) bb, pl""".stripMargin
   }
 
   /** DuckDB oracle for [[nearDupPairs]]: the seeded hyperplanes are emitted
@@ -262,9 +327,10 @@ object Similarity {
     * the exact-cosine threshold — making the approximate operator fully
     * hash-checkable, like the SimHash oracle.
     */
-  def nearDupOracleSql(tau: Double, nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): String = {
-    val tableSelects = bucketSelects(nTables, nPlanes, dim)
+  def nearDupOracleSql(tau: Double, nTables: Int = 4, minPlanes: Int = 6, dim: Int = 64): String = {
+    val tableSelects = bucketSelects(nTables, dim)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${planesCte(minPlanes)},
        |b AS (
        |$tableSelects
        |),
@@ -407,19 +473,22 @@ object Similarity {
     * Vectors whose buckets are singletons in all tables have no candidates
     * and are absent — the documented LSH recall trade, measured in ExtSpec.
     *
-    * SIZING AT SCALE: `nPlanes` fixes the bucket count at 2^nPlanes per
-    * table, so per-bucket occupancy — and with it the bucket self-join's
-    * candidate count, which is quadratic IN THE OCCUPANCY — grows linearly
-    * with the corpus (measured: 10× the vectors cost ~13× the wall time at
-    * nPlanes=6). A deployment sizes nPlanes ≈ log₂(n / targetOccupancy)
-    * so occupancy stays constant and total candidates stay linear; the
-    * default suits the fixture scales the oracle replays.
+    * SIZING AT SCALE: a FIXED plane count caps buckets at 2^p per table,
+    * so per-bucket occupancy — and with it the bucket self-join's
+    * candidate count, which is quadratic IN THE OCCUPANCY — would grow
+    * linearly with the corpus (measured in the round-9 scale gate: 10×
+    * the vectors cost ~13× the wall time at a fixed p=6). The plane count
+    * is therefore DERIVED per corpus by [[derivedPlanes]] (smallest p with
+    * 2^p ≥ n/32, floored at `minPlanes`), from one memoized metadata
+    * count; the oracle replays the identical integer derivation from
+    * COUNT(*), so the approximate result stays hash-checked at every
+    * fixture scale.
     */
-  def knnJoin(emb: DataFrame, k: Int, nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
+  def knnJoin(emb: DataFrame, k: Int, nTables: Int = 4, minPlanes: Int = 6): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
-    bucketCandidates(emb, directed = true, nTables, nPlanes)
+    bucketCandidates(emb, directed = true, nTables, derivedPlanes(vecCount(emb), minPlanes))
       .withColumn("cos", cosine(col("e1"), col("e2")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -431,10 +500,11 @@ object Similarity {
     * directed candidate pairs → exact cosine → per-vector ROW_NUMBER —
     * the whole approximate join is hash-checked like the other LSH oracles.
     */
-  def knnJoinOracleSql(k: Int, nTables: Int = 4, nPlanes: Int = 6, dim: Int = 64): String =
+  def knnJoinOracleSql(k: Int, nTables: Int = 4, minPlanes: Int = 6, dim: Int = 64): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${planesCte(minPlanes)},
        |b AS (
-       |${bucketSelects(nTables, nPlanes, dim)}
+       |${bucketSelects(nTables, dim)}
        |),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vid, b2.vec_id AS nbr

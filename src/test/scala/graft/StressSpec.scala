@@ -368,6 +368,18 @@ class StressSpec extends SparkSpec {
     info(f"per-vector candidates: 500@6p=$smallLoad%.1f 5000@6p=$bigFixedLoad%.1f 5000@10p=$bigScaledLoad%.1f")
     assert(bigFixedLoad > 4 * smallLoad, "fixed planes should show the linear load growth")
     assert(bigScaledLoad < 3 * smallLoad, "scaled planes should restore ~constant load")
+    // as of round 10 the sizing rule is APPLIED, not just documented: the
+    // production entry points derive p from the corpus count (integer rule,
+    // replayed in the DuckDB oracles), so the candidate load the auto path
+    // actually pays on the 10x corpus must be the flat one
+    assert(graft.ext.Similarity.derivedPlanes(500, 6) == 6)
+    assert(graft.ext.Similarity.derivedPlanes(5000, 6) == 8)
+    assert(graft.ext.Similarity.derivedPlanes(20000, 6) == 10)
+    assert(graft.ext.Similarity.derivedPlanes(0, 6) == 6)
+    assert(graft.ext.Similarity.derivedPlanes(Long.MaxValue / 4, 6) == graft.ext.Similarity.MaxPlanes)
+    val bigAutoLoad = loadPerVec(big, 5000, graft.ext.Similarity.derivedPlanes(5000, 6))
+    info(f"per-vector candidates on the AUTO path: 5000@derived=$bigAutoLoad%.1f")
+    assert(bigAutoLoad < 3 * smallLoad, "auto-derived planes must keep per-vector load ~constant")
   }
 
   test("boilerplate prefix: segment dedup BEFORE MinHash collapses a quadratic candidate set") {

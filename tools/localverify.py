@@ -25,9 +25,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    import os as _os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # fixture tables are single files; StressGen/Spark-written corpora
+        # are directories of part files — accept both so the gate can run
+        # against target/stress variants too
+        p = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     import os
 
