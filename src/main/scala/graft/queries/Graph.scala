@@ -32,9 +32,10 @@ import graft.core.Tables
   * the (node, rank) frame: |V|-sized, NEVER |E|-sized intermediate state,
   * and the per-dst sum is a partial+final aggregate (map-side combine
   * absorbs hub fan-in). K is fixed, so the oracle replays every step with
-  * unrolled CTEs. At 100 TB each iteration would checkpoint its rank
-  * table to break lineage; at K = 5 the chained plan is what AQE handles
-  * directly.
+  * unrolled CTEs. Lineage is truncated every [[GraphQueries.CheckpointEvery]]
+  * supersteps (eager localCheckpoint) so analysis time stays linear in K
+  * — GraphSpec runs K=20 through it; the registered K=5 never triggers
+  * a checkpoint and keeps the pure declarative plan.
   */
 object GraphQueries {
 
@@ -49,7 +50,22 @@ object GraphQueries {
     * (mass conservation, node-set preservation) are testable on the whole
     * frame.
     */
-  def pagerankRanks(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** Lineage-truncation cadence: every [[CheckpointEvery]] supersteps the
+    * rank frame is `localCheckpoint`ed (eager), so the analyzed plan stays
+    * O([[CheckpointEvery]]) deep no matter how large K grows — without it,
+    * K≫5 made ANALYSIS time itself super-linear (each step re-analyzes the
+    * whole chained lineage). Never fires at the registered K=5, so the
+    * oracle-checked query's plan is byte-identical to the unchained form.
+    * `localCheckpoint` trades fault-tolerance for speed (blocks are not
+    * replicated); a production run at K≫5 swaps in reliable
+    * `checkpoint()` against the cluster checkpoint dir — same call site.
+    */
+  private val CheckpointEvery = 5
+
+  def pagerankRanks(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      iters: Int = Iters): org.apache.spark.sql.DataFrame = {
     val pairs = Tables(s, dir).lineitem
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
       .distinct()
@@ -74,7 +90,7 @@ object GraphQueries {
     var ranks = nodes
       .crossJoin(broadcast(nN))
       .select(col("node"), expr(s"${Scale}L div n").as("rank"))
-    for (_ <- 0 until Iters) {
+    for (i <- 0 until iters) {
       ranks = adj
         .join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -85,6 +101,8 @@ object GraphQueries {
           col("dst").as("node"),
           expr(s"(15 * (${Scale}L div n)) div 100 + (85 * m) div 100").as("rank")
         )
+      if ((i + 1) % CheckpointEvery == 0 && (i + 1) < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(
       col("node"),

@@ -794,23 +794,36 @@ object TextQueries {
     )
   )
 
+  /** Per-document distinct-term cap for [[cooccur]]'s basket self-join —
+    * bounds the worst-case per-doc pair fan-out at C(256,2) ≈ 32k rows.
+    */
+  private[graft] val CooccurDocTerms = 256
+
   /** Document-level co-occurrence lift (market-basket association over
     * term sets; the topic-coherence statistic): for every unordered term
     * pair co-occurring in ≥ 50 documents, df(x,y)·N / (df(x)·df(y)) —
     * the doc-set complement to [[pmiBigrams]]' ADJACENCY statistic.
     *
-    * The quadratic-blowup defense is the stopword df-cap: terms in > 80%
-    * of documents are excluded BEFORE the self-join, so the per-document
-    * pair fan-out d·(d−1)/2 counts only discriminative terms (on a real
-    * corpus the cap plus min-support is what keeps the basket join
-    * tractable — the same df-cap idea [[graft.ext.Winnow]] pins in
-    * StressSpec for shared passages). Lift is the same nested-integer
-    * ppm form as pmiBigrams; the cap predicate `df·10 ≤ N·8` is integer.
+    * TWO quadratic-blowup defenses, both replayed in the oracle:
+    *   - the stopword df-cap: terms in > 80% of documents are excluded
+    *     BEFORE the self-join (the predicate `df·10 ≤ N·8` is integer),
+    *     bounding AGGREGATE blowup — the [[graft.ext.Winnow]] df-cap idea;
+    *   - a per-document distinct-term cap (the market-basket basket-size
+    *     cap): the d·(d−1)/2 self-join fan-out is per-doc QUADRATIC in
+    *     kept terms, so one pathological document with 5·10⁴ distinct rare
+    *     terms (a concatenated glossary — real corpora contain them) would
+    *     emit 1.25·10⁹ pairs from a single row. Each doc keeps its
+    *     deterministic top-[[CooccurDocTerms]] terms by (md5(term), term)
+    *     order — an unbiased per-doc sample both engines derive
+    *     identically, cutting the worst-case per-doc fan-out to a
+    *     constant ~32k pairs (StressSpec injects the glossary doc and
+    *     pins the bound).
     *
     * Scale shape: pair generation self-joins the cached [[docTermTf]]
-    * grain on doc_id (never a corpus rescan); df table and the 1-row N
-    * are cached/broadcast; min-support prunes before the dim joins; the
-    * top-50 is TakeOrderedAndProject.
+    * grain on doc_id (never a corpus rescan); the cap's doc_id-keyed
+    * window pre-partitions exactly as the self-join wants; df table and
+    * the 1-row N are cached/broadcast; min-support prunes before the dim
+    * joins; the top-50 is TakeOrderedAndProject.
     */
   val cooccur: Q = Q(
     "q_cooccur",
@@ -820,9 +833,15 @@ object TextQueries {
       val dfu = tf.groupBy("term").agg(count(lit(1)).as("df"))
       graft.core.Cached.frame(dfu) // cap filter + both dim joins
       val keep = dfu.crossJoin(broadcast(n)).filter(expr("df * 10 <= n_docs * 8"))
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(md5(col("term").cast("binary")), col("term"))
       val kept = tf
         .join(broadcast(keep.select("term")), "term")
         .select("doc_id", "term")
+        .withColumn("rn", row_number().over(wCap))
+        .filter(col("rn") <= CooccurDocTerms)
+        .drop("rn")
       kept
         .alias("a")
         .join(
@@ -842,15 +861,19 @@ object TextQueries {
         .limit(50)
     },
     Some(
-      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
         |dfu AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         |keep AS (SELECT term, df FROM dfu, n WHERE df * 10 <= n_docs * 8),
+        |capped AS (
+        |  SELECT doc_id, term
+        |  FROM (SELECT doc_id, term FROM tf WHERE term IN (SELECT term FROM keep))
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY md5(term), term)
+        |          <= $CooccurDocTerms),
         |pair AS (
         |  SELECT a.term AS t1, b.term AS t2, COUNT(*) AS df_xy
-        |  FROM (SELECT doc_id, term FROM tf WHERE term IN (SELECT term FROM keep)) a
-        |  JOIN (SELECT doc_id, term FROM tf WHERE term IN (SELECT term FROM keep)) b
+        |  FROM capped a JOIN capped b
         |    ON a.doc_id = b.doc_id AND a.term < b.term
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 50)
         |SELECT t1, t2, df_xy, k1.df AS df_x, k2.df AS df_y,

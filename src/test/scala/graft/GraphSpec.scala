@@ -44,6 +44,33 @@ class GraphSpec extends SparkSpec {
     assert(n == expected, s"rank table has $n nodes, graph has $expected")
   }
 
+  test("pagerank K=20 through the checkpoint ladder: invariants hold, wall stays ~linear in K") {
+    // K=20 crosses three localCheckpoint boundaries (every 5 supersteps).
+    // Without lineage truncation the chained 20-step plan made ANALYSIS
+    // itself super-linear; with it, doubling K from 10 to 20 must roughly
+    // double wall, not blow up (generous 4x bound with a 1 s floor for
+    // fixed overhead, same discipline as StressSpec's wall gates).
+    def timedRun(k: Int): (Double, Long, Long) = {
+      System.gc()
+      val t0  = System.nanoTime()
+      val row = graft.queries.GraphQueries
+        .pagerankRanks(spark, sf, iters = k)
+        .agg(sum("rank_scaled").as("mass"), count(lit(1)).as("n"))
+        .collect()(0)
+      ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1))
+    }
+    val (t10, _, n10)     = timedRun(10)
+    val (t20, mass20, n20) = timedRun(20)
+    info(f"pagerank wall: K=10 $t10%.2fs, K=20 $t20%.2fs")
+    assert(n20 == n10, "node set must be preserved at any K")
+    assert(mass20 <= graft.queries.GraphQueries.Scale)
+    assert(
+      mass20 > (graft.queries.GraphQueries.Scale / 100L) * 99L,
+      s"mass $mass20 lost more than 1% to floor dust at K=20"
+    )
+    assert(t20 <= 4.0 * math.max(t10, 1.0), f"K=20 wall $t20%.2fs vs K=10 $t10%.2fs — superlinear in K")
+  }
+
   test("pagerank favors high-degree nodes: top node degree >= median degree") {
     val top = graft.queries.GraphQueries
       .pagerankRanks(spark, sf)

@@ -382,6 +382,55 @@ class StressSpec extends SparkSpec {
     assert(bigAutoLoad < 3 * smallLoad, "auto-derived planes must keep per-vector load ~constant")
   }
 
+  test("cooccur basket cap bounds one 50k-distinct-term glossary document") {
+    // a concatenated glossary: 50k distinct rare terms in ONE doc. Capless,
+    // the doc_id self-join would emit C(50000,2) ≈ 1.25e9 pairs from this
+    // single row; the per-doc top-256 cap (deterministic md5 order, oracle-
+    // replayed) bounds it at C(256,2) ≈ 32k.
+    val dir   = s"$root/glossary"
+    val base0 = graft.core.Tables(spark, base).documents
+    val glossary = spark
+      .createDataFrame(Seq((999999L, (0 until 50000).map(i => s"zq$i").mkString(" "), "en", "srcg", 50000L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base0.unionByName(glossary).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // wall bound: the glossary corpus must stay within ~2x of the base
+    // corpus (same retry discipline as assertBounded — scheduler noise,
+    // not pathology, gets one second chance)
+    def pairWalls(): (Double, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries("q_cooccur")(spark, base))
+      val tc = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val t1 = System.nanoTime()
+      materialize(SparkEntry.queries("q_cooccur")(spark, dir))
+      val th = (System.nanoTime() - t1) / 1e9
+      (tc, th)
+    }
+    var (tc, th) = pairWalls()
+    if (th > 2.0 * math.max(tc, 1.0)) { val p = pairWalls(); tc = p._1; th = p._2 }
+    info(f"q_cooccur: base=$tc%.2fs glossary=$th%.2fs")
+    assert(th <= 2.0 * math.max(tc, 1.0), f"glossary doc blew up the basket join: base=$tc%.2fs glossary=$th%.2fs")
+    // structural: the cap actually engaged — the glossary doc contributes
+    // exactly CooccurDocTerms basket rows, not 50k
+    val tfDir = graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val keptGlossary = tfDir
+      .filter(col("doc_id") === 999999L)
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")
+            .orderBy(md5(col("term").cast("binary")), col("term"))
+        )
+      )
+      .filter(col("rn") <= graft.queries.TextQueries.CooccurDocTerms)
+      .count()
+    assert(keptGlossary == graft.queries.TextQueries.CooccurDocTerms.toLong)
+  }
+
   test("boilerplate prefix: segment dedup BEFORE MinHash collapses a quadratic candidate set") {
     // corpus-wide boilerplate is the pathology band buckets cannot defend
     // alone: a shared 64-word prefix lifts every pairwise shingle Jaccard
