@@ -794,6 +794,135 @@ object TextQueries {
     )
   )
 
+  /** Merge count for the FULL BPE training loop (the oracle unrolls it). */
+  private[graft] val BpeMergeIters = 8
+
+  /** Full BPE tokenizer-training loop — [[BpeMergeIters]] iterations of
+    * (count pairs, merge argmax, re-segment, recount) over the vocabulary,
+    * returning the ordered merge list with each merge's corpus frequency.
+    * [[bpePairs]] is ONE iteration's statistic; this is the whole training
+    * primitive — exactly the multi-job chaining the reference's FIFO queue
+    * exists for (`/root/reference/mapreduce/manager/__main__.py:278-291`),
+    * expressed as K chained Spark jobs over one cached vocab frame.
+    *
+    * Segmentation state is a flat string per word: every symbol wrapped in
+    * single spaces, symbols separated by a double space (`" h  e  y "`), so
+    * merging pair (a,b) is ONE literal `replace(w, " a  b ", " ab ")` —
+    * left-to-right and non-overlapping in both engines, which is exactly
+    * BPE's greedy scan (`"a a a" → "aa a"`), and the wrapping makes a
+    * symbol-boundary match impossible (` xa  b ` never contains ` a  b `).
+    * Terms never contain spaces (they are split ON spaces), so the
+    * encoding is injective for any corpus content.
+    *
+    * Cross-engine determinism: all-integer counts; argmax tie-break is
+    * (n DESC, pair ASC) binary-collated in both engines; the merged pair
+    * is re-derived from the SAME replay in the oracle's unrolled CTEs
+    * (one `p_k`/`m_k`/`w_k` stage per iteration, like PageRank's).
+    *
+    * Scale shape: the loop runs over the VOCABULARY (the cached
+    * [[docTermTf]] grain reaggregated — zero extra corpus scans), which is
+    * metadata-sized (~10⁷ rows) at ANY corpus scale; each iteration's
+    * recount shuffles (pair, partial-count) with map-side combine and the
+    * argmax is a 1-row TakeOrderedAndProject — the only driver traffic is
+    * ONE row per iteration (bounded, the [[graft.ext.Ivf]] k-means
+    * precedent). A persist ladder (persist next, unpersist prev once the
+    * next materializes) keeps lineage depth and recompute O(1) per step.
+    */
+  val bpeMerges: Q = Q(
+    "q_bpe_merges",
+    (s, dir) => {
+      val tf    = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      val words = tf.groupBy("term").agg(sum("tf").as("f"))
+      var vocab = words
+        .filter(length(col("term")) >= 2)
+        .select(
+          concat(
+            lit(" "),
+            array_join(
+              expr("transform(sequence(1, char_length(term)), i -> substring(term, i, 1))"),
+              "  "
+            ),
+            lit(" ")
+          ).as("w"),
+          col("f")
+        )
+        .persist()
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (k <- 1 to BpeMergeIters) {
+        val top = vocab
+          .withColumn("sy", split(trim(col("w")), "  "))
+          .filter(size(col("sy")) >= 2)
+          .select(
+            col("f"),
+            explode(expr(
+              "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), (a, b) -> concat(a, ' ', b))"
+            )).as("pair")
+          )
+          .groupBy("pair")
+          .agg(sum("f").as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(1)
+          .collect()(0)
+        prev.foreach(_.unpersist()) // its child materialized via this collect
+        prev = None
+        val pair = top.getString(0)
+        merges += ((k.toLong, pair, top.getLong(1)))
+        if (k < BpeMergeIters) {
+          val (a, b) = pair.splitAt(pair.indexOf(' ')) match { case (x, y) => (x, y.tail) }
+          prev = Some(vocab)
+          vocab = vocab
+            .withColumn(
+              "w",
+              call_function("replace", col("w"), lit(s" $a  $b "), lit(s" $a$b "))
+            )
+            .persist()
+        }
+      }
+      vocab.unpersist()
+      import s.implicits._
+      merges.toSeq.toDF("rank", "pair", "n")
+    },
+    Some(bpeMergesOracleSql(BpeMergeIters))
+  )
+
+  /** Unrolled K-iteration replay of [[bpeMerges]]: per iteration one pair
+    * recount (`p_k`), one argmax (`m_k`), one literal-replace re-segment
+    * (`w_k`) — the same integer expressions the Spark loop evaluates.
+    */
+  def bpeMergesOracleSql(iters: Int): String = {
+    val steps = (1 to iters)
+      .map { k =>
+        val recount =
+          s"""p$k AS (
+             |  SELECT pr, CAST(SUM(f) AS BIGINT) AS n FROM (
+             |    SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])) AS pr, f
+             |    FROM (SELECT string_split(trim(s), '  ') AS sy, f FROM w${k - 1}))
+             |  GROUP BY 1),
+             |m$k AS (SELECT pr, n FROM p$k ORDER BY n DESC, pr LIMIT 1)""".stripMargin
+        if (k == iters) recount
+        else
+          recount + ",\n" +
+            s"""w$k AS (
+               |  SELECT replace(s,
+               |    ' ' || string_split(m$k.pr, ' ')[1] || '  ' || string_split(m$k.pr, ' ')[2] || ' ',
+               |    ' ' || string_split(m$k.pr, ' ')[1] || string_split(m$k.pr, ' ')[2] || ' ') AS s, f
+               |  FROM w${k - 1}, m$k)""".stripMargin
+      }
+      .mkString(",\n")
+    val sel = (1 to iters)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, pr AS pair, n FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |words AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+       |w0 AS (
+       |  SELECT ' ' || array_to_string(list_transform(range(1, length(t) + 1), i -> t[i]), '  ') || ' ' AS s, f
+       |  FROM words WHERE length(t) >= 2),
+       |$steps
+       |$sel
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Per-document distinct-term cap for [[cooccur]]'s basket self-join —
     * bounds the worst-case per-doc pair fan-out at C(256,2) ≈ 32k rows.
     */
@@ -886,5 +1015,5 @@ object TextQueries {
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage, bm25,
-      pmiBigrams, bpePairs, cooccur)
+      pmiBigrams, bpePairs, bpeMerges, cooccur)
 }

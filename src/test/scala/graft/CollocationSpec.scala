@@ -112,4 +112,48 @@ class CollocationSpec extends SparkSpec {
       s"argmax ${rows(0).getString(0)} != replay ${expectedTop._1}"
     )
   }
+
+  test("q_bpe_merges: the K-merge training loop matches an exact greedy replay") {
+    val rows = graft.queries.Registry.queries("q_bpe_merges")(spark, sf).collect()
+    assert(rows.length == 8)
+
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docTokens.foreach(_.foreach(w => freq(w) += 1))
+    var vocab: Seq[(Vector[String], Long)] = freq.toSeq.collect {
+      case (w, f) if w.length >= 2 => (w.map(_.toString).toVector, f)
+    }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    for (_ <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (sy, f) =>
+        sy.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += f
+          case _         => ()
+        }
+      }
+      val ((a, b), n) = counts.toSeq.sortBy { case ((x, y), c) => (-c, s"$x $y") }.head
+      expected += ((s"$a $b", n))
+      // greedy left-to-right non-overlapping merge — the replace() semantics
+      vocab = vocab.map { case (sy, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i   = 0
+        while (i < sy.length) {
+          if (i < sy.length - 1 && sy(i) == a && sy(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += sy(i); i += 1 }
+        }
+        (out.toVector, f)
+      }
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1L, s"rank ${r.getLong(0)} at position $i")
+      assert(
+        (r.getString(1), r.getLong(2)) == expected(i),
+        s"merge ${i + 1}: got (${r.getString(1)}, ${r.getLong(2)}), replay says ${expected(i)}"
+      )
+    }
+    // merge mass is non-increasing: a post-merge pair is a sub-pattern of a
+    // pre-merge pair, so no later argmax can exceed an earlier one
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y }, s"merge counts not non-increasing: ${ns.toSeq}")
+  }
 }
