@@ -76,6 +76,34 @@ object Bench {
     }
   }
 
+  /** Normalized fingerprint of a query's OPTIMIZED logical plan — the
+    * bench's self-attribution signal. The r8→r9 diff was unreadable
+    * because the driver regenerated the fixtures mid-comparison (ns→us
+    * event encoding, new duplicate content): phantom and real per-query
+    * regressions could not be separated from the timings alone. With a
+    * per-query `plan_fp` in BENCH_FULL.json the round-over-round diff
+    * splits cleanly: fp changed ⇒ the PLAN changed (attribute to the
+    * code); fp same ⇒ same plan, so the delta is fixture drift or host
+    * noise. ExprIds and JVM object identities are stripped (they differ
+    * per session without any semantic change); literals are KEPT — a
+    * fixture-derived literal (e.g. the corpus-sized LSH plane count)
+    * changing IS a plan change worth seeing. Analysis/optimization only —
+    * nothing here executes (eager driver-loop queries pay their loop when
+    * `fn` is invoked, which is why fingerprints are collected OUTSIDE the
+    * timed region, after all timing reps complete).
+    */
+  def planFp(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.queryExecution.optimizedPlan.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("@[0-9a-fA-F]+", "@")
+    java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6)
+      .map("%02x".format(_))
+      .mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkEnv.session("graft-bench")
@@ -158,8 +186,17 @@ object Bench {
     // BENCH_FULL.json (committed alongside COVERAGE.md so the judge reads
     // exact numbers), and the printed ONE LINE keeps only the slowest
     // queries, budgeted to fit the tail window intact.
+    // Plan fingerprints, AFTER all timed reps (fn invocation runs the
+    // driver loop of eager queries — must never land inside a timing).
+    val fps = ordered.map { case (name, fn) =>
+      val fp =
+        try planFp(fn(spark, sfDir))
+        catch { case scala.util.control.NonFatal(_) => "-" }
+      "\"" + esc(name) + "\":\"" + fp + "\""
+    }.mkString("{", ",", "}")
+
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"plan_fp":$fps}"""
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
@@ -180,7 +217,7 @@ object Bench {
       }
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(keep)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"note":"slowest ${keep.size} of ${results.size} inline; full map in BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(keep)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"note":"slowest ${keep.size} of ${results.size} inline; full map + per-query plan_fp in BENCH_FULL.json"}"""
     )
     spark.stop()
   }
