@@ -77,10 +77,17 @@ object SimHash {
     * the dup-free path is zero-overhead via the cached one-row probe.
     */
   def nearDupPairs(spark: SparkSession, docs: DataFrame, maxDist: Int): DataFrame = {
-    val pairDocs =
-      if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id")
-      else docs
-    val sig = signatures(spark, pairDocs)
+    // Collapse AFTER the scan-stage signature pass, not before: joining
+    // docs ⋈ repIds first would shuffle full document TEXT (at 100 TB,
+    // the corpus over the network — repIds is |distinct texts|-sized, not
+    // broadcastable), while signatures-then-join shuffles 16-byte
+    // (doc_id, simhash) rows. Member signatures are redundantly computed
+    // and dropped, but that CPU rides the one corpus scan every path pays
+    // anyway — the same order [[graft.ext.Dedup.candidatePairs]] uses.
+    val sig0 = signatures(spark, docs)
+    val sig =
+      if (Dedup.hasExactDups(docs)) sig0.join(Dedup.repIds(docs), "doc_id")
+      else sig0
     // 4 chunks of 16 bits each as join keys
     val chunks = (0 until 4).map { c =>
       (shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xffffL))).as(s"c$c")
