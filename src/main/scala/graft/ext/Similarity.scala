@@ -563,5 +563,129 @@ object Similarity {
     )
   )
 
-  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim)
+  /** LSH recall@k audit over a fixed query panel — the operational
+    * quality gate every approximate index needs next to its speed
+    * numbers: for each of the first `nQueries` vectors, the exact
+    * brute-force top-k is compared against the LSH-bucketed top-k and
+    * the overlap reported as integer recall ppm. A production pipeline
+    * runs exactly this panel audit before trusting an index cutover.
+    *
+    * Scale shape: the panel is a CONSTANT-size (≤ nQueries·nTables rows)
+    * broadcast on both paths — the exact side scores the corpus against
+    * all panel queries in one fused scan (BroadcastNestedLoopJoin over
+    * 20 rows, never a shuffle-cartesian), the LSH side joins the
+    * broadcast panel buckets. Both per-query top-k's are row_number
+    * windows keyed by query id, which Spark 3.5+ plans with a map-side
+    * WindowGroupLimit (each task keeps ≤ k rows per key before the
+    * exchange), so no window frame ever holds a corpus-sized partition.
+    * The recall join and final aggregate run on k·nQueries rows —
+    * metadata-sized at any corpus scale.
+    */
+  def annRecall(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nTables: Int = 4,
+      minPlanes: Int = 4): DataFrame = {
+    val nPlanes = derivedPlanes(vecCount(emb), minPlanes)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val queries = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb
+      .crossJoin(broadcast(queries)) // constant-size panel broadcast
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id")
+    val keyed = emb
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        explode(lshTables(col("embedding"), nTables, nPlanes)).as("tb")
+      )
+      .select(col("vec_id"), col("embedding"), col("tb.table_id"), col("tb.bucket"))
+    val qb = keyed
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("qv"),
+        col("table_id").as("qt"),
+        col("bucket").as("qbk")
+      )
+    val lsh = keyed
+      .join(broadcast(qb), col("table_id") === col("qt") && col("bucket") === col("qbk"))
+      .dropDuplicates("qid", "vec_id") // candidate may match in several tables
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id")
+    val ex   = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    val hits = exact
+      .join(lsh, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hit"))
+    ex.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000L) div n_exact"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB replay of [[annRecall]]: hyperplane-literal buckets, both
+    * panel top-k's as QUALIFY-style ROW_NUMBER subqueries, integer recall.
+    */
+  def annRecallOracleSql(
+      nQueries: Int,
+      k: Int,
+      nTables: Int = 4,
+      minPlanes: Int = 4,
+      dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${planesCte(minPlanes)},
+       |b AS (
+       |${bucketSelects(nTables, dim)}
+       |),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qs.qid, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+       |        list_dot_product(e.v, qs.qv)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+       |        e.vec_id) AS rn
+       |    FROM e, qs)
+       |  WHERE rn <= $k),
+       |qb AS (SELECT vec_id AS qid, table_id, bucket FROM b WHERE vec_id < $nQueries),
+       |cand AS (SELECT DISTINCT qb.qid, b.vec_id FROM b JOIN qb USING (table_id, bucket)),
+       |lsh AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT c.qid, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+       |        list_dot_product(e.v, q.qv)
+       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |        c.vec_id) AS rn
+       |    FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN qs q ON q.qid = c.qid)
+       |  WHERE rn <= $k),
+       |ex AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1),
+       |ht AS (
+       |  SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM exact x JOIN lsh l ON l.qid = x.qid AND l.vec_id = x.vec_id
+       |  GROUP BY 1)
+       |SELECT ex.qid, ex.n_exact, COALESCE(ht.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |  (COALESCE(ht.n_hit, CAST(0 AS BIGINT)) * 1000000) // ex.n_exact AS recall_ppm
+       |FROM ex LEFT JOIN ht USING (qid) ORDER BY qid""".stripMargin
+
+  /** Recall@10 of the LSH path against exact brute force over the
+    * vec_id<20 query panel, hash-checked end-to-end (both top-k's AND the
+    * integer recall arithmetic replayed).
+    */
+  val annRecallQ: Q = Q(
+    "q_ann_recall",
+    (s, dir) => annRecall(Tables(s, dir).embeddings, 20, 10),
+    Some(annRecallOracleSql(20, 10))
+  )
+
+  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim, annRecallQ)
 }

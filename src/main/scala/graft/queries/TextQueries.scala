@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -828,100 +828,164 @@ object TextQueries {
     * precedent). A persist ladder (persist next, unpersist prev once the
     * next materializes) keeps lineage depth and recompute O(1) per step.
     */
+  /** The trainer shared by [[bpeMerges]] and [[bpeEncode]]: runs the
+    * K-iteration loop and returns (ordered merge list, final segmented
+    * vocabulary `(term, w, f)` with ALL K merges applied). The final
+    * frame is returned UNPERSISTED pure lineage — words + K chained
+    * replace projections, one scan-stage pipeline over the cached tf
+    * grain with no shuffles — so a consumer that never reads it (the
+    * merge-list query) pays nothing for it.
+    */
+  private def bpeTrain(
+      s: SparkSession,
+      dir: String): (Seq[(Long, String, Long)], DataFrame) = {
+    val tf    = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+    val words = tf.groupBy("term").agg(sum("tf").as("f"))
+    var vocab = words
+      .filter(length(col("term")) >= 2)
+      .select(
+        col("term"),
+        concat(
+          lit(" "),
+          array_join(
+            expr("transform(sequence(1, char_length(term)), i -> substring(term, i, 1))"),
+            "  "
+          ),
+          lit(" ")
+        ).as("w"),
+        col("f")
+      )
+      .persist()
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (k <- 1 to BpeMergeIters) {
+      val top = vocab
+        .withColumn("sy", split(trim(col("w")), "  "))
+        .filter(size(col("sy")) >= 2)
+        .select(
+          col("f"),
+          explode(expr(
+            "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), (a, b) -> concat(a, ' ', b))"
+          )).as("pair")
+        )
+        .groupBy("pair")
+        .agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .collect()(0)
+      prev.foreach(_.unpersist()) // its child materialized via this collect
+      prev = None
+      val pair = top.getString(0)
+      merges += ((k.toLong, pair, top.getLong(1)))
+      val (a, b) = pair.splitAt(pair.indexOf(' ')) match { case (x, y) => (x, y.tail) }
+      prev = Some(vocab)
+      vocab = vocab
+        .withColumn(
+          "w",
+          call_function("replace", col("w"), lit(s" $a  $b "), lit(s" $a$b "))
+        )
+        .persist()
+    }
+    prev.foreach(_.unpersist())
+    vocab.unpersist() // likely never materialized; lineage stays consumable
+    (merges.toSeq, vocab)
+  }
+
   val bpeMerges: Q = Q(
     "q_bpe_merges",
     (s, dir) => {
-      val tf    = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
-      val words = tf.groupBy("term").agg(sum("tf").as("f"))
-      var vocab = words
-        .filter(length(col("term")) >= 2)
-        .select(
-          concat(
-            lit(" "),
-            array_join(
-              expr("transform(sequence(1, char_length(term)), i -> substring(term, i, 1))"),
-              "  "
-            ),
-            lit(" ")
-          ).as("w"),
-          col("f")
-        )
-        .persist()
-      var prev: Option[org.apache.spark.sql.DataFrame] = None
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      for (k <- 1 to BpeMergeIters) {
-        val top = vocab
-          .withColumn("sy", split(trim(col("w")), "  "))
-          .filter(size(col("sy")) >= 2)
-          .select(
-            col("f"),
-            explode(expr(
-              "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), (a, b) -> concat(a, ' ', b))"
-            )).as("pair")
-          )
-          .groupBy("pair")
-          .agg(sum("f").as("n"))
-          .orderBy(col("n").desc, col("pair"))
-          .limit(1)
-          .collect()(0)
-        prev.foreach(_.unpersist()) // its child materialized via this collect
-        prev = None
-        val pair = top.getString(0)
-        merges += ((k.toLong, pair, top.getLong(1)))
-        if (k < BpeMergeIters) {
-          val (a, b) = pair.splitAt(pair.indexOf(' ')) match { case (x, y) => (x, y.tail) }
-          prev = Some(vocab)
-          vocab = vocab
-            .withColumn(
-              "w",
-              call_function("replace", col("w"), lit(s" $a  $b "), lit(s" $a$b "))
-            )
-            .persist()
-        }
-      }
-      vocab.unpersist()
+      val (merges, _) = bpeTrain(s, dir)
       import s.implicits._
-      merges.toSeq.toDF("rank", "pair", "n")
+      merges.toDF("rank", "pair", "n")
     },
     Some(bpeMergesOracleSql(BpeMergeIters))
   )
 
-  /** Unrolled K-iteration replay of [[bpeMerges]]: per iteration one pair
-    * recount (`p_k`), one argmax (`m_k`), one literal-replace re-segment
-    * (`w_k`) — the same integer expressions the Spark loop evaluates.
+  /** The unrolled-CTE WITH body both BPE oracles share: per iteration one
+    * pair recount (`p_k`), one argmax (`m_k`), one literal-replace
+    * re-segment (`w_k`, term carried through) — the same integer
+    * expressions the Spark loop evaluates. Unreferenced trailing CTEs
+    * (e.g. `w_K` under the merge-list query) cost nothing.
     */
-  def bpeMergesOracleSql(iters: Int): String = {
+  private def bpeStepsSql(iters: Int): String = {
     val steps = (1 to iters)
       .map { k =>
-        val recount =
-          s"""p$k AS (
-             |  SELECT pr, CAST(SUM(f) AS BIGINT) AS n FROM (
-             |    SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])) AS pr, f
-             |    FROM (SELECT string_split(trim(s), '  ') AS sy, f FROM w${k - 1}))
-             |  GROUP BY 1),
-             |m$k AS (SELECT pr, n FROM p$k ORDER BY n DESC, pr LIMIT 1)""".stripMargin
-        if (k == iters) recount
-        else
-          recount + ",\n" +
-            s"""w$k AS (
-               |  SELECT replace(s,
-               |    ' ' || string_split(m$k.pr, ' ')[1] || '  ' || string_split(m$k.pr, ' ')[2] || ' ',
-               |    ' ' || string_split(m$k.pr, ' ')[1] || string_split(m$k.pr, ' ')[2] || ' ') AS s, f
-               |  FROM w${k - 1}, m$k)""".stripMargin
+        s"""p$k AS (
+           |  SELECT pr, CAST(SUM(f) AS BIGINT) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])) AS pr, f
+           |    FROM (SELECT string_split(trim(s), '  ') AS sy, f FROM w${k - 1}))
+           |  GROUP BY 1),
+           |m$k AS (SELECT pr, n FROM p$k ORDER BY n DESC, pr LIMIT 1),
+           |w$k AS (
+           |  SELECT t, replace(s,
+           |    ' ' || string_split(m$k.pr, ' ')[1] || '  ' || string_split(m$k.pr, ' ')[2] || ' ',
+           |    ' ' || string_split(m$k.pr, ' ')[1] || string_split(m$k.pr, ' ')[2] || ' ') AS s, f
+           |  FROM w${k - 1}, m$k)""".stripMargin
       }
       .mkString(",\n")
-    val sel = (1 to iters)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, pr AS pair, n FROM m$k")
-      .mkString("\nUNION ALL ")
     s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
        |words AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1),
        |w0 AS (
-       |  SELECT ' ' || array_to_string(list_transform(range(1, length(t) + 1), i -> t[i]), '  ') || ' ' AS s, f
+       |  SELECT t, ' ' || array_to_string(list_transform(range(1, length(t) + 1), i -> t[i]), '  ') || ' ' AS s, f
        |  FROM words WHERE length(t) >= 2),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def bpeMergesOracleSql(iters: Int): String = {
+    val sel = (1 to iters)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, pr AS pair, n FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""${bpeStepsSql(iters)}
        |$sel
        |ORDER BY rank""".stripMargin
   }
+
+  def bpeEncodeOracleSql(iters: Int): String =
+    s"""${bpeStepsSql(iters)},
+       |enc AS (SELECT t, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym FROM w$iters),
+       |dtf AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(tf * COALESCE(n_sym, length(t))) AS BIGINT) AS n_bpe_tokens
+       |FROM dtf LEFT JOIN enc USING (t)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BPE tokenization APPLIED — the train→apply pair of [[bpeMerges]]:
+    * per-document token counts under the [[BpeMergeIters]]-merge trained
+    * tokenizer. This is the statistic a token-budgeted pretraining mix
+    * actually needs (q_token_count's regex count is a tokenizer-free
+    * ESTIMATE; this one is exact under the trained vocab). Unmergeable
+    * short words tokenize to their character count (1 for single-char, 0
+    * for the empty token).
+    *
+    * Scale shape: training is [[bpeTrain]] (vocab-sized, K bounded
+    * collects); application NEVER rescans text — the per-term symbol
+    * count is a scan-stage projection over the final vocab (words + K
+    * chained replaces, no shuffle), hash-joined back to the cached
+    * [[docTermTf]] grain, and the per-doc sum is a partial+final
+    * aggregate. The corpus-sized side moves through exactly one shuffle
+    * (the groupBy), carrying two longs per row.
+    */
+  val bpeEncode: Q = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val (_, vocab) = bpeTrain(s, dir)
+      val tf         = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      val perTerm = vocab.select(
+        col("term"),
+        size(split(trim(col("w")), "  ")).cast("long").as("n_sym")
+      )
+      tf.join(perTerm, Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf") * coalesce(col("n_sym"), length(col("term")).cast("long")))
+            .as("n_bpe_tokens")
+        )
+        .orderBy("doc_id")
+    },
+    Some(bpeEncodeOracleSql(BpeMergeIters))
+  )
 
   /** Per-document distinct-term cap for [[cooccur]]'s basket self-join —
     * bounds the worst-case per-doc pair fan-out at C(256,2) ≈ 32k rows.
@@ -1015,5 +1079,5 @@ object TextQueries {
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage, bm25,
-      pmiBigrams, bpePairs, bpeMerges, cooccur)
+      pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur)
 }

@@ -156,4 +156,52 @@ class CollocationSpec extends SparkSpec {
     val ns = rows.map(_.getLong(2))
     assert(ns.zip(ns.tail).forall { case (x, y) => x >= y }, s"merge counts not non-increasing: ${ns.toSeq}")
   }
+
+  test("q_bpe_encode: per-doc token counts match applying the replayed merges") {
+    val rows = graft.queries.Registry.queries("q_bpe_encode")(spark, sf).collect()
+    assert(rows.length == docTokens.length)
+
+    // replay training (same loop as the merges test), keeping the final
+    // per-word segmentation
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docTokens.foreach(_.foreach(w => freq(w) += 1))
+    var vocab: Map[String, Vector[String]] = freq.keysIterator.collect {
+      case w if w.length >= 2 => w -> w.map(_.toString).toVector
+    }.toMap
+    for (_ <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (w, sy) =>
+        sy.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += freq(w)
+          case _         => ()
+        }
+      }
+      val ((a, b), _) = counts.toSeq.sortBy { case ((x, y), c) => (-c, s"$x $y") }.head
+      vocab = vocab.map { case (w, sy) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i   = 0
+        while (i < sy.length) {
+          if (i < sy.length - 1 && sy(i) == a && sy(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += sy(i); i += 1 }
+        }
+        w -> out.toVector
+      }
+    }
+    def nTok(w: String): Long = vocab.get(w).map(_.length.toLong).getOrElse(w.length.toLong)
+    val byId = graft.core
+      .Tables(spark, sf)
+      .documents
+      .select(col("doc_id"), lower(col("text")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .toMap
+    rows.foreach { r =>
+      val id       = r.getLong(0)
+      val expected = byId(id).map(nTok).sum
+      assert(
+        r.getLong(1) == expected,
+        s"doc $id: got ${r.getLong(1)} tokens, replay says $expected"
+      )
+    }
+  }
 }

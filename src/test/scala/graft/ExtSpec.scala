@@ -981,6 +981,35 @@ class ExtSpec extends SparkSpec {
     assert(flagged.nonEmpty, "fixture must produce at least one cross-boundary near-dup")
   }
 
+  test("q_ann_recall: panel-sized output, self-hit floor, recall consistent with the single-query paths") {
+    val rows = graft.queries.Registry.queries("q_ann_recall")(spark, sf).collect()
+    assert(rows.length == 20, s"expected a 20-query panel, got ${rows.length}")
+    rows.foreach { r =>
+      val (qid, nExact, nHit, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nExact == 10L, s"q$qid exact top-k has $nExact rows")
+      assert(nHit >= 1L, s"q$qid: the query vector itself must always be recalled")
+      assert(nHit <= nExact, s"q$qid: hits exceed exact set")
+      assert(ppm == nHit * 1000000L / nExact, s"q$qid: recall_ppm not the pinned integer form")
+    }
+    // recall for qid=0 must agree with the independently-computed
+    // single-query exact/LSH paths the earlier tests exercise
+    val exact0 = Similarity
+      .topKCosine(Tables(spark, sf).embeddings, 0L, 10)
+      .collect()
+      .map(_.getLong(1))
+      .toSet
+    val lsh0 = Similarity
+      .annTopKLsh(Tables(spark, sf).embeddings, 0L, 10)
+      .collect()
+      .map(_.getLong(1))
+      .toSet
+    val row0 = rows.find(_.getLong(0) == 0L).get
+    assert(
+      row0.getLong(2) == (exact0 intersect lsh0).size.toLong,
+      s"panel n_hit ${row0.getLong(2)} != single-query overlap ${(exact0 intersect lsh0).size}"
+    )
+  }
+
   test("frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val df = Seq((1L, "video", 10), (2L, "image", 1))
