@@ -462,6 +462,100 @@ object TextQueries {
     )
   )
 
+  /** Surprisal bits charged for a bigram ABSENT from the target model —
+    * the deterministic stand-in for DSIR's smoothing: the conditional
+    * surprisal `log2(c1·2²⁰ div c12)` maxes out near 20 bits at c12=1, so
+    * 24 pins "unseen" strictly above every seen bigram in both engines.
+    */
+  private[graft] val DsirUnseenBits = 24
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method): each
+    * document scores the average per-bigram log-likelihood RATIO between a
+    * target-domain char-bigram model (here: the `lang='en'` subset, the
+    * "select English-like text" task) and the raw-corpus model. Positive
+    * ⇒ the doc looks more like the target than like the corpus average —
+    * exactly the ranking signal importance resampling draws against.
+    *
+    * Cross-engine determinism: both models reuse [[lmScore]]'s pinned
+    * integer surprisal (`length(bin((c1·2²⁰) div c12)) - 1` bits);
+    * target-unseen bigrams charge the pinned [[DsirUnseenBits]]; and the
+    * final per-bigram average is computed SIGN-SAFELY (negate-divide-
+    * negate) because Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors — they agree only on non-negative operands.
+    *
+    * Scale shape: both models reaggregate the ONE cached [[bigramTf]]
+    * grain (shared with q_lm_score — zero extra corpus scans); each model
+    * is alphabet²-bounded and broadcast back; the per-doc aggregate is
+    * partial+final over the tf grain. At 100 TB: one corpus-sized shuffle
+    * (the doc_id groupBy), everything else metadata.
+    */
+  val dsirWeights: Q = Q(
+    "q_dsir_weights",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tf   = bigramTf(docs)
+      def model(grain: DataFrame): DataFrame = {
+        val c12 = grain.groupBy("bg").agg(sum("tf").as("c12"))
+        val c1  = c12.groupBy(substring(col("bg"), 1, 1).as("c")).agg(sum("c12").as("c1"))
+        c12
+          .join(c1, substring(col("bg"), 1, 1) === col("c"))
+          .withColumn("bits", length(bin(expr("(c1 * 1048576) div c12"))) - 1)
+          .select("bg", "bits")
+      }
+      val raw = model(tf).withColumnRenamed("bits", "bits_r")
+      val tgt = model(
+        tf.join(docs.filter(col("lang") === "en").select("doc_id"), "doc_id")
+      ).withColumnRenamed("bits", "bits_t")
+      tf.join(broadcast(raw), "bg")
+        .join(broadcast(tgt), Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+          sum("tf").as("n_bigrams"),
+          sum(col("tf") * (col("bits_r") - coalesce(col("bits_t"), lit(DsirUnseenBits))))
+            .as("delta_bits")
+        )
+        .withColumn(
+          "dsir_ppm",
+          when(col("delta_bits") >= 0, expr("(delta_bits * 1000000L) div n_bigrams"))
+            .otherwise(-expr("((-delta_bits) * 1000000L) div n_bigrams"))
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ch AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(lower(text)) - 1, 0) + 1),
+        |                   i -> substr(lower(text), CAST(i AS INT), 2)) AS bgs
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, bg, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM ch) GROUP BY 1, 2),
+        |c12r AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1),
+        |c1r AS (SELECT substr(bg, 1, 1) AS c, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12r GROUP BY 1),
+        |br AS (
+        |  SELECT bg, CAST(length(bin((c1 * 1048576) // c12)) - 1 AS INT) AS bits_r
+        |  FROM c12r JOIN c1r ON substr(bg, 1, 1) = c),
+        |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |tft AS (SELECT bg, tf FROM tf JOIN en USING (doc_id)),
+        |c12t AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c12 FROM tft GROUP BY 1),
+        |c1t AS (SELECT substr(bg, 1, 1) AS c, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12t GROUP BY 1),
+        |bt AS (
+        |  SELECT bg, CAST(length(bin((c1 * 1048576) // c12)) - 1 AS INT) AS bits_t
+        |  FROM c12t JOIN c1t ON substr(bg, 1, 1) = c),
+        |agg AS (
+        |  SELECT tf.doc_id,
+        |    CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf * (bits_r - COALESCE(bits_t, $DsirUnseenBits))) AS BIGINT) AS delta_bits
+        |  FROM tf JOIN br USING (bg) LEFT JOIN bt USING (bg)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, delta_bits,
+        |  CASE WHEN delta_bits >= 0 THEN (delta_bits * 1000000) // n_bigrams
+        |       ELSE -(((-delta_bits) * 1000000) // n_bigrams) END AS dsir_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Inverted index build: term → (document frequency, sorted posting
     * list) — the retrieval-index materialization step of a search/RAG
     * pipeline. The posting list is emitted as a comma-joined STRING of
@@ -1078,6 +1172,6 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
-      repetition, ngramNovelty, lmScore, invertedIndex, hofOps, vocabCoverage, bm25,
+      repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur)
 }

@@ -157,6 +157,31 @@ class CollocationSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (x, y) => x >= y }, s"merge counts not non-increasing: ${ns.toSeq}")
   }
 
+  test("q_dsir_weights: English target docs score above non-English, ppm form pinned") {
+    val weights = graft.queries.Registry.queries("q_dsir_weights")(spark, sf).collect()
+    val langs = graft.core
+      .Tables(spark, sf)
+      .documents
+      .select("doc_id", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(weights.length == langs.size)
+    weights.foreach { r =>
+      val (n, d, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expected    = if (d >= 0) d * 1000000L / n else -((-d) * 1000000L / n)
+      assert(ppm == expected, s"doc ${r.getLong(0)}: ppm $ppm not the sign-safe pinned form")
+    }
+    // the method's whole point: target-language docs rank above the rest
+    val (en, rest) = weights.partition(r => langs(r.getLong(0)) == "en")
+    val enMean     = en.map(_.getLong(3)).sum / en.length
+    val restMean   = rest.map(_.getLong(3)).sum / rest.length
+    assert(
+      enMean > restMean,
+      s"en mean $enMean ppm not above non-en mean $restMean ppm — importance signal inverted"
+    )
+  }
+
   test("q_bpe_encode: per-doc token counts match applying the replayed merges") {
     val rows = graft.queries.Registry.queries("q_bpe_encode")(spark, sf).collect()
     assert(rows.length == docTokens.length)
