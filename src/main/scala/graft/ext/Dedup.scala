@@ -1207,6 +1207,41 @@ object Dedup {
     )
   )
 
+  /** SoftDeDup-style duplicate downweighting (He et al. 2024, "SoftDedup:
+    * an Efficient Data Reweighting Method for Speeding Up Language Model
+    * Pre-training" — public method): instead of DROPPING exact duplicates,
+    * keep every copy but weight it 1/copies, so each distinct text
+    * contributes unit total mass to the training distribution. Emits, per
+    * document, its group's copy count and the integer sampling weight
+    * (ppm) a weighted sampler like q_weighted_sample then draws against.
+    * On a dup-free corpus every weight is exactly 1.0 (10⁶ ppm).
+    *
+    * Scale shape: the copy count is the FAMILY-SHARED cached
+    * [[exactGroups]] aggregate (32-char md5 keys on the shuffle, never
+    * raw text), attached back to the member grain via the cached
+    * [[members]] mapping on the group-unique `rep` key — a plain hash
+    * join with no fan-out. Zero extra corpus scans beyond the family's
+    * one.
+    */
+  val softDedup: Q = Q(
+    "q_softdedup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      members(docs)
+        .join(exactGroups(docs).select(col("rep"), col("copies")), "rep")
+        .withColumn("weight_ppm", expr("1000000L div copies"))
+        .select("doc_id", "copies", "weight_ppm")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH g AS (SELECT md5(text) AS tkey, COUNT(*) AS copies
+        |           FROM documents GROUP BY 1)
+        |SELECT doc_id, copies, 1000000 // copies AS weight_ppm
+        |FROM documents d JOIN g ON md5(d.text) = g.tkey
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality, jaccardHistogram)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality, jaccardHistogram, softDedup)
 }

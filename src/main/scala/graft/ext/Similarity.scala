@@ -588,19 +588,24 @@ object Similarity {
       nTables: Int = 4,
       minPlanes: Int = 4): DataFrame = {
     val nPlanes = derivedPlanes(vecCount(emb), minPlanes)
+    // the audit references the vector table four ways (panel, exact side,
+    // bucketed side, panel buckets) — cache the narrow (id, vec) projection
+    // once so all four read the in-memory copy, not four parquet scans
+    // (production shape: the ANN index build's one pass over the corpus)
+    val vecs = graft.core.Cached.frame(emb.select(col("vec_id"), col("embedding")))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id"))
-    val queries = emb
+    val queries = vecs
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val exact = emb
+    val exact = vecs
       .crossJoin(broadcast(queries)) // constant-size panel broadcast
       .withColumn("cos", cosine(col("embedding"), col("qv")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
       .select("qid", "vec_id")
-    val keyed = emb
+    val keyed = vecs
       .select(
         col("vec_id"),
         col("embedding"),

@@ -779,8 +779,98 @@ object Pipeline {
     )
   )
 
+  /** Exact n-gram decontamination — the GPT-3/PaLM-style eval-integrity
+    * filter that [[contamination]]'s MinHash tier complements: for every
+    * held-out test document, count how many of its DISTINCT 5-word-gram
+    * fingerprints also occur anywhere in train/val, and flag any overlap.
+    * Near-dup contamination catches whole-document copies; the n-gram tier
+    * catches verbatim PASSAGES (a benchmark question pasted into a larger
+    * train doc) that document-level Jaccard dilutes below threshold.
+    *
+    * Scale shape: the corpus is scanned ONCE into a cached (doc_id, split,
+    * gram) table at the distinct-gram-per-doc grain (grams are built by
+    * zipping 5 shifted token slices — constant token-array evaluations per
+    * row, same as [[graft.ext.Dedup.shingles3]]). The leak side collapses
+    * to DISTINCT grams (partial+final agg: a boilerplate gram appearing
+    * 10⁹ times in train shrinks map-side to one row) and the test side
+    * LEFT SEMI joins it on the gram hash — a semi join never fans out, so
+    * a hot gram costs one probe, not a pair explosion. Both per-doc
+    * aggregates reuse the one cached table. Test docs with fewer than 5
+    * tokens have no 5-grams and by construction cannot be n-gram
+    * contaminated; they carry no row here.
+    */
+  val decontamNgram: Q = Q(
+    "q_decontam_ngram",
+    (s, dir) => {
+      val toks = split(lower(col("text")), " ", -1)
+      val g5 = when(
+        size(toks) >= 5,
+        transform(
+          arrays_zip(
+            slice(toks, lit(1), size(toks) - 4),
+            slice(toks, lit(2), size(toks) - 4),
+            slice(toks, lit(3), size(toks) - 4),
+            slice(toks, lit(4), size(toks) - 4),
+            slice(toks, lit(5), size(toks) - 4)
+          ),
+          t =>
+            concat_ws(
+              " ",
+              t.getField("0"),
+              t.getField("1"),
+              t.getField("2"),
+              t.getField("3"),
+              t.getField("4")
+            )
+        )
+      ).otherwise(array().cast("array<string>"))
+      val grams = graft.core.Cached.frame(
+        Tables(s, dir).documents
+          .select(
+            col("doc_id"),
+            splitOfBucket(bucketOf(col("doc_id"))).as("split"),
+            explode(array_distinct(g5)).as("gram")
+          )
+      )
+      val leak  = grams.filter(col("split") =!= "test").select("gram").distinct()
+      val test  = grams.filter(col("split") === "test").select("doc_id", "gram")
+      val total = test.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val matched = test
+        .join(leak, Seq("gram"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matched"))
+      total
+        .join(matched, Seq("doc_id"), "left")
+        .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+        .withColumn("contam_ppm", expr("(n_matched * 1000000L) div n_grams"))
+        .withColumn("flagged", when(col("n_matched") > 0, 1).otherwise(0))
+        .select("doc_id", "n_grams", "n_matched", "contam_ppm", "flagged")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(t)-4, 0)+1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gs
+         |  FROM toks),
+         |grams AS (
+         |  SELECT doc_id, $sqlSplit AS split, unnest(gs) AS gram FROM g),
+         |leak AS (SELECT DISTINCT gram FROM grams WHERE split <> 'test'),
+         |test AS (SELECT doc_id, gram FROM grams WHERE split = 'test'),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM test GROUP BY 1),
+         |mat AS (SELECT t.doc_id, COUNT(*) AS n_matched
+         |        FROM test t JOIN leak l ON t.gram = l.gram GROUP BY 1)
+         |SELECT tot.doc_id, n_grams, COALESCE(n_matched, 0) AS n_matched,
+         |  (COALESCE(n_matched, 0) * 1000000) // n_grams AS contam_ppm,
+         |  CASE WHEN COALESCE(n_matched, 0) > 0 THEN 1 ELSE 0 END AS flagged
+         |FROM tot LEFT JOIN mat ON tot.doc_id = mat.doc_id
+         |ORDER BY tot.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
       seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule,
-      mixTemperature)
+      mixTemperature, decontamNgram)
 }

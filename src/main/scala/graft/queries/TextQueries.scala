@@ -1170,8 +1170,168 @@ object TextQueries {
     )
   )
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1 —
+    * public method): the published rule FAMILY (word-count bounds, mean
+    * word length bounds, fraction of words with an alphabetic character,
+    * minimum distinct stopwords) with bounds scaled to the fixture corpus.
+    * Complements [[quality]]'s ratio heuristics: this is the conjunctive
+    * rule table a production pipeline audits per-rule (which rule killed
+    * the doc), so each verdict is a column, not just the final keep.
+    *
+    * Cross-engine determinism: every rule is integer arithmetic — mean
+    * word length enters ×10 as `(chars_sans_spaces * 10) div n_words`
+    * (chars-sans-spaces = len(text) − (n_words − 1), exact under the
+    * single-space tokenizer), the alpha fraction enters as ppm, and the
+    * stopword rule counts DISTINCT stop tokens via set intersection.
+    *
+    * Scale shape: pure scan-stage per-row expressions — zero exchanges
+    * beyond the verification sort; the filter runs at wire speed inside
+    * whole-stage codegen at any corpus size.
+    */
+  val gopherRules: Q = Q(
+    "q_gopher_rules",
+    (s, dir) => {
+      val toks = split(lower(col("text")), " ", -1)
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          (length(col("text")) - (size(toks) - 1)).cast("long").as("n_wchars"),
+          size(filter(toks, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          size(array_intersect(array_distinct(toks), array(StopWords.map(lit): _*)))
+            .cast("long")
+            .as("n_stop")
+        )
+        .withColumn("mean_len_x10", expr("(n_wchars * 10L) div n_words"))
+        .withColumn("alpha_ppm", expr("(n_alpha * 1000000L) div n_words"))
+        .withColumn("r_wordcount", when(col("n_words").between(5, 10000), 1).otherwise(0))
+        .withColumn("r_meanlen", when(col("mean_len_x10").between(30, 100), 1).otherwise(0))
+        .withColumn("r_alpha", when(col("alpha_ppm") >= 800000, 1).otherwise(0))
+        .withColumn("r_stop", when(col("n_stop") >= 2, 1).otherwise(0))
+        .withColumn(
+          "keep",
+          when(
+            col("r_wordcount") + col("r_meanlen") + col("r_alpha") + col("r_stop") === 4,
+            1
+          ).otherwise(0)
+        )
+        .select(
+          "doc_id", "n_words", "mean_len_x10", "alpha_ppm", "n_stop",
+          "r_wordcount", "r_meanlen", "r_alpha", "r_stop", "keep"
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""SELECT doc_id, n_words, mean_len_x10, alpha_ppm, n_stop,
+         |  r_wordcount, r_meanlen, r_alpha, r_stop,
+         |  CASE WHEN r_wordcount + r_meanlen + r_alpha + r_stop = 4 THEN 1 ELSE 0 END AS keep
+         |FROM (
+         |  SELECT *,
+         |    CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1 ELSE 0 END AS r_wordcount,
+         |    CASE WHEN mean_len_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS r_meanlen,
+         |    CASE WHEN alpha_ppm >= 800000 THEN 1 ELSE 0 END AS r_alpha,
+         |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+         |  FROM (
+         |    SELECT doc_id, n_words, n_wchars, n_alpha, n_stop,
+         |      (n_wchars * 10) // n_words AS mean_len_x10,
+         |      (n_alpha * 1000000) // n_words AS alpha_ppm
+         |    FROM (
+         |      SELECT doc_id,
+         |        CAST(len(t) AS BIGINT) AS n_words,
+         |        CAST(length(text) - (len(t) - 1) AS BIGINT) AS n_wchars,
+         |        CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_intersect(list_distinct(t), [${StopWords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS n_stop
+         |      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents))))
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — public
+    * method): split the corpus into head/middle/tail terciles by
+    * reference-LM score. CCNet computes quantile CUTOFFS once, then tags
+    * every document by comparison — exactly what is replayed here with
+    * the cutoffs as a 1-row broadcast (a global NTILE window would funnel
+    * the whole corpus through one task; the cutoff comparison is the
+    * scale-safe equivalent, identical up to quantile ties which
+    * `percentile_disc` resolves identically in both engines).
+    *
+    * Scale shape: per-doc scores reaggregate the ONE cached [[bigramTf]]
+    * grain (shared with q_lm_score/q_dsir_weights — no extra corpus
+    * scan); the exact discrete quantiles aggregate over the
+    * BOUNDED-CARDINALITY integer score domain (a frequency-map buffer,
+    * not a sort); tagging is a scan + 1-row broadcast crossJoin.
+    */
+  val ccnetBuckets: Q = Q(
+    "q_ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tf   = bigramTf(docs)
+      val c12  = tf.groupBy("bg").agg(sum("tf").as("c12"))
+      val c1   = c12.groupBy(substring(col("bg"), 1, 1).as("c")).agg(sum("c12").as("c1"))
+      val model = c12
+        .join(c1, substring(col("bg"), 1, 1) === col("c"))
+        .withColumn("bits", length(bin(expr("(c1 * 1048576) div c12"))) - 1)
+        .select("bg", "bits")
+      val scored = tf
+        .join(broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("bits")).as("bits_total"))
+        .withColumn("score_scaled", expr("(bits_total * 1000000) div n_bigrams"))
+        .select("doc_id", "score_scaled")
+      // percentile_disc returns DOUBLE in Spark; the selected element is an
+      // integer score (exact in a double far below 2^53), so the cast back
+      // to BIGINT is lossless and matches DuckDB's quantile_disc type
+      val cuts = scored.agg(
+        expr(
+          "CAST(percentile_disc(0.3333333333) WITHIN GROUP (ORDER BY score_scaled) AS BIGINT)"
+        ).as("c_lo"),
+        expr(
+          "CAST(percentile_disc(0.6666666667) WITHIN GROUP (ORDER BY score_scaled) AS BIGINT)"
+        ).as("c_hi")
+      )
+      scored
+        .crossJoin(broadcast(cuts))
+        .withColumn(
+          "bucket",
+          when(col("score_scaled") <= col("c_lo"), "head")
+            .when(col("score_scaled") <= col("c_hi"), "middle")
+            .otherwise("tail")
+        )
+        .select("doc_id", "score_scaled", "c_lo", "c_hi", "bucket")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(lower(text)) - 1, 0) + 1),
+        |                   i -> substr(lower(text), CAST(i AS INT), 2)) AS bgs
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, bg, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM ch) GROUP BY 1, 2),
+        |c12 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1),
+        |c1 AS (SELECT substr(bg, 1, 1) AS c, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |model AS (
+        |  SELECT bg, CAST(length(bin((c1 * 1048576) // c12)) - 1 AS INT) AS bits
+        |  FROM c12 JOIN c1 ON substr(bg, 1, 1) = c),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST((SUM(tf * bits) * 1000000) // SUM(tf) AS BIGINT) AS score_scaled
+        |  FROM tf JOIN model USING (bg) GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_disc(score_scaled, 0.3333333333) AS c_lo,
+        |         quantile_disc(score_scaled, 0.6666666667) AS c_hi
+        |  FROM scored)
+        |SELECT doc_id, score_scaled, c_lo, c_hi,
+        |  CASE WHEN score_scaled <= c_lo THEN 'head'
+        |       WHEN score_scaled <= c_hi THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored, cuts ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
-      pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur)
+      pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets)
 }
