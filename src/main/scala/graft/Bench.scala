@@ -50,6 +50,9 @@ object Bench {
       // would otherwise absorb the whole build into its timing.
       if (subsetNeeds(_ == "q_ann_ivf"))
         graft.ext.Ivf.indexFor(spark, sfDir)
+      // PQ codebook training is the same offline-build shape
+      if (subsetNeeds(_ == "q_ann_pq"))
+        graft.ext.Ivf.pqWarm(spark, sfDir)
       // the z-ordered lineitem layout is the same offline-build shape (a
       // lakehouse OPTIMIZE job); the probe query should time probes only
       if (subsetNeeds(_ == "q_zorder_probe"))

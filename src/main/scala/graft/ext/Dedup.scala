@@ -621,6 +621,65 @@ object Dedup {
     )
   )
 
+  /** Broder containment (Broder 1997, "On the resemblance and containment
+    * of documents" — the SECOND of the paper's two measures, next to the
+    * resemblance/Jaccard every other dedup query uses): per candidate
+    * pair, |S1∩S2|/|S1| and |S1∩S2|/|S2|. Containment catches ASYMMETRIC
+    * duplication that Jaccard dilutes — a short document quoted whole
+    * inside a much longer one has jaccard ≈ |small|/|large| (arbitrarily
+    * low) but containment ≈ 1 on the small side; exactly the
+    * excerpt/quotation/boilerplate-inclusion class a training-data
+    * pipeline must catch separately from whole-document near-dups.
+    * Emits candidate pairs where EITHER side's containment ≥ 0.6, with
+    * both directions reported.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — the same family-shared
+    * cached shingle sets and band-bucketed candidate generation (never
+    * all-pairs), per-pair array math with no extra shuffle. The LSH
+    * recall caveat is inherited and documented: banding is tuned for
+    * resemblance, so a small-in-huge inclusion whose signature bands
+    * never collide is not a candidate; production containment scans pair
+    * the band index with the [[graft.ext.Winnow]] fingerprint index,
+    * which q_shared_passages covers.
+    */
+  /** Directional-containment pairs over the band-bucketed candidates —
+    * the [[containment]] query body, callable on any documents frame
+    * (StressSpec feeds a constructed quote-inclusion corpus).
+    */
+  def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sets = shingleSets(docs)
+    candidatePairs(docs)
+      .join(sets.select(col("doc_id").as("d1"), col("sset").as("s1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sset").as("s2")), "d2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("c12", col("inter").cast("double") / size(col("s1")))
+      .withColumn("c21", col("inter").cast("double") / size(col("s2")))
+      .filter(col("c12") >= tau || col("c21") >= tau)
+      .select("d1", "d2", "inter", "c12", "c21")
+      .orderBy("d1", "d2")
+  }
+
+  val containment: Q = Q(
+    "q_containment",
+    (s, dir) => containmentPairs(Tables(s, dir).documents, 0.6),
+    Some(
+      s"""WITH sig AS ($sqlSigRep),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |sets AS ($sqlSets)
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(s1.sset, s2.sset)) AS BIGINT) AS inter,
+         |  CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) / len(s1.sset) AS c12,
+         |  CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) / len(s2.sset) AS c21
+         |FROM cand
+         |JOIN sets s1 ON s1.doc_id = d1
+         |JOIN sets s2 ON s2.doc_id = d2
+         |WHERE CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) / len(s1.sset) >= 0.6
+         |   OR CAST(len(list_intersect(s1.sset, s2.sset)) AS DOUBLE) / len(s2.sset) >= 0.6
+         |ORDER BY d1, d2""".stripMargin
+    )
+  )
+
   /** Connected components over the near-duplicate graph: each doc that
     * appears in any verified near-dup pair gets the MIN doc_id of its
     * component as `cluster_id` — the canonical "keep one per cluster" step
@@ -913,6 +972,78 @@ object Dedup {
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Keep-best-per-cluster survivor selection — the step AFTER clustering
+    * that every production dedup actually ships: within each near-dup
+    * cluster keep the highest-QUALITY member (here: longest text by
+    * n_chars, ties to the smallest doc_id), not the arbitrary min-id the
+    * cluster label happens to use. SemDeDup-style pipelines (Abbas et al.
+    * 2023 — public method) keep one representative per semantic cluster
+    * by exactly this kind of scoring rule; min-id keeps whichever copy
+    * was ingested first, which for truncated/expanded near-dups is often
+    * the WORST copy. Docs in no cluster are their own singleton and
+    * survive trivially.
+    *
+    * Scale shape: the cluster labels come from [[nearDupClusters]]
+    * (pair-bounded fixpoint); the full-corpus attach is one left join on
+    * doc_id; the survivor per cluster is a partial+final
+    * `max(struct(n_chars, -doc_id))` aggregate — a hot 100k-member
+    * cluster collapses map-side, never through a single window task —
+    * joined back on the same cluster_id exchange.
+    */
+  val clusterSurvivors: Q = Q(
+    "q_cluster_survivors",
+    (s, dir) => {
+      val docs   = Tables(s, dir).documents
+      val labels = nearDupClusters(docs, 0.2)
+      val full = docs
+        .select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val surv = full
+        .groupBy("cluster_id")
+        .agg(
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("best"),
+          count(lit(1)).as("n_members")
+        )
+        .select(
+          col("cluster_id"),
+          (-col("best.nid")).as("survivor_id"),
+          col("n_members")
+        )
+      full
+        .join(surv, "cluster_id")
+        .withColumn("keep", when(col("doc_id") === col("survivor_id"), 1).otherwise(0))
+        .select("doc_id", "cluster_id", "survivor_id", "n_members", "keep")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE sig AS ($sqlSig),
+         |bands AS ($sqlBands),
+         |cand AS ($sqlCand),
+         |sets AS ($sqlSets),
+         |pairs AS (${sqlPairs(0.2)}),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |f AS (
+         |  SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN lab USING (doc_id)),
+         |surv AS (
+         |  SELECT cluster_id, doc_id AS survivor_id, n_in AS n_members FROM (
+         |    SELECT cluster_id, doc_id, COUNT(*) OVER (PARTITION BY cluster_id) AS n_in,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM f) WHERE rn = 1)
+         |SELECT f.doc_id, f.cluster_id, surv.survivor_id, surv.n_members,
+         |  CASE WHEN f.doc_id = surv.survivor_id THEN 1 ELSE 0 END AS keep
+         |FROM f JOIN surv USING (cluster_id)
+         |ORDER BY f.doc_id""".stripMargin
     )
   )
 
@@ -1243,5 +1374,5 @@ object Dedup {
   )
 
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality, jaccardHistogram, softDedup)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality, jaccardHistogram, softDedup, containment, clusterSurvivors)
 }

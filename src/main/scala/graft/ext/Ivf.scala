@@ -387,5 +387,191 @@ object Ivf {
     Some(topicOracleSql(NCentroids, Iters))
   )
 
-  val all: Seq[Q] = Seq(annIvf, topicClusters)
+  // ---- product quantization (PQ) ---------------------------------------
+
+  /** PQ geometry: M subspaces of SubDim dims each (M·SubDim = 64, the
+    * fixture dim), K sub-centroids per subspace, 1 Lloyd's iteration per
+    * sub-codebook (keeps the full-replay oracle tractable; the fit
+    * machinery itself supports any iteration count).
+    */
+  val PqM       = 4
+  val PqSubDim  = 16
+  val PqK       = 16
+  val PqIters   = 1
+  val PqShort   = 50
+
+  private val pqModels =
+    scala.collection.mutable.Map.empty[String, Array[Array[(Int, Array[Long])]]]
+
+  /** Per-subspace codebooks: [[kmeansFit]] on each SubDim-slice of the
+    * integer-grid vectors (memoized per fixture dir — the offline
+    * codebook-training job of a production PQ index). Driver traffic per
+    * fit is K·SubDim integers per iteration, M fits total.
+    */
+  /** Warm-up hook: train (and memoize) the PQ codebooks for `dir` — the
+    * offline codebook-build analog of [[indexFor]], called by Bench so
+    * q_ann_pq timings measure the coding+ADC query path, not the fit.
+    */
+  def pqWarm(spark: SparkSession, dir: String): Unit = { pqCodebooks(spark, dir); () }
+
+  private def pqCodebooks(
+      spark: SparkSession,
+      dir: String): Array[Array[(Int, Array[Long])]] =
+    pqModels.synchronized {
+      pqModels.getOrElseUpdate(
+        dir, {
+          val q = quantized(Tables(spark, dir).embeddings)
+          (0 until PqM).map { s =>
+            val sub = q.select(
+              col("vec_id"),
+              slice(col("qv"), s * PqSubDim + 1, PqSubDim).as("qv")
+            )
+            kmeansFit(sub, PqK, PqIters)
+          }.toArray
+        }
+      )
+    }
+
+  private def subDist(sv: Column, cvec: Column): Column =
+    aggregate(
+      zip_with(sv, cvec, (a, b) => (a - b) * (a - b)),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search" — public method): the third
+    * quantized scale path next to IVF cells and SQ8. Each vector is coded
+    * as M sub-centroid ids (here 4×16 codes = 2 bytes/vector vs 256 bytes
+    * raw — the compression that lets a 100 TB corpus's index fit in
+    * memory); a query scores candidates through an Asymmetric Distance
+    * Computation lookup table (exact query→sub-centroid distances,
+    * computed once per subspace on the driver: M·K integers), shortlists
+    * the PqShort best ADC scores, and exact-cosine re-ranks only the
+    * shortlist.
+    *
+    * Determinism: codes and ADC distances live on the same int64 grid as
+    * the IVF fit (exact squared-L2, ties to the smallest cid), the LUT is
+    * M·K exact integers, and the ADC sum of M int64 terms is exact — so
+    * the DuckDB oracle replays the entire pipeline (M sub-fits unrolled,
+    * code assignment, in-SQL LUT, ADC ranking, re-rank) and the hash
+    * compare pins every stage.
+    *
+    * Scale shape: ONE scan of the vector table computes all M codes and
+    * the ADC score scan-stage (argmin over K centroid literals per
+    * subspace — no join, no shuffle); the shortlist is
+    * TakeOrderedAndProject (per-partition top-PqShort, tree-merged); the
+    * re-rank touches PqShort rows. Nothing driver-side scales with the
+    * corpus.
+    */
+  val annPq: Q = Q(
+    "q_ann_pq",
+    (s, dir) => {
+      val books = pqCodebooks(s, dir)
+      val q     = quantized(Tables(s, dir).embeddings)
+      val qRow = q
+        .filter(col("vec_id") === 0L)
+        .select("embedding", "qv")
+        .collect()(0)
+      val qEmb = qRow.getSeq[Float](0).toArray
+      val qQ   = qRow.getSeq[Long](1).toArray
+      // per-subspace ADC lookup tables: exact int64 query→centroid
+      // distances, cid order (M·K driver-side integers)
+      val luts: Array[Array[Long]] = Array.tabulate(PqM) { sub =>
+        val qs = qQ.slice(sub * PqSubDim, (sub + 1) * PqSubDim)
+        books(sub).sortBy(_._1).map { case (_, cv) => d2Local(qs, cv) }
+      }
+      val coded = (0 until PqM).foldLeft(q) { (df, sub) =>
+        val sv = slice(col("qv"), sub * PqSubDim + 1, PqSubDim)
+        val scored = transform(
+          centroidArrayLit(books(sub)),
+          c => struct(subDist(sv, c.getField("cvec")).as("d"), c.getField("cid").as("cid"))
+        )
+        df.withColumn(s"code$sub", array_min(scored).getField("cid"))
+      }
+      val adc = (0 until PqM)
+        .map(sub =>
+          element_at(
+            array(luts(sub).toIndexedSeq.map(lit): _*),
+            col(s"code$sub") + 1
+          )
+        )
+        .reduce(_ + _)
+      val qvLit = array(qEmb.toIndexedSeq.map(lit): _*)
+      coded
+        .withColumn("adist", adc)
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(PqShort)
+        .withColumn("cos", call_function("graft_cosine", col("embedding"), qvLit))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label")
+    },
+    Some(pqOracleSql(0L, 10))
+  )
+
+  /** Full PQ replay: M unrolled sub-codebook fits (head-sample init + one
+    * Lloyd's iteration each, the [[fitCtesSql]] pattern per slice), code
+    * assignment, the ADC LUT computed in SQL from the query row, the ADC
+    * shortlist, and the exact-cosine re-rank.
+    */
+  def pqOracleSql(queryId: Long, k: Int): String = {
+    def d2(v: String, c: String) = d2Sql(v, c)
+    def lo(s: Int)               = s * PqSubDim + 1
+    def hi(s: Int)               = (s + 1) * PqSubDim
+    val subCtes = (0 until PqM).flatMap { s =>
+      val assign0 =
+        s"""SELECT vec_id, sv, cid FROM (
+           |    SELECT q.vec_id, q.sv, c.cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${d2("q.sv", "c.cv")}, c.cid) AS rn
+           |    FROM qs$s q, pc0_$s c) WHERE rn = 1""".stripMargin
+      Seq(
+        s"qs$s AS (SELECT vec_id, qv[${lo(s)}:${hi(s)}] AS sv FROM q)",
+        s"""pc0_$s AS (
+           |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, sv AS cv
+           |  FROM (SELECT vec_id, sv FROM qs$s ORDER BY vec_id LIMIT $PqK))""".stripMargin,
+        s"pa0_$s AS ($assign0)",
+        s"""pm0_$s AS (
+           |  SELECT cid, generate_subscripts(sv, 1) AS d, unnest(sv) AS v FROM pa0_$s)""".stripMargin,
+        s"""pc1_$s AS (
+           |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+           |  FROM pc0_$s p LEFT JOIN (
+           |    SELECT cid, list(CAST(round(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY d) AS cv
+           |    FROM (SELECT cid, d, SUM(v) AS s, COUNT(*) AS n FROM pm0_$s GROUP BY cid, d)
+           |    GROUP BY cid) m ON m.cid = p.cid)""".stripMargin,
+        s"""code_$s AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT q.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${d2("q.sv", "c.cv")}, c.cid) AS rn
+           |    FROM qs$s q, pc1_$s c) WHERE rn = 1)""".stripMargin,
+        s"""lut_$s AS (
+           |  SELECT c.cid, ${d2("qq.sv", "c.cv")} AS d
+           |  FROM pc1_$s c, (SELECT sv FROM qs$s WHERE vec_id = $queryId) qq)""".stripMargin
+      )
+    }
+    val codeJoins = (1 until PqM).map(s => s"JOIN code_$s a$s USING (vec_id)").mkString(" ")
+    val lutJoins  = (0 until PqM).map(s => s"JOIN lut_$s l$s ON l$s.cid = a$s.cid").mkString(" ")
+    val adcSum    = (0 until PqM).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${subCtes.mkString(",\n")},
+       |adc AS (
+       |  SELECT a0.vec_id, $adcSum AS adist
+       |  FROM code_0 a0 $codeJoins $lutJoins),
+       |short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT $PqShort),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |qe AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = $queryId),
+       |sc AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_dot_product(e.v, qvec)
+       |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qvec, qvec))) AS cos
+       |  FROM short JOIN e USING (vec_id), qe)
+       |SELECT vec_id, label FROM sc ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(annIvf, topicClusters, annPq)
 }

@@ -692,5 +692,36 @@ object Similarity {
     Some(annRecallOracleSql(20, 10))
   )
 
-  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim, annRecallQ)
+  /** Embedding hubness audit (Radovanović et al. 2010, "Hubs in Space" —
+    * public method): how often each vector appears in OTHER vectors'
+    * k-NN lists (in-degree of the directed k-NN graph). High-dimensional
+    * embedding spaces concentrate: a few "hub" points show up in
+    * everyone's neighbor lists and poison both dedup (spurious near-dup
+    * clusters through the hub) and retrieval (the hub crowds out true
+    * neighbors) — this top-20 in-degree table is the standard
+    * embedding-quality check run before trusting an ANN index.
+    *
+    * Scale shape: reaggregates [[knnJoin]]'s k-NN graph (bucket-bounded
+    * candidates, derived plane count) — the output is ≤ k·n edges, the
+    * in-degree count is one partial+final aggregate on neighbor_id, and
+    * the top-20 is TakeOrderedAndProject. No new corpus-sized structure.
+    */
+  val knnHubness: Q = Q(
+    "q_knn_hubness",
+    (s, dir) =>
+      knnJoin(Tables(s, dir).embeddings, 3)
+        .groupBy("neighbor_id")
+        .agg(count(lit(1)).as("n_in"))
+        .orderBy(col("n_in").desc, col("neighbor_id"))
+        .limit(20),
+    Some(
+      s"""WITH knn AS (
+         |${knnJoinOracleSql(3)})
+         |SELECT neighbor_id, COUNT(*) AS n_in
+         |FROM knn GROUP BY 1
+         |ORDER BY n_in DESC, neighbor_id LIMIT 20""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim, annRecallQ, knnHubness)
 }

@@ -869,8 +869,47 @@ object Pipeline {
     )
   )
 
+  /** Cleaning-funnel attrition table: how many documents survive each
+    * successive gate of the [[cleanCorpus]] pipeline (language → quality →
+    * exact-dedup → near-dup) — the one-row report every production
+    * cleaning run publishes next to its output, because a gate that
+    * silently eats 40% of the corpus is a pipeline bug, not a quality
+    * win. Aggregates the SAME per-document audit view `q_clean_corpus`
+    * emits (one definition of every gate — the two queries cannot
+    * disagree), with each stage counted CUMULATIVELY in pipeline order.
+    *
+    * Scale shape: [[cleanCorpus]]'s plan (scan-stage gates + one
+    * fingerprint window + the pair-bounded drop join) feeding a single
+    * partial+final global aggregate — five integers cross the final
+    * exchange.
+    */
+  val cleanFunnel: Q = Q(
+    "q_clean_funnel",
+    (s, dir) =>
+      cleanCorpus
+        .fn(s, dir)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("lang_ok") && col("quality_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("lang_ok") && col("quality_ok") && col("exact_keep"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_final")
+        ),
+    cleanCorpus.oracle.map(cc =>
+      s"""WITH cc AS ($cc)
+         |SELECT COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(SUM(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN lang_ok AND quality_ok AND exact_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM cc""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
       seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule,
-      mixTemperature, decontamNgram)
+      mixTemperature, decontamNgram, cleanFunnel)
 }

@@ -1330,8 +1330,94 @@ object TextQueries {
     )
   )
 
+  /** Language-ID confusion matrix: the [[langId]] heuristic's prediction
+    * cross-tabulated against the fixture's labeled `lang` column — the
+    * precision/recall evaluation every classifier-gated pipeline stage
+    * needs before its threshold is trusted (a langid gate that silently
+    * drops 30% of one language skews the whole training mix). Counts per
+    * (truth, prediction) cell; the cells feed per-language precision and
+    * recall directly.
+    *
+    * Scale shape: the same scan-stage stopword-ratio expression as
+    * [[langId]] feeding a partial+final aggregate on the
+    * |langs|²-bounded cell grain — one narrow exchange at any corpus
+    * size.
+    */
+  val langidConfusion: Q = Q(
+    "q_langid_confusion",
+    (s, dir) => {
+      val toks = split(lower(col("text")), " ", -1)
+      Tables(s, dir).documents
+        .select(
+          col("lang"),
+          when(
+            size(toks) > lit(0) &&
+              size(filter(toks, x => x.isInCollection(StopWords))).cast("double") /
+              size(toks) >= 0.03,
+            "en"
+          ).otherwise("unk").as("lang_pred")
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    },
+    Some(
+      s"""SELECT lang, lang_pred, COUNT(*) AS n_docs
+         |FROM (
+         |  SELECT lang,
+         |    CASE WHEN tok_cnt > 0 AND CAST(stop_cnt AS DOUBLE) / tok_cnt >= 0.03
+         |         THEN 'en' ELSE 'unk' END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS tok_cnt,
+         |           CAST(SUM(CASE WHEN w IN $StopList THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
+         |    FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+         |          FROM documents)
+         |    GROUP BY doc_id))
+         |GROUP BY lang, lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin
+    )
+  )
+
+  /** Per-source sequence-length distribution: documents histogrammed into
+    * power-of-two token-count buckets (bucket = ⌊log₂ n_tok⌋ via the same
+    * `length(bin(x)) - 1` integer log both engines share with
+    * [[lmScore]]'s surprisal). The length histogram is what a packing
+    * planner ([[graft.queries.Pipeline]]'s q_seq_pack) and a
+    * context-length decision consume: the tail buckets say how many
+    * documents must be split at a given context size, the head buckets
+    * how much padding/packing waste short docs will cause.
+    *
+    * Scale shape: scan-stage arithmetic into a partial+final aggregate on
+    * (source, bucket) — |sources|·log(max_len) output rows, one narrow
+    * exchange at any corpus size.
+    */
+  val lengthHist: Q = Q(
+    "q_length_hist",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok")
+        )
+        .withColumn("len_bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+        .groupBy("source", "len_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+        .orderBy("source", "len_bucket"),
+    Some(
+      """SELECT source, len_bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM (
+        |  SELECT source, n_tok, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bucket
+        |  FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |        FROM documents))
+        |GROUP BY source, len_bucket
+        |ORDER BY source, len_bucket""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
-      pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets)
+      pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets, lengthHist,
+      langidConfusion)
 }

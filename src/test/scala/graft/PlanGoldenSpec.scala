@@ -40,7 +40,13 @@ class PlanGoldenSpec extends SparkSpec {
     "q_tpch_q8",
     "q_window_suite",
     "q_dedup_clusters",
-    "q_minhash_neardup"
+    "q_minhash_neardup",
+    // round 10: the two new heavy shapes — the auto-planed k-NN join (the
+    // round's headline scale fix; a regression back to fixed planes or a
+    // lost bucket join shows as a diff here) and the 5-gram decontam
+    // semi-join (the left-semi must never flip to a fan-out join)
+    "q_knn_join",
+    "q_decontam_ngram"
   )
 
   private def goldenFile(name: String) =

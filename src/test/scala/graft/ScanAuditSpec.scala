@@ -84,7 +84,15 @@ class ScanAuditSpec extends SparkSpec {
     ("q_ann_sq8", "embeddings")     -> 2,
     ("q_maxsim", "embeddings")      -> 2,
     ("q_embed_neardup", "embeddings") -> 2,
-    ("q_knn_join", "embeddings")    -> 2
+    ("q_knn_join", "embeddings")    -> 2,
+    // in-degree reaggregation of the same k-NN graph as q_knn_join
+    ("q_knn_hubness", "embeddings") -> 2,
+    // the pair graph derives from the cached dedup signature family (its
+    // scan is hidden inside the InMemoryRelation), but the full-corpus
+    // survivor attach is a second, DELIBERATE pass: a 2-column
+    // (doc_id, n_chars) pruned scan joined to the cluster labels — at
+    // scale it reads two narrow columns, not the text
+    ("q_cluster_survivors", "documents") -> 2
   )
 
   /** (query, table) -> allowed rows-read ratio where the intended plan
@@ -108,6 +116,7 @@ class ScanAuditSpec extends SparkSpec {
     ("q_maxsim", "embeddings")   -> 3.0,
     ("q_embed_neardup", "embeddings") -> 3.0,
     ("q_knn_join", "embeddings")      -> 3.0,
+    ("q_knn_hubness", "embeddings")   -> 3.0,
     ("q_tpch_q2", "nation")    -> 3.0,
     ("q_tpch_q2", "supplier")  -> 3.0,
     ("q_tpch_q20", "supplier") -> 3.0,

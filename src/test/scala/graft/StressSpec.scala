@@ -431,6 +431,37 @@ class StressSpec extends SparkSpec {
     assert(keptGlossary == graft.queries.TextQueries.CooccurDocTerms.toLong)
   }
 
+  test("decontam n-gram semi-join stays bounded under corpus-wide boilerplate grams") {
+    // the hazard for any gram-overlap scan is a boilerplate gram present
+    // in EVERY document: a pair-generating join would fan out to n_test ×
+    // n_train rows per shared gram. q_decontam_ngram's shape is immune by
+    // construction — the leak side is collapsed to DISTINCT grams (the
+    // universal gram is ONE row) and the test side LEFT SEMI probes it
+    // (never fans out) — and this proves it: wall on a fully boilerplated
+    // corpus stays within the pathology factor of the clean fixture, while
+    // every test doc is correctly flagged through the shared prefix.
+    val dir = s"$root/decontam"
+    StressGen.boilerplateCorpus(spark, base, dir, n = 300)
+    var tBase = timed("q_decontam_ngram", base)
+    var tBoil = timed("q_decontam_ngram", dir)
+    if (tBoil > Factor * math.max(tBase, 1.0)) {
+      info(f"retrying after suspicious first measurement (base=$tBase%.2fs boiler=$tBoil%.2fs)")
+      tBase = timed("q_decontam_ngram", base)
+      tBoil = timed("q_decontam_ngram", dir)
+    }
+    info(f"q_decontam_ngram: base=$tBase%.2fs boilerplated=$tBoil%.2fs")
+    assert(
+      tBoil <= Factor * math.max(tBase, 1.0),
+      f"boilerplate grams blew up the decontam scan: base=$tBase%.2fs boiler=$tBoil%.2fs"
+    )
+    val rows = SparkEntry.queries("q_decontam_ngram")(spark, dir).collect()
+    assert(rows.nonEmpty, "the boilerplated corpus must have test-split docs with grams")
+    assert(
+      rows.forall(_.getAs[Int]("flagged") == 1),
+      "every test doc shares the corpus-wide prefix and must be flagged"
+    )
+  }
+
   test("boilerplate prefix: segment dedup BEFORE MinHash collapses a quadratic candidate set") {
     // corpus-wide boilerplate is the pathology band buckets cannot defend
     // alone: a shared 64-word prefix lifts every pairwise shingle Jaccard
