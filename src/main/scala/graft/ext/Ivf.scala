@@ -42,6 +42,64 @@ object Ivf {
   val NProbe     = 4
   val Iters      = 2
 
+  /** Driver-collect ceiling on the coarse codebook: C·dim longs per
+    * iteration cross the driver (4096·64 ≈ 262k values ≈ 2 MiB — bounded).
+    * Beyond it a production index goes two-level (a coarse quantizer over
+    * the centroids themselves); documented, not needed below ~10⁹ vectors.
+    */
+  val MaxCentroids = 4096
+
+  /** Lloyd's iterations run on at most FitSampleMult·C sample vectors (the
+    * standard k-means training bound — FAISS trains its coarse quantizer
+    * on a sample for the same reason); every fixture corpus is smaller
+    * than the bound, so sample ≡ corpus at test scale and the oracle's
+    * replay of the cap is a no-op there.
+    */
+  val FitSampleMult = 128L
+
+  /** Coarse-quantizer sizing, derived per corpus (the IVF analog of
+    * [[Similarity.derivedPlanes]]): C = clamp(ceil(√n), [NCentroids,
+    * MaxCentroids]) — the classical IVF rule. A FIXED C means per-cell
+    * occupancy n/C grows linearly with the corpus and a probe reads a
+    * constant FRACTION of the data (nProbe/C — linear per query at any
+    * scale); √n keeps occupancy at √n, so with [[derivedProbe]] a probe
+    * reads ~n^(3/4) rows and the fit's assignment stage costs n·√n
+    * bounded by the fit sample. ceil(sqrt(x)) on an exact integer-valued
+    * double is identical IEEE arithmetic in both engines.
+    */
+  def derivedCentroids(n: Long): Int = {
+    val c = math.ceil(math.sqrt(n.toDouble)).toLong
+    math.min(MaxCentroids.toLong, math.max(NCentroids.toLong, c)).toInt
+  }
+
+  /** Probe width scales as √C (so the probed fraction √C/C shrinks as the
+    * corpus grows instead of staying constant), floored at [[NProbe]].
+    */
+  def derivedProbe(c: Int): Int =
+    math.max(NProbe, math.ceil(math.sqrt(c.toDouble)).toInt)
+
+  /** Corpus count for centroid derivation — memoized on the analyzed
+    * plan's semantic hash (the [[Similarity]] countMemo discipline).
+    */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  private def vecCount(emb: DataFrame): Long =
+    countMemo
+      .computeIfAbsent(emb.queryExecution.analyzed.semanticHash(), _ => emb.count())
+      .longValue()
+
+  /** Deterministic hash-ordered fit sample: at most [[FitSampleMult]]·C
+    * vectors participate in the Lloyd's iterations, chosen by md5 of the
+    * decimal vec_id (the split-assign hashing discipline — engine-agnostic
+    * and replayed verbatim in the oracle's `fs` CTE). Fixture corpora are
+    * all under the cap, so the sample is the whole corpus at test scale.
+    */
+  def fitSample(q: DataFrame, nCentroids: Int): DataFrame = {
+    val cap = (FitSampleMult * nCentroids).min(Int.MaxValue.toLong).toInt
+    q.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(cap)
+  }
+
   /** embeddings + `qv`: int64-quantized embedding. `round` is
     * half-away-from-zero on ties in BOTH engines (Spark HALF_UP on the
     * shortest-decimal double, DuckDB on the binary double — these agree:
@@ -54,14 +112,14 @@ object Ivf {
     )
 
   /** Exact int64 squared-L2 between the row's `qv` and a centroid literal. */
-  private def qdist(cvec: Column): Column =
+  private[ext] def qdist(cvec: Column): Column =
     aggregate(
       zip_with(col("qv"), cvec, (a, b) => (a - b) * (a - b)),
       lit(0L),
       (acc, x) => acc + x
     )
 
-  private def centroidArrayLit(centroids: Array[(Int, Array[Long])]): Column =
+  private[ext] def centroidArrayLit(centroids: Array[(Int, Array[Long])]): Column =
     array(centroids.toIndexedSeq.map { case (i, v) =>
       struct(lit(i).as("cid"), array(v.toIndexedSeq.map(lit): _*).as("cvec"))
     }: _*)
@@ -161,7 +219,8 @@ object Ivf {
     built.getOrElseUpdate(
       dir, {
         val q         = quantized(Tables(spark, dir).embeddings)
-        val centroids = kmeansFit(q, NCentroids, Iters)
+        val c         = derivedCentroids(vecCount(q))
+        val centroids = kmeansFit(fitSample(q, c), c, Iters)
         val digest    = java.security.MessageDigest.getInstance("MD5")
         val tag       = digest.digest(dir.getBytes).map("%02x".format(_)).mkString.take(12)
         // pid in the path: the index is per-JVM (the memo above is), so two
@@ -193,7 +252,8 @@ object Ivf {
   /** Probe-only query over a built index: pick the `nProbe` cells nearest
     * to the query (C integer distances on the driver), scan ONLY those cid
     * partitions, exact-cosine re-rank (codegen'd `graft_cosine`) into a
-    * TakeOrderedAndProject top-k.
+    * TakeOrderedAndProject top-k. `nProbe <= 0` derives the width from the
+    * index's centroid count ([[derivedProbe]]).
     */
   def probe(
       spark: SparkSession,
@@ -201,12 +261,13 @@ object Ivf {
       queryEmb: Array[Float],
       queryQ: Array[Long],
       k: Int,
-      nProbe: Int = NProbe
+      nProbe: Int = -1
   ): DataFrame = {
+    val np = if (nProbe > 0) nProbe else derivedProbe(index.centroids.length)
     val probes = index.centroids
       .map { case (cid, v) => (d2Local(queryQ, v), cid) }
       .sorted // (distance, cid): ties to the smallest cid
-      .take(nProbe)
+      .take(np)
       .map(_._2)
       .toSeq
     val qvLit = array(queryEmb.toIndexedSeq.map(lit): _*)
@@ -223,24 +284,27 @@ object Ivf {
   /** Inline IVF top-k (fit + assign + probe in one lineage, no persisted
     * index) — the ExtSpec surface; the registered query goes through
     * [[indexFor]]/[[probe]] instead so the bench pays probe cost only.
+    * `nCentroids`/`nProbe <= 0` derive per corpus, matching [[indexFor]].
     */
   def ivfTopK(
       emb: DataFrame,
       queryId: Long,
       k: Int,
-      nCentroids: Int = NCentroids,
-      nProbe: Int = NProbe,
+      nCentroids: Int = -1,
+      nProbe: Int = -1,
       iters: Int = Iters
   ): DataFrame = {
     val q         = quantized(emb)
-    val centroids = kmeansFit(q, nCentroids, iters)
+    val c         = if (nCentroids > 0) nCentroids else derivedCentroids(vecCount(q))
+    val np        = if (nProbe > 0) nProbe else derivedProbe(c)
+    val centroids = kmeansFit(fitSample(q, c), c, iters)
     val qRow      = q.filter(col("vec_id") === queryId).select("embedding", "qv").collect()(0)
     val qEmb      = qRow.getSeq[Float](0).toArray
     val qQ        = qRow.getSeq[Long](1).toArray
     val probes = centroids
       .map { case (cid, v) => (d2Local(qQ, v), cid) }
       .sorted
-      .take(nProbe)
+      .take(np)
       .map(_._2)
       .toSeq
     val qvLit = array(qEmb.toIndexedSeq.map(lit): _*)
@@ -263,23 +327,29 @@ object Ivf {
     * engines; the only floating-point steps (mean division + cosine) are
     * single IEEE ops on identical inputs.
     */
-  private def d2Sql(v: String, c: String) =
+  private[ext] def d2Sql(v: String, c: String) =
     s"list_sum(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
 
-  /** The shared fit-replay prefix (quantize → head-sample init → `iters`
-    * unrolled Lloyd's iterations): the CTE body both IVF oracles compose.
-    * Returns (cte text, name of the fitted-centroid CTE).
+  /** The shared fit-replay prefix (quantize → derived C (`nc`) → hash-
+    * ordered fit sample (`fs`, a no-op cap at fixture scale) → sample-head
+    * init → `iters` unrolled Lloyd's iterations over the sample): the CTE
+    * body both IVF oracles compose. C and the probe width replay
+    * [[derivedCentroids]]/[[derivedProbe]] from COUNT(*) — same integer /
+    * single-IEEE-sqrt arithmetic in both engines, the
+    * [[Similarity]] `planesCte` discipline. Returns (cte text, name of the
+    * fitted-centroid CTE); the prefix also defines `np` (derived probe
+    * width) for the ANN oracle.
     */
-  private def fitCtesSql(nCentroids: Int, iters: Int): (String, String) = {
-    def assignCte(prev: String) =
+  private[ext] def fitCtesSql(iters: Int): (String, String) = {
+    def assignCte(src: String, prev: String) =
       s"""SELECT vec_id, qv, cid FROM (
          |    SELECT q.vec_id, q.qv, c.cid,
          |      row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
-         |    FROM q, $prev c) WHERE rn = 1""".stripMargin
+         |    FROM $src q, $prev c) WHERE rn = 1""".stripMargin
     val iterCtes = (0 until iters).flatMap { it =>
       Seq(
-        s"a$it AS (${assignCte(s"c$it")})",
+        s"a$it AS (${assignCte("fs", s"c$it")})",
         s"""m$it AS (
            |  SELECT cid, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM a$it)""".stripMargin,
         s"""c${it + 1} AS (
@@ -295,14 +365,30 @@ object Ivf {
          |  SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
          |  FROM embeddings),
+         |nc AS (
+         |  SELECT GREATEST($NCentroids, LEAST($MaxCentroids,
+         |    CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS c
+         |  FROM q),
+         |np AS (
+         |  SELECT GREATEST($NProbe,
+         |    CAST(ceil(sqrt(CAST(nc.c AS DOUBLE))) AS BIGINT)) AS v
+         |  FROM nc),
+         |fs AS (
+         |  SELECT vec_id, qv FROM (
+         |    SELECT vec_id, qv,
+         |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+         |    FROM q), nc
+         |  WHERE srn <= $FitSampleMult * nc.c),
          |c0 AS (
-         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
-         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $nCentroids)),
+         |  SELECT cid, cv FROM (
+         |    SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
+         |    FROM fs), nc
+         |  WHERE cid < nc.c),
          |${iterCtes.mkString(",\n")}""".stripMargin
     (prefix, s"c$iters")
   }
 
-  def oracleSql(queryId: Long, k: Int, nCentroids: Int, nProbe: Int, iters: Int): String = {
+  def oracleSql(queryId: Long, k: Int, iters: Int): String = {
     def d2(v: String, c: String) = d2Sql(v, c)
     def assignCte(prev: String) =
       s"""SELECT vec_id, qv, cid FROM (
@@ -310,12 +396,15 @@ object Ivf {
          |      row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY ${d2("q.qv", "c.cv")}, c.cid) AS rn
          |    FROM q, $prev c) WHERE rn = 1""".stripMargin
-    val (fitPrefix, fitted) = fitCtesSql(nCentroids, iters)
+    val (fitPrefix, fitted) = fitCtesSql(iters)
     s"""WITH $fitPrefix,
        |qq AS (SELECT qv FROM q WHERE vec_id = $queryId),
        |probes AS (
-       |  SELECT c.cid FROM $fitted c, qq
-       |  ORDER BY ${d2("qq.qv", "c.cv")}, c.cid LIMIT $nProbe),
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (ORDER BY ${d2("qq.qv", "c.cv")}, c.cid) AS prn
+       |    FROM $fitted c, qq), np
+       |  WHERE prn <= np.v),
        |af AS (${assignCte(fitted)}),
        |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |qe AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = $queryId),
@@ -341,7 +430,7 @@ object Ivf {
         .collect()(0)
       probe(s, index, qRow.getSeq[Float](0).toArray, qRow.getSeq[Long](1).toArray, k = 10)
     },
-    Some(oracleSql(0L, 10, NCentroids, NProbe, Iters))
+    Some(oracleSql(0L, 10, Iters))
   )
 
   /** Oracle for [[topicClusters]]: the same full k-means replay as the ANN
@@ -349,8 +438,8 @@ object Ivf {
     * (cid, label) count — a fit regression changes the mixture and flips
     * the hash.
     */
-  def topicOracleSql(nCentroids: Int, iters: Int): String = {
-    val (fitPrefix, fitted) = fitCtesSql(nCentroids, iters)
+  def topicOracleSql(iters: Int): String = {
+    val (fitPrefix, fitted) = fitCtesSql(iters)
     s"""WITH $fitPrefix,
        |af AS (
        |  SELECT vec_id, cid FROM (
@@ -384,7 +473,7 @@ object Ivf {
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy("cid", "label")
     },
-    Some(topicOracleSql(NCentroids, Iters))
+    Some(topicOracleSql(Iters))
   )
 
   // ---- product quantization (PQ) ---------------------------------------

@@ -1081,6 +1081,131 @@ object TextQueries {
     Some(bpeEncodeOracleSql(BpeMergeIters))
   )
 
+  /** Tokenizer-fertility audit — chars-per-token and tokens-per-word by
+    * source, under the SAME trained tokenizer as [[bpeEncode]]: the
+    * cross-domain efficiency table a context-budgeted pretraining mix
+    * reads before weighting sources (a domain whose text costs 2× the
+    * tokens per char buys half the content per context window; C4/Gopher
+    * descendants publish exactly this per-source fertility table). Ratios
+    * are integer ppm with a guarded denominator (`greatest(x, 1)` in both
+    * engines — the non-ANSI-div-vs-DuckDB-raise trap).
+    *
+    * Scale shape: pure reaggregation — the per-doc grain is the
+    * [[bpeEncode]] plan (cached [[docTermTf]] joined to the vocab-sized
+    * symbol table; n_words falls out of the SAME aggregate as sum(tf),
+    * costing nothing extra), and the per-source rollup joins the 3-column
+    * documents projection and exchanges |sources| rows.
+    */
+  val tokenFertility: Q = Q(
+    "q_token_fertility",
+    (s, dir) => {
+      val (_, vocab) = bpeTrain(s, dir)
+      val tf         = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      val perTerm = vocab.select(
+        col("term"),
+        size(split(trim(col("w")), "  ")).cast("long").as("n_sym")
+      )
+      val perDoc = tf
+        .join(perTerm, Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf") * coalesce(col("n_sym"), length(col("term")).cast("long")))
+            .as("n_bpe"),
+          sum(col("tf")).as("n_words")
+        )
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(perDoc, "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_bpe").as("n_bpe_tokens"),
+          sum("n_words").as("n_words"),
+          sum("n_chars").as("n_chars")
+        )
+        .withColumn(
+          "chars_per_token_ppm",
+          expr("(n_chars * 1000000L) div greatest(n_bpe_tokens, 1L)")
+        )
+        .withColumn(
+          "tokens_per_word_ppm",
+          expr("(n_bpe_tokens * 1000000L) div greatest(n_words, 1L)")
+        )
+        .orderBy("source")
+    },
+    Some(
+      s"""${bpeStepsSql(BpeMergeIters)},
+         |enc AS (SELECT t, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+         |        FROM w$BpeMergeIters),
+         |dtf AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(tf * COALESCE(n_sym, length(t))) AS BIGINT) AS n_bpe,
+         |    CAST(SUM(tf) AS BIGINT) AS n_words
+         |  FROM dtf LEFT JOIN enc USING (t) GROUP BY doc_id)
+         |SELECT source, n_docs, n_bpe_tokens, n_words, n_chars,
+         |  (n_chars * 1000000) // GREATEST(n_bpe_tokens, 1) AS chars_per_token_ppm,
+         |  (n_bpe_tokens * 1000000) // GREATEST(n_words, 1) AS tokens_per_word_ppm
+         |FROM (
+         |  SELECT d.source, COUNT(*) AS n_docs,
+         |    CAST(SUM(pd.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+         |    CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+         |  FROM documents d JOIN pd USING (doc_id)
+         |  GROUP BY d.source)
+         |ORDER BY source""".stripMargin
+    )
+  )
+
+  /** Placeholder blocklist standing in for a content-policy wordlist (the
+    * C4 pipeline's "List of Dirty, Naughty, Obscene..." gate — Raffel et
+    * al. 2020 drop any page containing any listed word). The terms here
+    * are fixture-vocabulary stand-ins; the operator is the configurable
+    * gate, not the list.
+    */
+  private val Blocklist    = Seq("dup", "spill", "leak")
+  private val BlocklistSql = Blocklist.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** C4-style blocklist gate: per-document blocked-term occurrence and
+    * distinct-term counts plus the drop verdict (any hit ⇒ blocked).
+    * Emitted as an auditable verdict column rather than a silent filter —
+    * the [[gopherRules]] discipline — so downstream consumers can count
+    * attrition before committing to the drop.
+    *
+    * Scale shape: one scan-stage filter over the token array per row
+    * (no explode, no shuffle — the aggregate-free dual of the oracle's
+    * unnest+GROUP BY), ordered output only for the gate's dump.
+    */
+  val blocklistGate: Q = Q(
+    "q_blocklist",
+    (s, dir) => {
+      val toks = split(lower(col("text")), " ", -1)
+      val hits = filter(toks, w => w.isInCollection(Blocklist))
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          size(hits).as("n_blocked_occ"),
+          size(array_distinct(hits)).as("n_blocked_terms"),
+          when(size(hits) > 0, 1).otherwise(0).as("blocked")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""SELECT doc_id,
+         |  CAST(SUM(CASE WHEN w IN $BlocklistSql THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_blocked_occ,
+         |  CAST(COUNT(DISTINCT CASE WHEN w IN $BlocklistSql THEN w END) AS INTEGER)
+         |    AS n_blocked_terms,
+         |  CAST(CASE WHEN SUM(CASE WHEN w IN $BlocklistSql THEN 1 ELSE 0 END) > 0
+         |       THEN 1 ELSE 0 END AS INTEGER) AS blocked
+         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Per-document distinct-term cap for [[cooccur]]'s basket self-join —
     * bounds the worst-case per-doc pair fan-out at C(256,2) ≈ 32k rows.
     */
@@ -1419,5 +1544,5 @@ object TextQueries {
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets, lengthHist,
-      langidConfusion)
+      langidConfusion, tokenFertility, blocklistGate)
 }

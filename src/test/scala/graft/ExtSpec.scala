@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, SimHash, Similarity}
+import graft.ext.{Dedup, Multimodal, SemDedup, SimHash, Similarity}
 import graft.core.Tables
 
 /** Behavioral specs for the LLM-pipeline extension operators. */
@@ -303,6 +303,38 @@ class ExtSpec extends SparkSpec {
     // cells); a 50-row shortlist over the fixture then exact re-rank keeps
     // comfortable overlap with brute force
     assert((exact intersect got).size >= 3, s"recall too low: ${(exact intersect got).size}/10")
+  }
+
+  test("semdedup: dominance rule keeps exactly the far-from-centroid survivors") {
+    val verdict = graft.queries.Registry.queries("q_semdedup")(spark, sf).collect()
+    val byId    = verdict.map(r => r.getLong(0) -> r).toMap
+    // every vector with no same-cluster tau-neighbor survives trivially
+    verdict.foreach(r => if (r.getLong(3) == 0L) assert(r.getInt(4) == 1))
+    // a same-cluster tau-pair can never BOTH survive (one dominates)
+    val pairs = Similarity
+      .nearDupPairs(Tables(spark, sf).embeddings, SemDedup.SemTau)
+      .select("v1", "v2")
+      .collect()
+    var sameCluster = 0
+    pairs.foreach { p =>
+      val a = byId(p.getLong(0)); val b = byId(p.getLong(1))
+      if (a.getInt(1) == b.getInt(1)) {
+        sameCluster += 1
+        assert(a.getInt(4) == 0 || b.getInt(4) == 0, s"pair ${p} fully survived")
+      }
+    }
+    // the farthest-from-centroid member of each cluster's dup graph has no
+    // dominator by construction and MUST survive (the SemDeDup keep-rule)
+    verdict.groupBy(_.getInt(1)).foreach { case (_, vs) =>
+      val withN = vs.filter(_.getLong(3) > 0L)
+      if (withN.nonEmpty) {
+        val far = withN.maxBy(r => (r.getLong(2), -r.getLong(0)))
+        assert(far.getInt(4) == 1, s"farthest dup member ${far.getLong(0)} was dropped")
+      }
+    }
+    val dropped = verdict.count(_.getInt(4) == 0)
+    info(s"same-cluster pairs: $sameCluster; dropped: $dropped/${verdict.length}")
+    assert(dropped >= 1, "fixture must exercise at least one semantic drop")
   }
 
   test("mp4Meta parses canonical and v1-mvhd ISO-BMFF headers, rejects non-MP4") {

@@ -138,6 +138,8 @@ class GraphSpec extends SparkSpec {
     val nVec = graft.core.Tables(spark, sf).embeddings.count()
     assert(tot == nVec, s"mixture covers $tot of $nVec vectors")
     val cids = mix.select("cid").distinct().collect().map(_.getInt(0))
-    assert(cids.forall(c => c >= 0 && c < graft.ext.Ivf.NCentroids))
+    // C is derived per corpus (clamp(ceil(sqrt(n)), [NCentroids, MaxCentroids]))
+    val c    = graft.ext.Ivf.derivedCentroids(nVec)
+    assert(cids.forall(cid => cid >= 0 && cid < c), s"cid out of [0, $c)")
   }
 }

@@ -92,7 +92,11 @@ class ScanAuditSpec extends SparkSpec {
     // survivor attach is a second, DELIBERATE pass: a 2-column
     // (doc_id, n_chars) pruned scan joined to the cluster labels — at
     // scale it reads two narrow columns, not the text
-    ("q_cluster_survivors", "documents") -> 2
+    ("q_cluster_survivors", "documents") -> 2,
+    // the LSH pair layer's two-sided bucket self-join (the q_embed_neardup
+    // shape); the cluster/d2 side reads the PERSISTED index parquet, not
+    // the embeddings table
+    ("q_semdedup", "embeddings") -> 2
   )
 
   /** (query, table) -> allowed rows-read ratio where the intended plan
@@ -117,6 +121,7 @@ class ScanAuditSpec extends SparkSpec {
     ("q_embed_neardup", "embeddings") -> 3.0,
     ("q_knn_join", "embeddings")      -> 3.0,
     ("q_knn_hubness", "embeddings")   -> 3.0,
+    ("q_semdedup", "embeddings")      -> 3.0,
     ("q_tpch_q2", "nation")    -> 3.0,
     ("q_tpch_q2", "supplier")  -> 3.0,
     ("q_tpch_q20", "supplier") -> 3.0,
