@@ -48,7 +48,7 @@ object Bench {
       // signature/gram caches (production: the materialized append-only
       // band index described in ext/Dedup.scala). The first probing query
       // would otherwise absorb the whole build into its timing.
-      if (subsetNeeds(_ == "q_ann_ivf"))
+      if (subsetNeeds(n => n == "q_ann_ivf" || n == "q_topic_clusters" || n == "q_semdedup"))
         graft.ext.Ivf.indexFor(spark, sfDir)
       // PQ codebook training is the same offline-build shape
       if (subsetNeeds(_ == "q_ann_pq"))

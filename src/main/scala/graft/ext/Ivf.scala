@@ -9,15 +9,18 @@ import graft.queries.Q
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
   * path next to sign-LSH ([[Similarity]]):
   *
-  *   1. index build: Lloyd's k-means picks `nCentroids` coarse centroids;
+  *   1. index build: Lloyd's k-means picks C = [[derivedCentroids]](n)
+  *      coarse centroids (clamp(ceil(√n), [16, 4096]) — the classical IVF
+  *      sizing, derived per corpus like [[Similarity.derivedPlanes]]);
   *      every vector is assigned to its nearest centroid and the assigned
   *      table is WRITTEN PARTITIONED BY `cid`
   *      ([[graft.sources.Sources.writeParquetCompacted]]) so probing prunes
   *      whole partitions at the file-listing level (asserted in PlanSpec).
   *   2. query: score the query vector against the centroids (driver-side —
-  *      `C` values), probe the `nProbe` nearest cells, exact-cosine re-rank
-  *      only the vectors in those cells: a pruned scan +
-  *      TakeOrderedAndProject, reading ~`nProbe/C` of the data.
+  *      `C` values), probe the [[derivedProbe]](C) = ceil(√C) nearest
+  *      cells, exact-cosine re-rank only the vectors in those cells: a
+  *      pruned scan + TakeOrderedAndProject, reading ~n^(3/4) rows instead
+  *      of the constant nProbe/C FRACTION a fixed C would cost.
   *
   * Determinism (what makes the DuckDB oracle possible): the fit runs on the
   * integer grid `round(x·10^6)`. Assignment is exact int64 squared-L2 with

@@ -908,8 +908,72 @@ object Pipeline {
     )
   )
 
+  /** Data-constrained epoch planning (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models" — public method): when the token
+    * budget exceeds the corpus, sources must REPEAT, and repeating beyond
+    * ~4 epochs returns almost nothing — so the plan allocates the budget
+    * across sources by mixture weight, converts each allocation to epochs
+    * over that source's unique tokens, caps at 4 epochs (400 centi-epochs),
+    * and reports the SERVED tokens plus the gap the cap leaves unfilled
+    * (the "data wall": budget that cannot be spent on that source without
+    * diminishing-returns repetition). Budget = 3× the corpus here so the
+    * fixture actually exercises the repetition regime.
+    *
+    * All integer arithmetic (centi-epochs, guarded denominators), so the
+    * plan is hash-checked exactly.
+    *
+    * Scale shape: the per-source token grain is one partial+final
+    * aggregate over the documents scan; everything after runs on the
+    * |sources|-row metadata grain with a 1-row broadcast total — the
+    * [[mixSchedule]] discipline, no global window, nothing driver-side.
+    */
+  val epochPlan: Q = Q(
+    "q_epoch_plan",
+    (s, dir) => {
+      val bySrc = graft.core.Cached.frame(
+        Tables(s, dir).documents
+          .select(
+            col("source"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")
+          )
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+          .withColumn("w", expr("1 + (CAST(substring(source, 4, 10) AS INT) % 8)"))
+      )
+      val tot = bySrc.agg(sum("n_tok").as("n_total"), sum("w").as("wsum"))
+      bySrc
+        .crossJoin(broadcast(tot))
+        .withColumn("alloc_tok", expr("((3L * n_total) * w) div wsum"))
+        .withColumn(
+          "epochs_centi",
+          expr("least(400L, (alloc_tok * 100L) div greatest(n_tok, 1L))")
+        )
+        .withColumn("served_tok", expr("least(alloc_tok, 4L * n_tok)"))
+        .withColumn("gap_tok", expr("alloc_tok - served_tok"))
+        .select("source", "n_docs", "n_tok", "w", "alloc_tok", "epochs_centi",
+          "served_tok", "gap_tok")
+        .orderBy("source")
+    },
+    Some(
+      """WITH bysrc AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        |    CAST(1 + (CAST(substr(source, 4) AS INT) % 8) AS INTEGER) AS w
+        |  FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |        FROM documents)
+        |  GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total,
+        |               CAST(SUM(w) AS BIGINT) AS wsum FROM bysrc)
+        |SELECT source, n_docs, n_tok, w, alloc_tok,
+        |  LEAST(400, (alloc_tok * 100) // GREATEST(n_tok, 1)) AS epochs_centi,
+        |  LEAST(alloc_tok, 4 * n_tok) AS served_tok,
+        |  alloc_tok - LEAST(alloc_tok, 4 * n_tok) AS gap_tok
+        |FROM (SELECT b.*, ((3 * n_total) * w) // wsum AS alloc_tok FROM bysrc b, tot)
+        |ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
       seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule,
-      mixTemperature, decontamNgram, cleanFunnel)
+      mixTemperature, decontamNgram, cleanFunnel, epochPlan)
 }
