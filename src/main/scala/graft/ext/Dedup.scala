@@ -922,10 +922,21 @@ object Dedup {
     (s, dir) => {
       val docs  = Tables(s, dir).documents
       val texts = docs.select(col("doc_id"), col("text"))
+      // rel <= 0.4 with integer dist is EXACTLY dist <= (4*maxlen) div 10,
+      // so the banded/early-abandon Levenshtein (threshold variant —
+      // O(len*bound) instead of O(len^2), returning -1 beyond the bound)
+      // computes the same kept set with the same exact distances; the -1
+      // sentinel rows are the pairs the unbounded version would have
+      // filtered on rel. The double filter is kept for the emitted rel.
       candidatePairs(docs)
         .join(texts.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(texts.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
-        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .withColumn(
+          "bound",
+          expr("CAST((greatest(length(t1), length(t2)) * 4L) div 10L AS INT)")
+        )
+        .withColumn("dist", expr("levenshtein(t1, t2, bound)").cast("long"))
+        .filter(col("dist") >= 0L)
         .withColumn(
           "rel",
           col("dist").cast("double") / greatest(length(col("t1")), length(col("t2")))
