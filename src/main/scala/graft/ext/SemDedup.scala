@@ -27,6 +27,11 @@ import graft.queries.Q
   *     This is what keeps the operator linear at 100 TB: within-cluster
   *     pairing via LSH buckets costs O(n·occupancy), never the
   *     per-cluster all-pairs O((n/C)²·C) a naive SemDeDup join would.
+  *     The inherited trade, stated plainly: a same-cluster duplicate pair
+  *     whose signatures never share a bucket in any table is not a
+  *     candidate — the same measured banding-recall trade as
+  *     `q_embed_neardup`/`q_ann_recall`, audited there, in exchange for
+  *     never materializing a cluster-sized quadratic.
   *   - survivor rule (deterministic, order-independent): drop v iff some
   *     same-cluster τ-neighbor u dominates it — u is farther from the
   *     centroid (d2_u > d2_v), ties to the smaller vec_id. Exactly one

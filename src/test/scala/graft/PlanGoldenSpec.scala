@@ -76,8 +76,19 @@ class PlanGoldenSpec extends SparkSpec {
       .mkString("\n")
       .trim
 
+  /** Queries whose registered fn only READS a session-materialized artifact
+    * (the indexFor discipline): the golden pins the artifact's BUILD plan —
+    * the job where a regression (fixed planes, lost bucket join) would
+    * actually cost — not the trivial probe read.
+    */
+  private val BuildPlans: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "q_knn_join" -> ((s, dir) =>
+        graft.ext.Similarity.knnJoin(graft.core.Tables(s, dir).embeddings, graft.ext.Similarity.KnnK))
+    )
+
   for (name <- Pinned) test(s"plan golden: $name") {
-    val df        = SparkEntry.queries(name)(spark, sf)
+    val df        = BuildPlans.getOrElse(name, SparkEntry.queries(name))(spark, sf)
     val formatted = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val norm      = normalize(formatted)
     val f         = goldenFile(name)
