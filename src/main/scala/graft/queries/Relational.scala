@@ -1555,14 +1555,22 @@ object Relational {
     * percentile_disc's ObjectAggregate buffers a value→count map of the
     * whole group in one executor's heap — no spill path, so a hot group at
     * 100 TB is an OOM, and even at sf0.1 the buffer build dominated this
-    * query's bench time (2.5 s steady-state; this form ~1 s). Here the
-    * group is rank-numbered by a window over a sort that DOES spill, and
-    * `percentile_disc(q)` ≡ the value at 1-indexed position ⌈q·n⌉ of the
-    * sorted group (smallest value whose cume_dist ≥ q) is picked by one
-    * conditional aggregate. Rank targets use integer ceil arithmetic
-    * (`(a + b − 1) div b`), bit-identical in any engine. The window, the
-    * count, and the sketch all ride the one flag-partitioned exchange —
-    * single scan, single shuffle.
+    * query's bench time. The rank pick itself is DISTRIBUTED order
+    * statistics (round 10; the single `Window.partitionBy(flag)` form
+    * before it serialized each flag's sort onto ONE task — 19 s at the
+    * 10× gate with |flags| = 3): approximate decile bounds per flag
+    * (percentile_approx — their ACCURACY is irrelevant, any bounds give
+    * the same answer; they only spread the sort) bucket every row
+    * scan-stage; per-(flag, bucket) counts make a metadata-sized
+    * cumulative offset; the global rank is then broadcast-offset +
+    * within-(flag, bucket) row_number — a window with |flags|·10
+    * partitions whose sorts all spill. `percentile_disc(q)` ≡ the value
+    * at 1-indexed position ⌈q·n⌉ of the sorted group is picked by one
+    * conditional aggregate on the exact global rank. Rank targets use
+    * integer ceil arithmetic (`(a + b − 1) div b`), bit-identical in any
+    * engine; ties at a bucket boundary all land in the SAME bucket (the
+    * bound count is ≤-based), so the cross-bucket ordering is total and
+    * the picked values are tie-order-independent.
     */
   val qApproxQuantiles: Q = q(
     "q_approx_quantiles",
@@ -1572,16 +1580,51 @@ object Relational {
       |  TRUE AS p50_ok, TRUE AS p95_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
-    val byFlag = Window.partitionBy("l_returnflag")
-    val ranked = Tables(s, dir).lineitem
+    val base = Tables(s, dir).lineitem
       .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(byFlag.orderBy("l_extendedprice")))
-      .withColumn("n", count(lit(1)).over(byFlag))
-    ranked
+    val bounds = base
       .groupBy("l_returnflag")
       .agg(
-        min(when(col("rn") === expr("(n + 1) div 2"), col("l_extendedprice"))).as("exact_p50"),
-        min(when(col("rn") === expr("(19 * n + 19) div 20"), col("l_extendedprice"))).as("exact_p95"),
+        percentile_approx(
+          col("l_extendedprice"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*),
+          lit(1000)
+        ).as("bs")
+      )
+    val bucketed = base
+      .join(broadcast(bounds), "l_returnflag")
+      .withColumn("bkt", size(filter(col("bs"), b => b <= col("l_extendedprice"))))
+      .drop("bs")
+    val cnts = bucketed
+      .groupBy("l_returnflag", "bkt")
+      .agg(count(lit(1)).as("c"))
+    val offs = cnts
+      .withColumn(
+        "off",
+        coalesce(
+          sum("c").over(
+            Window
+              .partitionBy("l_returnflag")
+              .orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("l_returnflag", "bkt", "off")
+    val n = cnts.groupBy("l_returnflag").agg(sum("c").as("n"))
+    bucketed
+      .join(broadcast(offs), Seq("l_returnflag", "bkt"))
+      .withColumn(
+        "grn",
+        col("off") + row_number()
+          .over(Window.partitionBy("l_returnflag", "bkt").orderBy("l_extendedprice"))
+      )
+      .join(broadcast(n), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("grn") === expr("(n + 1) div 2"), col("l_extendedprice"))).as("exact_p50"),
+        min(when(col("grn") === expr("(19 * n + 19) div 20"), col("l_extendedprice"))).as("exact_p95"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95")
       )
