@@ -70,7 +70,7 @@ object SemDedup {
       .quantized(s.read.parquet(idx.path))
       .withColumn("d2", Ivf.qdist(cvec))
       .select(col("vec_id"), col("cid").cast("int").as("cid"), col("d2"))
-    val pairs = Similarity.nearDupPairs(emb, SemTau).select("v1", "v2")
+    val pairs = Similarity.cachedNearDupPairs(emb)
     val sem = pairs
       .join(
         withD2.select(col("vec_id").as("v1"), col("cid").as("c1"), col("d2").as("dd1")),

@@ -454,9 +454,18 @@ object Similarity {
     * are the semantics; the score is asserted in ExtSpec) so the hash never
     * depends on emitting a raw double.
     */
+  /** The τ-thresholded pair list is SHARED session state (`Cached.frame`
+    * keys on plan identity): `q_embed_neardup` emits it and `q_semdedup`
+    * restricts it to k-means cells, so the bucket join runs once per
+    * session, not once per consumer. The cached frame is pair-bounded
+    * (verified pairs only), not corpus-sized.
+    */
+  def cachedNearDupPairs(emb: DataFrame): DataFrame =
+    graft.core.Cached.frame(nearDupPairs(emb, NearDupTau).select("v1", "v2"))
+
   val embedNearDup: Q = Q(
     "q_embed_neardup",
-    (s, dir) => nearDupPairs(Tables(s, dir).embeddings, NearDupTau).select("v1", "v2").orderBy("v1", "v2"),
+    (s, dir) => cachedNearDupPairs(Tables(s, dir).embeddings).orderBy("v1", "v2"),
     Some(nearDupOracleSql(NearDupTau))
   )
 
