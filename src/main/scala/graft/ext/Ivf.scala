@@ -343,7 +343,12 @@ object Ivf {
     * fitted-centroid CTE); the prefix also defines `np` (derived probe
     * width) for the ANN oracle.
     */
-  private[ext] def fitCtesSql(iters: Int): (String, String) = {
+  private[ext] def fitCtesSql(iters: Int): (String, String) = fitCtesSql(iters, "")
+
+  /** As above with an optional WHERE tail on the quantized corpus (`q`) —
+    * the incremental-ingest oracle fits on the SEEN subset only.
+    */
+  private[ext] def fitCtesSql(iters: Int, where: String): (String, String) = {
     def assignCte(src: String, prev: String) =
       s"""SELECT vec_id, qv, cid FROM (
          |    SELECT q.vec_id, q.qv, c.cid,
@@ -367,7 +372,7 @@ object Ivf {
       s"""q AS (
          |  SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
-         |  FROM embeddings),
+         |  FROM embeddings $where),
          |nc AS (
          |  SELECT GREATEST($NCentroids, LEAST($MaxCentroids,
          |    CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS c
@@ -665,5 +670,65 @@ object Ivf {
        |SELECT vec_id, label FROM sc ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(annIvf, topicClusters, annPq)
+  // ---- incremental ingest ----------------------------------------------
+
+  /** New-batch boundary (the `q_dedup_incremental` convention): ids below
+    * are the seen corpus, at-or-above are the fresh batch.
+    */
+  val IncrSeenMax = 400L
+
+  /** Oracle: the fit replayed over the SEEN subset only (the `where`
+    * variant of the shared fit prefix — derived C comes from the seen
+    * count), then one assignment pass over the new batch carrying the
+    * winning distance.
+    */
+  def incrementalOracleSql(seenMax: Long): String = {
+    val (fitPrefix, fitted) = fitCtesSql(Iters, s"WHERE vec_id < $seenMax")
+    s"""WITH $fitPrefix,
+       |nb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id >= $seenMax),
+       |af AS (
+       |  SELECT vec_id, cid, d FROM (
+       |    SELECT q.vec_id, c.cid, ${d2Sql("q.qv", "c.cv")} AS d,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+       |    FROM nb q, $fitted c) WHERE rn = 1)
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cid, CAST(d AS BIGINT) AS d2
+       |FROM af ORDER BY vec_id""".stripMargin
+  }
+
+  /** Incremental index ingest — the streaming path of a production ANN
+    * index: the coarse quantizer is FROZEN on the seen corpus (fit on
+    * vec_id < [[IncrSeenMax]], C derived from the SEEN count) and the new
+    * batch is routed into cells by one scan-stage assignment — exactly
+    * the cid a partitioned-append write would use, no refit, no touch of
+    * the seen data. The emitted `d2` (exact int64 distance to the owning
+    * centroid) doubles as the STALENESS monitor: a drifting embedding
+    * distribution shows as rising new-batch d2 against the frozen
+    * quantizer — the signal that schedules the next full rebuild
+    * ([[indexFor]]'s documented rebuild-on-a-schedule contract).
+    *
+    * Scale shape: the fit touches only the seen sample (offline, as
+    * ever); the ingest itself is per-row expression work against C
+    * centroid literals with zero joins and zero shuffles — append
+    * throughput is scan bandwidth, which is what lets the index keep up
+    * with a streaming corpus.
+    */
+  val annIncremental: Q = Q(
+    "q_ann_incremental",
+    (s, dir) => {
+      val q    = quantized(Tables(s, dir).embeddings)
+      val seen = q.filter(col("vec_id") < IncrSeenMax)
+      val c    = derivedCentroids(vecCount(seen))
+      val centroids = kmeansFit(fitSample(seen, c), c, Iters)
+      assignScored(q.filter(col("vec_id") >= IncrSeenMax), centroids)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"), col("d2"))
+        .orderBy("vec_id")
+    },
+    Some(incrementalOracleSql(IncrSeenMax))
+  )
+
+  val all: Seq[Q] = Seq(annIvf, topicClusters, annPq, annIncremental)
 }
