@@ -775,5 +775,69 @@ object Similarity {
     )
   )
 
-  val all: Seq[Q] = Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim, annRecallQ, knnHubness)
+  /** Triangle census of the MUTUAL k-NN graph — the local-clustering
+    * audit run next to [[knnHubness]] before trusting an embedding space:
+    * mutual edges (each endpoint in the other's top-k) are the
+    * high-precision neighbor relation, and a node's triangle count is the
+    * unnormalized local clustering coefficient. Dense triangle
+    * neighborhoods mark coherent semantic clusters (SemDeDup-able);
+    * triangle-free hubs are the isotropy failures hubness flags. Top-50
+    * nodes by triangle participation.
+    *
+    * Scale shape: everything derives from the MATERIALIZED k-NN graph
+    * ([[knnGraphFor]], built once per session/dir, ≤ k·n narrow edges).
+    * Mutualization is an equi-join of the edge list with itself on the
+    * reversed key pair; the triangle join is the standard two-hop
+    * edge-edge-edge equi-join over (a<b<c)-oriented edges — every join is
+    * key-partitioned with per-key fan-out bounded by the mutual DEGREE
+    * (≤ k by construction), so candidate volume is ≤ k·|E|, linear in the
+    * corpus — never an all-pairs or driver-side structure. The census is
+    * a partial+final count over exploded triangle corners and the top-50
+    * is TakeOrderedAndProject.
+    */
+  val graphTriangles: Q = Q(
+    "q_graph_triangles",
+    (s, dir) => {
+      val g = knnGraphFor(s, dir).select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      // referenced three times by the triangle join — cached so the
+      // mutualization join runs once, not per reference
+      val mutual = graft.core.Cached.frame(
+        g.as("x")
+          .join(g.as("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+          .filter(col("x.a") < col("x.b"))
+          .select(col("x.a").as("a"), col("x.b").as("b"))
+      )
+      val tri = mutual
+        .as("e1")
+        .join(mutual.as("e2"), col("e1.b") === col("e2.a"))
+        .join(mutual.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("na"), col("e1.b").as("nb"), col("e2.b").as("nc"))
+      tri
+        .select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(50)
+    },
+    Some(
+      s"""WITH knn AS (
+         |${knnJoinOracleSql(KnnK)}),
+         |und AS (
+         |  SELECT x.vec_id AS a, x.neighbor_id AS b
+         |  FROM knn x JOIN knn y ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id
+         |  WHERE x.vec_id < x.neighbor_id),
+         |tri AS (
+         |  SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
+         |  FROM und e1
+         |  JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node, COUNT(*) AS n_tri
+         |FROM (SELECT unnest([na, nb, nc]) AS node FROM tri)
+         |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 50""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim, annRecallQ, knnHubness,
+      graphTriangles)
 }

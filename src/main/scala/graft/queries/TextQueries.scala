@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -731,45 +731,162 @@ object TextQueries {
     * sum is a partial+final aggregate feeding TakeOrderedAndProject — the
     * shuffle carries only matched (doc_id, term_score) rows, never tokens.
     */
+  /** The pre-limit BM25 per-document aggregate (doc_id, bm25_scaled,
+    * terms_matched) — the shared body of [[bm25]] (top-20) and the
+    * lexical leg of [[rankFusion]] (top-50 list). Keeping ONE lineage
+    * means the CacheManager-shared [[docTermTf]]/dl materializations
+    * serve both consumers from a single corpus scan.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val tf = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    graft.core.Cached.frame(dl) // referenced by totals AND the score join
+    val tot = dl.agg(sum("dl").as("s"), count(lit(1)).as("n"))
+    val qtf = tf.filter(col("term").isin(Bm25Terms: _*))
+    val dfq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    qtf
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "term_score",
+        expr("((1000000L * n) div df) * ((22L * s * tf * 1000L) div (10L * s * tf + 3L * s + 9L * dl * n))")
+      )
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("bm25_scaled"), count(lit(1)).as("terms_matched"))
+  }
+
+  /** Oracle CTE chain ending in `bm` = the [[bm25Scores]] aggregate —
+    * shared verbatim by the q_bm25 and q_rank_fusion oracles so the two
+    * replays cannot drift apart.
+    */
+  private val Bm25ScoreCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, COUNT(*) AS n FROM dl),
+       |qtf AS (SELECT * FROM tf WHERE term IN ('scan', 'join', 'window')),
+       |df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+       |sc AS (
+       |  SELECT qtf.doc_id,
+       |    ((1000000 * tot.n) // df.df)
+       |      * ((22 * tot.s * qtf.tf * 1000) // (10 * tot.s * qtf.tf + 3 * tot.s + 9 * dl.dl * tot.n))
+       |      AS term_score
+       |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id), tot),
+       |bm AS (
+       |  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled,
+       |    COUNT(*) AS terms_matched
+       |  FROM sc GROUP BY 1)""".stripMargin
+
   val bm25: Q = Q(
     "q_bm25",
-    (s, dir) => {
-      val tf = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      graft.core.Cached.frame(dl) // referenced by totals AND the score join
-      val tot = dl.agg(sum("dl").as("s"), count(lit(1)).as("n"))
-      val qtf = tf.filter(col("term").isin(Bm25Terms: _*))
-      val dfq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
-      qtf
-        .join(broadcast(dfq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(tot))
-        .withColumn(
-          "term_score",
-          expr("((1000000L * n) div df) * ((22L * s * tf * 1000L) div (10L * s * tf + 3L * s + 9L * dl * n))")
-        )
-        .groupBy("doc_id")
-        .agg(sum("term_score").as("bm25_scaled"), count(lit(1)).as("terms_matched"))
+    (s, dir) =>
+      bm25Scores(s, dir)
         .orderBy(col("bm25_scaled").desc, col("doc_id"))
-        .limit(20)
+        .limit(20),
+    Some(
+      s"""WITH $Bm25ScoreCtes
+         |SELECT doc_id, bm25_scaled, terms_matched
+         |FROM bm ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
+    )
+  )
+
+  /** 1-based rank attach for an ALREADY-ORDERED ≤k-row top list — the
+    * [[graft.ext.Similarity]] withRank idiom: the heavy ordering happened
+    * upstream as a distributed TakeOrderedAndProject, so rank is just the
+    * row position via `zipWithIndex` over the tiny result. A keyless
+    * `row_number` window would do the same work while single-partitioning
+    * the frame (the pattern PlanSpec bans engine-wide).
+    */
+  private def attachRank(ordered: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val reasserted = ordered.coalesce(1).sortWithinPartitions(orderCols: _*)
+    val out = StructType(StructField(rankCol, LongType, nullable = false) +: reasserted.schema.fields)
+    val rdd = reasserted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    ordered.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval legs
+    * over the same fixed query — the standard hybrid-retrieval merge
+    * (lexical BM25 + a second scorer) used to assemble training-data
+    * retrieval pools. Leg A is [[bm25Scores]]'s top-50; leg B is the
+    * query-restricted TF-IDF score (Σ tf·idf over the query terms, the
+    * [[tfidf]] integer idf) top-50. RRF score = Σ_legs 10⁶ div (60 + rank)
+    * with the canonical K=60; docs on one list only contribute that leg.
+    *
+    * Cross-engine determinism: ranks are positions in an exactly-ordered
+    * integer-scored list (ties broken by doc_id), and the fused score is
+    * integer division — no floats anywhere.
+    *
+    * Scale shape: both legs reaggregate the ONE cached [[docTermTf]]
+    * grain (no extra corpus scan); each leg ends in a distributed
+    * TakeOrderedAndProject(50) whose ≤50-row tail gets ranks via
+    * [[attachRank]]; the fusion is a full outer join of two ≤50-row
+    * frames — metadata-sized at any corpus scale.
+    */
+  val rankFusion: Q = Q(
+    "q_rank_fusion",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val bmTop = attachRank(
+        bm25Scores(s, dir)
+          .orderBy(col("bm25_scaled").desc, col("doc_id"))
+          .limit(50)
+          .select("doc_id", "bm25_scaled"),
+        "rank_bm25",
+        col("bm25_scaled").desc,
+        col("doc_id")
+      ).select("doc_id", "rank_bm25")
+      val tf    = graft.core.Cached.frame(docTermTf(docs))
+      val qtf   = tf.filter(col("term").isin(Bm25Terms: _*))
+      val dfq   = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tiTop = attachRank(
+        qtf
+          .join(broadcast(dfq), "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("term_score", col("tf") * expr("(1000000L * n_docs) div df"))
+          .groupBy("doc_id")
+          .agg(sum("term_score").as("tfidf_scaled"))
+          .orderBy(col("tfidf_scaled").desc, col("doc_id"))
+          .limit(50)
+          .select("doc_id", "tfidf_scaled"),
+        "rank_tfidf",
+        col("tfidf_scaled").desc,
+        col("doc_id")
+      ).select("doc_id", "rank_tfidf")
+      bmTop
+        .join(tiTop, Seq("doc_id"), "full_outer")
+        .withColumn(
+          "rrf_scaled",
+          coalesce(expr("1000000L div (60L + rank_bm25)"), lit(0L))
+            + coalesce(expr("1000000L div (60L + rank_tfidf)"), lit(0L))
+        )
+        .select("doc_id", "rank_bm25", "rank_tfidf", "rrf_scaled")
+        .orderBy(col("rrf_scaled").desc, col("doc_id"))
     },
     Some(
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, COUNT(*) AS n FROM dl),
-         |qtf AS (SELECT * FROM tf WHERE term IN ('scan', 'join', 'window')),
-         |df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
-         |sc AS (
+      s"""WITH $Bm25ScoreCtes,
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ti AS (
          |  SELECT qtf.doc_id,
-         |    ((1000000 * tot.n) // df.df)
-         |      * ((22 * tot.s * qtf.tf * 1000) // (10 * tot.s * qtf.tf + 3 * tot.s + 9 * dl.dl * tot.n))
-         |      AS term_score
-         |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id), tot)
-         |SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_scaled,
-         |  COUNT(*) AS terms_matched
-         |FROM sc GROUP BY 1 ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
+         |    CAST(SUM(qtf.tf * ((1000000 * n.n_docs) // df.df)) AS BIGINT) AS tfidf_scaled
+         |  FROM qtf JOIN df USING (term), n GROUP BY 1),
+         |bmr AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rank_bm25
+         |  FROM (SELECT * FROM bm ORDER BY bm25_scaled DESC, doc_id LIMIT 50)),
+         |tir AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY tfidf_scaled DESC, doc_id) AS BIGINT) AS rank_tfidf
+         |  FROM (SELECT * FROM ti ORDER BY tfidf_scaled DESC, doc_id LIMIT 50))
+         |SELECT doc_id, rank_bm25, rank_tfidf,
+         |  CAST(COALESCE(1000000 // (60 + rank_bm25), 0)
+         |     + COALESCE(1000000 // (60 + rank_tfidf), 0) AS BIGINT) AS rrf_scaled
+         |FROM bmr FULL JOIN tir USING (doc_id)
+         |ORDER BY rrf_scaled DESC, doc_id""".stripMargin
     )
   )
 
@@ -1540,9 +1657,76 @@ object TextQueries {
     )
   )
 
+  /** Per-document character-level entropy — the gibberish/binary-noise
+    * quality gate (low entropy ⇒ repeated filler, pathologically high ⇒
+    * random bytes) that sits next to [[quality]]'s length/punctuation
+    * signals in a cleaning pipeline.
+    *
+    * Cross-engine determinism: [[lmScore]]'s pinned integer surprisal —
+    * per character class c with count k in an n-char doc, bits(c) =
+    * ⌊log₂((n·2²⁰) div k)⌋ via `length(bin(x)) - 1`, and the entropy is
+    * (Σ k·(bits−20)·1000) div n milli-bits — exact BIGINTs in both
+    * engines, no float `log` anywhere. The floored log understates true
+    * entropy by <1 bit per class; the RANKING a filter consumes is
+    * preserved, which is the operator's contract.
+    *
+    * Empty docs: the char array is built over `greatest(length, 1)`
+    * positions, so an empty text yields one ''-char row and entropy 0 —
+    * both engines agree and no doc drops from the per-doc output.
+    *
+    * Scale shape: char extraction is a scan-stage transform over a
+    * position sequence (per-position `substring` walks UTF-8 code points
+    * to its offset — quadratic in pathological doc LENGTH but linear in
+    * doc COUNT, and document length is independently capped upstream by
+    * the [[gopherRules]]/[[lengthHist]] family); the shuffle carries
+    * (doc_id, char, partial count) with map-side combine — alphabet-
+    * bounded per doc — and the per-doc rollup reaggregates that grain.
+    * One corpus-sized shuffle total, the same shape as [[lmScore]].
+    */
+  val charEntropy: Q = Q(
+    "q_char_entropy",
+    (s, dir) => {
+      val grain = Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          explode(expr("transform(sequence(1, greatest(length(text), 1)), i -> substring(text, i, 1))"))
+            .as("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("k"))
+      val n = grain.groupBy("doc_id").agg(sum("k").as("n"))
+      grain
+        .join(n, "doc_id")
+        .withColumn("bits", length(bin(expr("(n * 1048576L) div k"))) - 1)
+        .groupBy("doc_id")
+        .agg(
+          max("n").as("n_chars"),
+          count(lit(1)).as("n_classes"),
+          expr("(sum(k * (bits - 20)) * 1000L) div max(n)").as("entropy_mbits")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(length(text), 1) + 1),
+        |                          i -> substr(text, CAST(i AS INT), 1))) AS ch
+        |  FROM documents),
+        |grain AS (SELECT doc_id, ch, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM grain GROUP BY 1),
+        |b AS (
+        |  SELECT grain.doc_id, k, n,
+        |    CAST(length(bin((n * 1048576) // k)) - 1 AS INT) AS bits
+        |  FROM grain JOIN n USING (doc_id))
+        |SELECT doc_id, MAX(n) AS n_chars, COUNT(*) AS n_classes,
+        |  CAST((SUM(k * (bits - 20)) * 1000) // MAX(n) AS BIGINT) AS entropy_mbits
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
-      pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets, lengthHist,
-      langidConfusion, tokenFertility, blocklistGate)
+      rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
+      lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy)
 }

@@ -1,0 +1,119 @@
+package graft
+
+/** Semantics of the round-10 retrieval/graph/quality additions beyond their
+  * oracle hash checks: RRF fusion cross-checked against its own rank
+  * columns and the registered BM25 top-20, the char-entropy integer form
+  * replayed exactly on the driver, and the mutual-k-NN triangle census
+  * recounted from the materialized edge list.
+  */
+class RetrievalAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_rank_fusion: ranks are dense prefixes and rrf is the pinned integer form") {
+    val rows = graft.queries.Registry.queries("q_rank_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty, "fusion produced no rows")
+
+    def optLong(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+
+    // each leg's ranks are exactly 1..len with no gaps or repeats
+    val bmRanks = rows.flatMap(optLong(_, 1)).sorted.toSeq
+    val tiRanks = rows.flatMap(optLong(_, 2)).sorted.toSeq
+    assert(bmRanks == (1L to bmRanks.length).toSeq, s"bm25 ranks not dense: $bmRanks")
+    assert(tiRanks == (1L to tiRanks.length).toSeq, s"tfidf ranks not dense: $tiRanks")
+    assert(bmRanks.length <= 50 && tiRanks.length <= 50, "a leg exceeded its top-50 cut")
+
+    // the fused score is exactly sum over present legs of 10^6 div (60+rank)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val expected =
+        optLong(r, 1).map(k => 1000000L / (60L + k)).getOrElse(0L) +
+          optLong(r, 2).map(k => 1000000L / (60L + k)).getOrElse(0L)
+      assert(r.getLong(3) == expected, s"doc ${r.getLong(0)}: rrf ${r.getLong(3)} != $expected")
+      assert(r.getLong(3) <= prev, "result not sorted by rrf desc")
+      prev = r.getLong(3)
+    }
+
+    // the BM25 leg's rank order IS the registered q_bm25 ordering: the
+    // top-20 docs of q_bm25 appear here with ranks 1..20 in the same order
+    val bmLeg = rows
+      .flatMap(r => optLong(r, 1).map(k => (k, r.getLong(0))))
+      .sortBy(_._1)
+      .map(_._2)
+      .take(20)
+      .toSeq
+    val bm25Top = graft.queries.Registry
+      .queries("q_bm25")(spark, sf)
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(bmLeg == bm25Top, "fusion's bm25 leg disagrees with q_bm25's ordering")
+  }
+
+  test("q_char_entropy matches an exact driver-side replay of the integer form") {
+    val rows = graft.queries.Registry.queries("q_char_entropy")(spark, sf).collect()
+    val docs = graft.core
+      .Tables(spark, sf)
+      .documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(rows.length == docs.size, "one output row per document expected")
+
+    rows.foreach { r =>
+      val (docId, nChars, nClasses, entMbits) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val text   = docs(docId)
+      val chars  = if (text.isEmpty) Seq("") else text.map(_.toString)
+      val counts = chars.groupBy(identity).map { case (_, v) => v.size.toLong }.toSeq
+      val n      = counts.sum
+      assert(nChars == n, s"doc $docId: n_chars $nChars != $n")
+      assert(nClasses == counts.length.toLong, s"doc $docId: n_classes drifted")
+      val acc = counts.map { k =>
+        val bits = 63 - java.lang.Long.numberOfLeadingZeros((n * 1048576L) / k)
+        k * (bits - 20L)
+      }.sum
+      assert(
+        entMbits == (acc * 1000L) / n,
+        s"doc $docId: entropy $entMbits != ${(acc * 1000L) / n}"
+      )
+      // sanity bounds: 0 ≤ floored entropy ≤ log2(n_classes) exactly at the
+      // uniform distribution (the floor only understates)
+      assert(entMbits >= 0L, s"doc $docId: negative entropy")
+      val cap = (math.log(nClasses.toDouble.max(1.0)) / math.log(2.0) * 1000.0).ceil.toLong
+      assert(entMbits <= cap, s"doc $docId: entropy $entMbits above log2(classes) cap $cap")
+    }
+  }
+
+  test("q_graph_triangles matches a driver-side recount from the materialized k-NN graph") {
+    val edges = graft.ext.Similarity
+      .knnGraphFor(spark, sf)
+      .select("vec_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val mutual = edges.collect {
+      case (a, b) if a < b && edges.contains((b, a)) => (a, b)
+    }
+    val byNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- mutual
+      (b2, c) <- mutual if b2 == b
+      if mutual.contains((a, c))
+    } {
+      byNode(a) += 1; byNode(b) += 1; byNode(c) += 1
+    }
+    val expected = byNode.toSeq
+      .sortBy { case (node, n) => (-n, node) }
+      .take(50)
+
+    val rows = graft.queries.Registry
+      .queries("q_graph_triangles")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(rows == expected, s"triangle census drifted:\n got $rows\n exp $expected")
+  }
+}
