@@ -795,18 +795,35 @@ object Similarity {
     * a partial+final count over exploded triangle corners and the top-50
     * is TakeOrderedAndProject.
     */
+  /** (a<b)-oriented MUTUAL k-NN edges (each endpoint in the other's
+    * top-k) — the high-precision neighbor relation shared by the triangle
+    * census and label-propagation communities. One reversed-key self-join
+    * of the materialized graph, cached: every consumer reference reads
+    * the ≤ k·n/2-row result, not a re-run of the join.
+    */
+  def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphFor(spark, dir).select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    graft.core.Cached.frame(
+      g.as("x")
+        .join(g.as("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+        .filter(col("x.a") < col("x.b"))
+        .select(col("x.a").as("a"), col("x.b").as("b"))
+    )
+  }
+
+  /** Oracle CTE pair `und` (mutual a<b edges) over a `knn` CTE — shared
+    * by the q_graph_triangles and q_label_prop replays.
+    */
+  def mutualEdgesCte: String =
+    s"""und AS (
+       |  SELECT x.vec_id AS a, x.neighbor_id AS b
+       |  FROM knn x JOIN knn y ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id
+       |  WHERE x.vec_id < x.neighbor_id)""".stripMargin
+
   val graphTriangles: Q = Q(
     "q_graph_triangles",
     (s, dir) => {
-      val g = knnGraphFor(s, dir).select(col("vec_id").as("a"), col("neighbor_id").as("b"))
-      // referenced three times by the triangle join — cached so the
-      // mutualization join runs once, not per reference
-      val mutual = graft.core.Cached.frame(
-        g.as("x")
-          .join(g.as("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"))
-          .filter(col("x.a") < col("x.b"))
-          .select(col("x.a").as("a"), col("x.b").as("b"))
-      )
+      val mutual = mutualKnnEdges(s, dir)
       val tri = mutual
         .as("e1")
         .join(mutual.as("e2"), col("e1.b") === col("e2.a"))
@@ -822,10 +839,7 @@ object Similarity {
     Some(
       s"""WITH knn AS (
          |${knnJoinOracleSql(KnnK)}),
-         |und AS (
-         |  SELECT x.vec_id AS a, x.neighbor_id AS b
-         |  FROM knn x JOIN knn y ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id
-         |  WHERE x.vec_id < x.neighbor_id),
+         |$mutualEdgesCte,
          |tri AS (
          |  SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
          |  FROM und e1

@@ -152,5 +152,126 @@ object GraphQueries {
        |FROM r$iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(pagerank)
+  /** Label-propagation rounds for [[labelProp]] (fixed — the oracle
+    * unrolls them). Each round is neighbor-min THEN pointer-jump, so the
+    * compressed reach doubles per round (2¹⁰ ≥ any plausible component
+    * diameter at verify scales); plain neighbor-min alone needs
+    * diameter-many rounds, and the sf0.001 mutual-kNN graph already has
+    * diameter > 8. Convergence is asserted in GraphSpec.
+    */
+  val LpIters = 10
+
+  /** Per-node community labels after `iters` rounds of hash-to-min-style
+    * propagation over the MUTUAL k-NN graph — each round takes the min
+    * label over self+neighbors, then pointer-jumps (every node adopts
+    * its current label's label, the path-compression step that makes
+    * convergence O(log n) rounds instead of O(diameter)). Exposed
+    * separately from the registered query so GraphSpec can assert
+    * convergence (one more round changes nothing on the fixture).
+    */
+  def labelPropLabels(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      iters: Int = LpIters): org.apache.spark.sql.DataFrame = {
+    val mutual = graft.ext.Similarity.mutualKnnEdges(s, dir)
+    val sym = graft.core.Cached.frame(
+      mutual
+        .select(
+          explode(
+            array(
+              struct(col("a").as("src"), col("b").as("dst")),
+              struct(col("b").as("src"), col("a").as("dst"))
+            )
+          ).as("e")
+        )
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    )
+    var lbl = Tables(s, dir).embeddings.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+    for (i <- 0 until iters) {
+      val m = lbl
+        .unionByName(
+          sym.join(lbl, sym("src") === lbl("node")).select(col("dst").as("node"), col("lbl"))
+        )
+        .groupBy("node")
+        .agg(min("lbl").as("lbl"))
+      // pointer jump: labels are node ids of the same component, so every
+      // label resolves against the (node, lbl) frame itself
+      lbl = m
+        .as("p")
+        .join(m.as("q"), col("p.lbl") === col("q.node"))
+        .select(col("p.node").as("node"), col("q.lbl").as("lbl"))
+      if ((i + 1) % CheckpointEvery == 0 && (i + 1) < iters)
+        lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
+
+  /** Community detection by min-label propagation WITH pointer jumping
+    * (the hash-to-min MapReduce connected-components family, Rastogi et
+    * al. 2013 — public method) over the MUTUAL k-NN graph — the
+    * graph-native complement to the k-means topic audit
+    * (`q_topic_clusters`): communities emerge from the high-precision
+    * mutual-neighbor relation itself, no centroid model. The output row
+    * is (vec_id, community) where `community` is the component's minimum
+    * vec_id once converged — asserted against a union-find replay in
+    * GraphSpec; the fixed-K-round semantics is what the oracle replays,
+    * so the hash check is exact either way.
+    *
+    * Scale shape: the [[graft.ext.Similarity.mutualKnnEdges]] grain is
+    * built once (cached, shared with `q_graph_triangles`) and symmetrized
+    * into a ≤ k·n edge frame; every round shuffles only the (node, lbl)
+    * frame — |V|-sized, with map-side `min` combine absorbing hub fan-in
+    * (the PageRank discipline) and one self-equi-join for the pointer
+    * jump; the [[CheckpointEvery]] localCheckpoint ladder keeps lineage
+    * depth constant in K, and O(log n) rounds suffice at ANY corpus
+    * scale because the jump doubles compressed reach per round — the
+    * property that makes this the 100 TB connected-components algorithm
+    * rather than diameter-many neighbor rounds. Isolated vectors keep
+    * themselves as singleton communities by the identity seed union.
+    */
+  val labelProp: Q = Q(
+    "q_label_prop",
+    (s, dir) =>
+      labelPropLabels(s, dir)
+        .select(col("node").as("vec_id"), col("lbl").as("community"))
+        .orderBy("vec_id"),
+    Some(labelPropOracleSql(LpIters))
+  )
+
+  /** Unrolled neighbor-min + pointer-jump rounds over the mutual k-NN
+    * graph — the [[pagerankOracleSql]] pattern nested over the full k-NN
+    * graph replay from [[graft.ext.Similarity.knnJoinOracleSql]].
+    */
+  /** Every unrolled CTE is MATERIALIZED: each round references the prior
+    * round TWICE (self-union and jump join), so DuckDB's default CTE
+    * inlining would expand the plan 2^K-fold — materialization makes the
+    * replay linear in K, exactly like the Spark lineage it mirrors.
+    */
+  def labelPropOracleSql(iters: Int): String = {
+    val steps = (1 to iters)
+      .map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT node, MIN(lbl) AS lbl FROM (
+           |    SELECT node, lbl FROM l${i - 1}
+           |    UNION ALL
+           |    SELECT s.dst AS node, l.lbl FROM sym s JOIN l${i - 1} l ON l.node = s.src)
+           |  GROUP BY 1),
+           |l$i AS MATERIALIZED (
+           |  SELECT p.node AS node, q.lbl AS lbl
+           |  FROM m$i p JOIN m$i q ON q.node = p.lbl)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (
+       |${graft.ext.Similarity.knnJoinOracleSql(graft.ext.Similarity.KnnK)}),
+       |${graft.ext.Similarity.mutualEdgesCte},
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM und),
+       |l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
+       |$steps
+       |SELECT node AS vec_id, lbl AS community FROM l$iters ORDER BY vec_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank, labelProp)
 }

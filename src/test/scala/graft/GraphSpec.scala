@@ -132,6 +132,44 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._2 > 0L)
   }
 
+  test("q_label_prop: converged on the fixture and equal to true mutual-kNN components") {
+    val labels = graft.queries.Registry
+      .queries("q_label_prop")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+    // one more synchronous round changes nothing: LpIters covers the
+    // fixture diameters with slack
+    val more = graft.queries.GraphQueries
+      .labelPropLabels(spark, sf, graft.queries.GraphQueries.LpIters + 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(labels == more, "label propagation had not converged at LpIters")
+
+    // driver-side union-find over the mutual edge set: community == the
+    // min vec_id of the true connected component
+    val mutual = graft.ext.Similarity
+      .mutualKnnEdges(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (node, community) =>
+      assert(community == find(node), s"node $node: community $community != ${find(node)}")
+    }
+    // sanity: at least one non-singleton community exists on the fixture
+    assert(labels.exists { case (n, c) => n != c }, "no non-trivial community found")
+  }
+
   test("topic clusters: mixture totals equal the embedding corpus, cids within range") {
     val mix = graft.queries.Registry.queries("q_topic_clusters")(spark, sf)
     val tot = mix.agg(sum("n_vecs")).collect()(0).getLong(0)

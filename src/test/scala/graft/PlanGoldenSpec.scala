@@ -88,6 +88,12 @@ class PlanGoldenSpec extends SparkSpec {
     )
 
   for (name <- Pinned) test(s"plan golden: $name") {
+    // Golden capture must not depend on which OTHER suites ran first:
+    // a frame cached by an earlier suite surfaces as InMemoryRelation
+    // inside this query's subtree and flips the text. Clearing the cache
+    // makes each capture reflect only the query's own construction-time
+    // persists (deterministic), at the cost of later suites re-caching.
+    spark.catalog.clearCache()
     val df        = BuildPlans.getOrElse(name, SparkEntry.queries(name))(spark, sf)
     val formatted = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val norm      = normalize(formatted)
