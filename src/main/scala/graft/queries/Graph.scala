@@ -200,8 +200,14 @@ object GraphQueries {
         .as("p")
         .join(m.as("q"), col("p.lbl") === col("q.node"))
         .select(col("p.node").as("node"), col("q.lbl").as("lbl"))
-      if ((i + 1) % CheckpointEvery == 0 && (i + 1) < iters)
-        lbl = lbl.localCheckpoint()
+      // EVERY round truncates lineage (vs PageRank's sparse ladder): the
+      // round references its predecessor twice (self-union + neighbor
+      // push) and m twice (the jump's join sides), so the ANALYZED plan —
+      // not just the executed work; caching cannot help the analyzer —
+      // would grow 4^K without truncation (measured: 109 s at sf0.1 for
+      // K=10 vs sub-second truncated). The checkpoint is |V| rows per
+      // round — metadata-sized at any corpus scale.
+      lbl = lbl.localCheckpoint()
     }
     lbl
   }
@@ -222,8 +228,10 @@ object GraphQueries {
     * into a ≤ k·n edge frame; every round shuffles only the (node, lbl)
     * frame — |V|-sized, with map-side `min` combine absorbing hub fan-in
     * (the PageRank discipline) and one self-equi-join for the pointer
-    * jump; the [[CheckpointEvery]] localCheckpoint ladder keeps lineage
-    * depth constant in K, and O(log n) rounds suffice at ANY corpus
+    * jump; a PER-ROUND eager localCheckpoint keeps the analyzed plan
+    * constant-size (each round references its predecessor twice, so the
+    * tree would otherwise grow 4^K — an analyzer cost no cache can fix),
+    * and O(log n) rounds suffice at ANY corpus
     * scale because the jump doubles compressed reach per round — the
     * property that makes this the 100 TB connected-components algorithm
     * rather than diameter-many neighbor rounds. Isolated vectors keep
