@@ -99,9 +99,33 @@ object Bench {
     * timed region, after all timing reps complete).
     */
   def planFp(df: org.apache.spark.sql.DataFrame): String = {
+    // Masking mirrors PlanGoldenSpec.normalize and goes further: any
+    // run-dependent text — expression ids, object identities, lambda
+    // names, absolute/tmp paths (session-materialized artifacts embed the
+    // builder PID in their path), statistics — would make the fingerprint
+    // differ across runs of the SAME plan and defeat the drift
+    // attribution it exists for.
     val s = df.queryExecution.optimizedPlan.toString
       .replaceAll("#\\d+", "#")
       .replaceAll("@[0-9a-fA-F]+", "@")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$x")
+      .replaceAll("\\blambda x_\\d+", "lambda x_n")
+      .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "InMemoryFileIndex [<paths>]")
+      .replaceAll("Location: [^,\\]]*", "Location: <location>")
+      .replaceAll("file:/[^\\s,\\])]*", "<path>")
+      .replaceAll("/tmp/[^\\s,\\])]*", "<path>")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(<stats>)")
+    // Debugging aid for fingerprint drift: dump the normalized text so a
+    // cross-run `diff` shows WHICH line moved, not just that the hash did.
+    sys.env.get("SPARK_GRAFT_FP_DUMP").foreach { dir =>
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, s"fp-${s.hashCode.toHexString}.txt").toPath,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+    }
     java.security.MessageDigest
       .getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
