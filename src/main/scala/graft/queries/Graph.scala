@@ -169,13 +169,13 @@ object GraphQueries {
     * separately from the registered query so GraphSpec can assert
     * convergence (one more round changes nothing on the fixture).
     */
-  def labelPropLabels(
+  /** The symmetrized mutual-edge frame one propagation run reads. */
+  private[graft] def lpSymEdges(
       s: org.apache.spark.sql.SparkSession,
-      dir: String,
-      iters: Int = LpIters): org.apache.spark.sql.DataFrame = {
-    val mutual = graft.ext.Similarity.mutualKnnEdges(s, dir)
-    val sym = graft.core.Cached.frame(
-      mutual
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.core.Cached.frame(
+      graft.ext.Similarity
+        .mutualKnnEdges(s, dir)
         .select(
           explode(
             array(
@@ -186,20 +186,36 @@ object GraphQueries {
         )
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
     )
+
+  /** One neighbor-min + pointer-jump round — exposed un-checkpointed so
+    * PlanGoldenSpec pins the per-round shape (partial+final `min`
+    * aggregate, then the jump's self-equi-join) that every superstep
+    * re-executes; a lost map-side combine or a join-strategy flip here
+    * multiplies by K.
+    */
+  private[graft] def lpRound(
+      sym: org.apache.spark.sql.DataFrame,
+      lbl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = lbl
+      .unionByName(
+        sym.join(lbl, sym("src") === lbl("node")).select(col("dst").as("node"), col("lbl"))
+      )
+      .groupBy("node")
+      .agg(min("lbl").as("lbl"))
+    // pointer jump: labels are node ids of the same component, so every
+    // label resolves against the (node, lbl) frame itself
+    m.as("p")
+      .join(m.as("q"), col("p.lbl") === col("q.node"))
+      .select(col("p.node").as("node"), col("q.lbl").as("lbl"))
+  }
+
+  def labelPropLabels(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      iters: Int = LpIters): org.apache.spark.sql.DataFrame = {
+    val sym = lpSymEdges(s, dir)
     var lbl = Tables(s, dir).embeddings.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
-    for (i <- 0 until iters) {
-      val m = lbl
-        .unionByName(
-          sym.join(lbl, sym("src") === lbl("node")).select(col("dst").as("node"), col("lbl"))
-        )
-        .groupBy("node")
-        .agg(min("lbl").as("lbl"))
-      // pointer jump: labels are node ids of the same component, so every
-      // label resolves against the (node, lbl) frame itself
-      lbl = m
-        .as("p")
-        .join(m.as("q"), col("p.lbl") === col("q.node"))
-        .select(col("p.node").as("node"), col("q.lbl").as("lbl"))
+    for (_ <- 0 until iters) {
       // EVERY round truncates lineage (vs PageRank's sparse ladder): the
       // round references its predecessor twice (self-union + neighbor
       // push) and m twice (the jump's join sides), so the ANALYZED plan —
@@ -207,7 +223,7 @@ object GraphQueries {
       // would grow 4^K without truncation (measured: 109 s at sf0.1 for
       // K=10 vs sub-second truncated). The checkpoint is |V| rows per
       // round — metadata-sized at any corpus scale.
-      lbl = lbl.localCheckpoint()
+      lbl = lpRound(sym, lbl).localCheckpoint()
     }
     lbl
   }

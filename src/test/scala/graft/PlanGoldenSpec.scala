@@ -46,7 +46,12 @@ class PlanGoldenSpec extends SparkSpec {
     // lost bucket join shows as a diff here) and the 5-gram decontam
     // semi-join (the left-semi must never flip to a fan-out join)
     "q_knn_join",
-    "q_decontam_ngram"
+    "q_decontam_ngram",
+    // the iterative-graph per-round shapes: label prop's neighbor-min +
+    // jump (executed K times — a lost partial aggregate multiplies by K)
+    // and the degree-bounded triangle census joins
+    "q_label_prop",
+    "q_graph_triangles"
   )
 
   private def goldenFile(name: String) =
@@ -84,7 +89,18 @@ class PlanGoldenSpec extends SparkSpec {
   private val BuildPlans: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
       "q_knn_join" -> ((s, dir) =>
-        graft.ext.Similarity.knnJoin(graft.core.Tables(s, dir).embeddings, graft.ext.Similarity.KnnK))
+        graft.ext.Similarity.knnJoin(graft.core.Tables(s, dir).embeddings, graft.ext.Similarity.KnnK)),
+      // the registered query's final frame is checkpoint-truncated (an RDD
+      // scan); the plan that matters is the ONE ROUND every superstep
+      // re-executes
+      "q_label_prop" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.queries.GraphQueries.lpRound(
+          graft.queries.GraphQueries.lpSymEdges(s, dir),
+          graft.core.Tables(s, dir).embeddings
+            .select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+        )
+      })
     )
 
   for (name <- Pinned) test(s"plan golden: $name") {
