@@ -973,8 +973,78 @@ object EventQueries {
     )
   )
 
+  /** k-anonymity audit with a generalization ladder — the privacy gate a
+    * training pipeline runs before events-derived text/features enter a
+    * corpus: for the quasi-identifier (event_type, time bucket), how many
+    * equivalence classes fall below k=5 records at day, week, and month
+    * granularity? The ladder is the point: a releasing pipeline picks the
+    * FINEST granularity whose violation count is acceptable (generalize
+    * up = fewer, larger classes), and this query emits the whole curve in
+    * one pass — classes, minimum class size, violating classes, and total
+    * rows at re-identification risk per level.
+    *
+    * Scale shape: ONE events scan into the day-grain class table (output is
+    * |event_type|·|days| — metadata-sized at any corpus scale) which is
+    * cached and re-aggregated up the ladder; week and month levels are
+    * aggregates OF the day table, never a rescan. All counts are exact
+    * integers; no window, no join, three partial+final aggregates whose
+    * inputs are already tiny.
+    */
+  val kAnonymity: Q = Q(
+    "q_k_anonymity",
+    (s, dir) => {
+      val k = 5L
+      val base = graft.core.Cached.frame(
+        Tables(s, dir).events
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+      )
+      def audit(name: String, classes: org.apache.spark.sql.DataFrame) =
+        classes.agg(
+          count(lit(1)).as("n_classes"),
+          min("n").as("min_size"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violations"),
+          sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk")
+        ).select(
+          lit(name).as("level"),
+          col("n_classes"),
+          col("min_size"),
+          col("n_violations"),
+          col("rows_at_risk")
+        )
+      val week = base
+        .groupBy(col("event_type"), trunc(col("day"), "week").as("w"))
+        .agg(sum("n").as("n"))
+      val month = base
+        .groupBy(col("event_type"), trunc(col("day"), "month").as("m"))
+        .agg(sum("n").as("n"))
+      audit("day", base.select("n"))
+        .union(audit("week", week.select("n")))
+        .union(audit("month", month.select("n")))
+        .orderBy("level")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |wk AS (SELECT event_type, date_trunc('week', day) AS w,
+        |              CAST(SUM(n) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+        |mo AS (SELECT event_type, date_trunc('month', day) AS m,
+        |              CAST(SUM(n) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+        |lvl AS (
+        |  SELECT 'day' AS level, n FROM base
+        |  UNION ALL SELECT 'week', n FROM wk
+        |  UNION ALL SELECT 'month', n FROM mo)
+        |SELECT level, COUNT(*) AS n_classes, CAST(MIN(n) AS BIGINT) AS min_size,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM lvl GROUP BY level
+        |ORDER BY level""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
-      rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr)
+      rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr, kAnonymity)
 }

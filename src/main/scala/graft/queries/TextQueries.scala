@@ -1717,9 +1717,119 @@ object TextQueries {
     )
   )
 
+  /** fastText/CCNet-style learned quality classifier: bootstrap weak labels
+    * from the [[quality]] rule heuristic (the integer form: token count in
+    * [5, 10000] AND punct_cnt·10 < len_chars), train per-term naive-Bayes
+    * log-odds weights over document frequency, and re-score EVERY document
+    * with the learned model — the seed-heuristic → classifier → corpus-wide
+    * rescore loop real pretraining pipelines run (CCNet trains fastText on
+    * Wikipedia seeds; the rule tier here plays the seed role). Docs the
+    * rules rejected but the classifier accepts (label=0, pred=1) are the
+    * "rescued" set a production pipeline would human-review.
+    *
+    * All-integer scoring so both engines hash identically: the term weight
+    * is the Laplace-smoothed log-likelihood ratio quantized to whole bits,
+    *   w(t) = ⌊log₂(df_pos+1)⌋ − ⌊log₂(n_pos+2)⌋
+    *        − (⌊log₂(df_neg+1)⌋ − ⌊log₂(n_neg+2)⌋),
+    * with ⌊log₂ x⌋ = length(bin(x))−1 (exact on int64, no float libm in
+    * either engine). Each factor is quantized SEPARATELY — never a
+    * df·n product — so nothing overflows at any corpus size (a ppm-style
+    * ratio would hit int64 limits near 10¹² docs). Doc score = Σ w(t) over
+    * the doc's DISTINCT terms (Bernoulli NB; multiplicity would let one
+    * repeated token dominate), predict keep when score ≥ 0.
+    *
+    * Scale shape: ONE cached documents pass; term stats are a partial+final
+    * aggregate on the term grain (vocab-sized output); totals ride a 1-row
+    * broadcast crossJoin (never a keyless window); the weight join back to
+    * the exploded term grain is a plain hash join on term; the final score
+    * is a partial+final sum on doc_id. No window, no cartesian, nothing
+    * driver-side.
+    */
+  val qualityClassifier: Q = Q(
+    "q_quality_classifier",
+    (s, dir) => {
+      def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+      // one corpus scan shared by the label pass, the df aggregate, and the
+      // score join (ScanAuditSpec single-scan discipline)
+      val labeled = graft.core.Cached.frame(
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          lower(col("text")).as("lt"),
+          when(
+            size(split(col("text"), " ", -1)).between(5, 10000) &&
+              (length(col("text")) -
+                length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))) * 10
+              < length(col("text")),
+            1L
+          ).otherwise(0L).as("label")
+        )
+      )
+      val terms = labeled
+        .select(
+          col("doc_id"),
+          col("label"),
+          explode(array_distinct(split(col("lt"), " ", -1))).as("t")
+        )
+        .filter(col("t") =!= "")
+      val totals = labeled.agg(
+        sum(col("label")).as("n_pos"),
+        sum(lit(1L) - col("label")).as("n_neg")
+      )
+      val weights = terms
+        .groupBy("t")
+        .agg(sum(col("label")).as("df_pos"), sum(lit(1L) - col("label")).as("df_neg"))
+        .crossJoin(broadcast(totals))
+        .select(
+          col("t"),
+          (ilog2(col("df_pos") + 1) - ilog2(col("n_pos") + 2) -
+            (ilog2(col("df_neg") + 1) - ilog2(col("n_neg") + 2))).as("w")
+        )
+      val scores =
+        terms.join(weights, "t").groupBy("doc_id").agg(sum(col("w")).as("score"))
+      labeled
+        .select("doc_id", "label")
+        .join(scores, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("label"),
+          coalesce(col("score"), lit(0L)).as("score"),
+          (coalesce(col("score"), lit(0L)) >= 0).cast("int").as("pred")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH lab AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 10000
+        |           AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 10
+        |               < length(text)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS label
+        |  FROM documents),
+        |terms AS (
+        |  SELECT DISTINCT doc_id, label, w AS t FROM (
+        |    SELECT doc_id, label, unnest(string_split(lt, ' ')) AS w FROM lab)
+        |  WHERE w <> ''),
+        |tot AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+        |               CAST(SUM(1 - label) AS BIGINT) AS n_neg FROM lab),
+        |dfs AS (SELECT t, CAST(SUM(label) AS BIGINT) AS df_pos,
+        |               CAST(SUM(1 - label) AS BIGINT) AS df_neg
+        |        FROM terms GROUP BY t),
+        |w AS (SELECT t,
+        |    CAST((length(bin(df_pos + 1)) - 1) - (length(bin(n_pos + 2)) - 1)
+        |      - ((length(bin(df_neg + 1)) - 1) - (length(bin(n_neg + 2)) - 1)) AS BIGINT) AS w
+        |  FROM dfs CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+        |       FROM terms JOIN w USING (t) GROUP BY doc_id)
+        |SELECT lab.doc_id, label, COALESCE(score, 0) AS score,
+        |  CAST(CASE WHEN COALESCE(score, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+        |FROM lab LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
-      lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy)
+      lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier)
 }
