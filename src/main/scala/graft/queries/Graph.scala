@@ -297,5 +297,109 @@ object GraphQueries {
        |SELECT node AS vec_id, lbl AS community FROM l$iters ORDER BY vec_id""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(pagerank, labelProp)
+  /** Peel rounds for the k-core decomposition. A bulk peel needs
+    * "peeling depth" rounds to reach the fixpoint, and a dangling path
+    * peels one node per round — so the depth is data-dependent (measured:
+    * 8 rounds at sf0.01, 11 at sf0.1). 16 covers the fixtures with margin
+    * (fixpoint asserted in GraphSpec); production chains fixed-pass jobs
+    * until `alive` stops shrinking — the multi-job iteration the engine's
+    * FIFO queue exists for — so the per-round lineage truncation here IS
+    * the production shape, just driven to convergence.
+    */
+  val KcoreRounds = 16
+
+  /** Minimum degree for core membership: the 2-core (every vertex on a
+    * cycle) — the densest non-trivial core of a mutual k-NN graph whose
+    * degree is capped at k = 3 by construction (a 3-core would demand
+    * 3-regular components, which the fixture graph — correctly — does not
+    * contain).
+    */
+  val KcoreK = 2
+
+  /** Final-round induced degrees after `rounds` peels — exposed separately
+    * so GraphSpec can assert the fixpoint (one more round changes
+    * nothing).
+    */
+  private[graft] def kcoreDegrees(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val sym   = lpSymEdges(s, dir)
+    var alive = sym.select(col("src").as("v")).distinct()
+    var deg   = alive.select(col("v").as("src"), lit(0L).as("deg"))
+    for (_ <- 1 to rounds) {
+      // degree within the subgraph induced by the current alive set: two
+      // key joins against the (distinct) alive frame, then a partial+final
+      // count. The per-round eager localCheckpoint is the labelProp
+      // discipline — alive is derived from deg, which references the
+      // previous alive twice, so the analyzed plan would grow 2^K without
+      // truncation; the checkpoint is |alive| rows per round.
+      deg = sym
+        .join(alive.withColumnRenamed("v", "src"), "src")
+        .join(alive.withColumnRenamed("v", "dst"), "dst")
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      alive = deg.filter(col("deg") >= KcoreK).select(col("src").as("v"))
+    }
+    deg
+  }
+
+  /** k-core decomposition (Seidman 1983) of the mutual k-NN graph by the
+    * standard distributed peel (Batagelj–Zavrsnik made sequential peeling
+    * canonical; the bulk-synchronous variant removes ALL sub-k nodes each
+    * round): drop every node with induced degree < [[KcoreK]], recompute
+    * degrees on the survivors, repeat. The surviving 3-core is the
+    * "dense semantic neighborhoods" summary next to `q_graph_triangles`'s
+    * per-node clustering signal — SemDeDup-style pruning targets exactly
+    * these regions, while hub-free sparse nodes (peeled early) are the
+    * unique long-tail documents a curation pass protects.
+    *
+    * Scale shape: the [[lpSymEdges]] frame is the cached ≤ 2k·n mutual
+    * edge grain shared with `q_label_prop`; each round is two hash joins
+    * against the |alive| node frame plus one partial+final count — never
+    * an all-pairs structure — and the per-round localCheckpoint keeps the
+    * analyzed plan constant-size (the labelProp 4^K lesson). Rounds are
+    * fixed at [[KcoreRounds]] so the oracle can unroll; GraphSpec asserts
+    * the fixture reaches its fixpoint within them.
+    */
+  val kcore: Q = Q(
+    "q_kcore",
+    (s, dir) =>
+      kcoreDegrees(s, dir, KcoreRounds)
+        .filter(col("deg") >= KcoreK)
+        .select(col("src").as("vec_id"), col("deg").as("degree"))
+        .orderBy("vec_id"),
+    Some(kcoreOracleSql(KcoreRounds))
+  )
+
+  /** Unrolled peel rounds — [[labelPropOracleSql]]'s MATERIALIZED-CTE
+    * pattern (each round references the prior alive set twice, so default
+    * CTE inlining would expand 2^K-fold) over the same full k-NN graph
+    * replay.
+    */
+  def kcoreOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s.src AS v, COUNT(*) AS deg
+           |  FROM sym s JOIN a${i - 1} x ON s.src = x.v JOIN a${i - 1} y ON s.dst = y.v
+           |  GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $KcoreK)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (
+       |${graft.ext.Similarity.knnJoinOracleSql(graft.ext.Similarity.KnnK)}),
+       |${graft.ext.Similarity.mutualEdgesCte},
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM und),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+       |$steps
+       |SELECT v AS vec_id, deg AS degree FROM d$rounds WHERE deg >= $KcoreK
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank, labelProp, kcore)
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.queries.GraphQueries
+
 /** Semantics of the round-9 operators beyond their oracle hash checks:
   * PageRank invariants on the FULL rank table (the registered query is the
   * top 20), BM25 scoring cross-checked against a driver-side replay on the
@@ -179,5 +181,39 @@ class GraphSpec extends SparkSpec {
     // C is derived per corpus (clamp(ceil(sqrt(n)), [NCentroids, MaxCentroids]))
     val c    = graft.ext.Ivf.derivedCentroids(nVec)
     assert(cids.forall(cid => cid >= 0 && cid < c), s"cid out of [0, $c)")
+  }
+
+  test("q_kcore: equals the true 2-core fixpoint, reached within the round budget") {
+    val out = graft.queries.Registry
+      .queries("q_kcore")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+    // from-scratch peel to the TRUE fixpoint over the mutual edge set
+    val mutual = graft.ext.Similarity
+      .mutualKnnEdges(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    mutual.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    var alive  = adj.keySet.toSet
+    var rounds = 0
+    var done   = false
+    while (!done) {
+      val kill = alive.filter(v => (adj(v) & alive).size < GraphQueries.KcoreK)
+      if (kill.isEmpty) done = true
+      else { alive --= kill; rounds += 1 }
+    }
+    assert(
+      rounds <= GraphQueries.KcoreRounds,
+      s"fixture peel depth $rounds exceeds the ${GraphQueries.KcoreRounds}-round budget"
+    )
+    assert(out.keySet === alive, "survivor set differs from the true 2-core")
+    out.foreach { case (v, d) =>
+      assert(d === (adj(v) & alive).size.toLong, s"degree mismatch at node $v")
+    }
+    // non-trivial on the fixture: the 2-core keeps some cycle structure
+    assert(alive.nonEmpty, "fixture 2-core unexpectedly empty")
   }
 }
