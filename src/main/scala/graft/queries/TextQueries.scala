@@ -1827,9 +1827,92 @@ object TextQueries {
     )
   )
 
+  /** Hard-negative mining for retrieval/embedding training (the DPR /
+    * sentence-transformers recipe): take the BM25 top list for the query,
+    * call rank 1 the positive, and keep the next 10 candidates that are
+    * lexically close (high BM25) but NOT near-duplicates of the positive —
+    * a near-dup "negative" is a false negative that poisons contrastive
+    * training, so the dedup relation is the filter. Emits each surviving
+    * negative with its fused rank evidence.
+    *
+    * Composition, not new machinery: the BM25 leg reaggregates the ONE
+    * cached [[docTermTf]] grain ([[bm25Scores]], TakeOrderedAndProject 30);
+    * the dedup relation is the family's rep-level verified pair list
+    * ([[graft.ext.Dedup.nearDuplicates]]) plus the exact-dup rep mapping
+    * ([[graft.ext.Dedup.members]]) so an exact copy of the positive is
+    * excluded even though the pair family pre-collapses it (the
+    * q_contamination lesson). Everything after the two TakeOrdered tails
+    * is metadata-sized: the ≤30-row top list broadcasts into the member
+    * join, the 1-row positive broadcasts into the pair probe, and the
+    * anti-join runs on ≤30 rows.
+    */
+  val hardNegatives: Q = Q(
+    "q_hard_negatives",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val top = graft.core.Cached.frame(
+        attachRank(
+          bm25Scores(s, dir)
+            .orderBy(col("bm25_scaled").desc, col("doc_id"))
+            .limit(30)
+            .select("doc_id", "bm25_scaled"),
+          "bm25_rank",
+          col("bm25_scaled").desc,
+          col("doc_id")
+        )
+      )
+      val topR = graft.ext.Dedup.members(docs).join(broadcast(top), "doc_id")
+      val pos  = topR.filter(col("bm25_rank") === 1).select(col("rep").as("pos_rep"))
+      val rp   = graft.ext.Dedup.nearDuplicates(docs, 0.2).select("d1", "d2")
+      val partners = rp
+        .join(broadcast(pos), col("d1") === col("pos_rep"))
+        .select(col("d2").as("rep"))
+        .union(rp.join(broadcast(pos), col("d2") === col("pos_rep")).select(col("d1").as("rep")))
+      val surv = topR
+        .filter(col("bm25_rank") > 1)
+        .crossJoin(broadcast(pos)) // 1-row positive broadcast
+        .filter(col("rep") =!= col("pos_rep"))
+        .join(partners, Seq("rep"), "left_anti")
+        .orderBy("bm25_rank")
+        .limit(10)
+        .select("doc_id", "bm25_scaled", "bm25_rank")
+      attachRank(surv, "neg_rank", col("bm25_rank"))
+    },
+    Some(
+      s"""WITH $Bm25ScoreCtes,
+         |ranked AS (
+         |  SELECT doc_id, bm25_scaled,
+         |    ROW_NUMBER() OVER (ORDER BY bm25_scaled DESC, doc_id) AS bm25_rank
+         |  FROM bm),
+         |top AS (SELECT * FROM ranked WHERE bm25_rank <= 30),
+         |grp AS (SELECT md5(text) AS tkey, MIN(doc_id) AS rep FROM documents GROUP BY 1),
+         |mem AS (SELECT d.doc_id, grp.rep FROM documents d JOIN grp ON md5(d.text) = grp.tkey),
+         |sig AS (${graft.ext.Dedup.sqlSigRep}),
+         |bands AS (${graft.ext.Dedup.sqlBands}),
+         |cand AS (${graft.ext.Dedup.sqlCand}),
+         |sets AS (${graft.ext.Dedup.sqlSets}),
+         |pairs AS (${graft.ext.Dedup.sqlPairs(0.2)}),
+         |pos AS (SELECT m.rep AS pos_rep FROM top t JOIN mem m USING (doc_id)
+         |        WHERE t.bm25_rank = 1),
+         |partners AS (
+         |  SELECT d2 AS rep FROM pairs, pos WHERE d1 = pos_rep
+         |  UNION ALL SELECT d1 FROM pairs, pos WHERE d2 = pos_rep),
+         |surv AS (
+         |  SELECT t.doc_id, t.bm25_scaled, t.bm25_rank
+         |  FROM top t JOIN mem m USING (doc_id), pos
+         |  WHERE t.bm25_rank > 1 AND m.rep <> pos.pos_rep
+         |    AND m.rep NOT IN (SELECT rep FROM partners)
+         |  ORDER BY t.bm25_rank LIMIT 10)
+         |SELECT ROW_NUMBER() OVER (ORDER BY bm25_rank) AS neg_rank,
+         |  doc_id, bm25_scaled, bm25_rank
+         |FROM surv ORDER BY neg_rank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
-      lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier)
+      lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier,
+      hardNegatives)
 }

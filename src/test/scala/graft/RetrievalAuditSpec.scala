@@ -116,4 +116,33 @@ class RetrievalAuditSpec extends SparkSpec {
       .toSeq
     assert(rows == expected, s"triangle census drifted:\n got $rows\n exp $expected")
   }
+
+  test("q_hard_negatives: exact copy and near-dup of the positive are excluded, others kept") {
+    import spark.implicits._
+    // synthetic corpus where the dedup filter MUST engage: the BM25 winner
+    // has an exact copy (different doc_id) and a near-duplicate, both of
+    // which also score high lexically — without the pair filter they would
+    // be the first "negatives" (false negatives for contrastive training)
+    val posText = (1 to 10).flatMap(i => Seq("scan", "join", "window", s"anchor$i")).mkString(" ")
+    val nearText = posText.replace("anchor5", "edited5") // high-Jaccard near-dup
+    val others = (1 to 8).map { i =>
+      (10L + i, s"scan result number $i " + (1 to 10).map(j => s"filler${i}x$j").mkString(" "))
+    }
+    val docs = Seq((1L, posText), (2L, posText), (3L, nearText)) ++ others
+    val dir  = "target/hn_corpus"
+    docs.toDF("doc_id", "text").repartition(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = graft.queries.TextQueries.hardNegatives
+      .fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+
+    val kept = out.map(_._2).toSet
+    assert(!kept.contains(1L), "positive leaked into its own negatives")
+    assert(!kept.contains(2L), "exact copy of the positive kept as a negative")
+    assert(!kept.contains(3L), "near-duplicate of the positive kept as a negative")
+    assert(kept == others.map(_._1).toSet, s"expected all 8 lexical negatives, got $kept")
+    assert(out.map(_._1).toSeq == (1L to 8L), "neg_rank must be a dense 1-based prefix")
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq, "bm25_rank order preserved")
+  }
 }
