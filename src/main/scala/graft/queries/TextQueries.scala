@@ -1909,10 +1909,91 @@ object TextQueries {
     )
   )
 
+  /** T5/UL2-style span-corruption planning (Raffel et al. 2020 §3.1.4):
+    * for every document, deterministically select mask spans — each token
+    * position starts a 3-token span with probability 1/20 via a salted
+    * hash, overlapping spans merge — and report the per-doc corruption
+    * statistics a denoising-objective pipeline needs BEFORE materializing
+    * examples: masked-token count, merged span count, and the realized
+    * corruption rate in ppm (expected ≈ 140k ppm; the merge makes it
+    * sub-additive, exactly why pipelines audit the realized rate).
+    *
+    * Determinism: span starts come from the dedup family's 28-bit md5
+    * base hash over "doc_id:position", so both engines (and any re-run)
+    * pick identical spans — the property that makes masked-example
+    * generation reproducible across pipeline stages.
+    *
+    * Scale shape: ZERO shuffles — the whole computation is per-row array
+    * arithmetic (one hash pass builds the start-flag array; masked flags
+    * are the OR of the three shifted copies via slice+zip_with, never an
+    * element_at lambda that would re-evaluate the array subtree per
+    * element; merged spans count masked positions whose predecessor is
+    * unmasked). The final orderBy is verification plumbing.
+    */
+  val spanMask: Q = Q(
+    "q_span_mask",
+    (s, dir) => {
+      val n = size(split(col("text"), " ", -1))
+      val starts = transform(
+        sequence(lit(0), n - 1),
+        i =>
+          graft.ext.Dedup.baseHash(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))) % 20 === 0
+      )
+      def shifted(by: Int): Column =
+        concat(
+          array((1 to by).map(_ => lit(false)): _*),
+          slice(col("starts"), lit(1), greatest(size(col("starts")) - by, lit(0)))
+        )
+      Tables(s, dir).documents
+        .select(col("doc_id"), n.cast("long").as("n_tok"), starts.as("starts"))
+        .withColumn(
+          "masked",
+          zip_with(
+            zip_with(col("starts"), shifted(1), (a, b) => a || b),
+            shifted(2),
+            (a, b) => a || b
+          )
+        )
+        .withColumn(
+          "runs",
+          zip_with(
+            col("masked"),
+            concat(array(lit(false)), slice(col("masked"), lit(1), greatest(size(col("masked")) - 1, lit(0)))),
+            (m, prev) => m && !prev
+          )
+        )
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          size(filter(col("masked"), m => m)).cast("long").as("n_masked"),
+          size(filter(col("runs"), r => r)).cast("long").as("n_spans"),
+          expr("(size(filter(masked, m -> m)) * 1000000L) div n_tok").as("mask_ppm")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, n_tok,
+        |  CAST(len(list_filter(masked, m -> m)) AS BIGINT) AS n_masked,
+        |  CAST(len(list_filter(list_transform(range(1, n + 1),
+        |         i -> masked[i] AND (i = 1 OR NOT masked[i - 1])), r -> r)) AS BIGINT) AS n_spans,
+        |  (CAST(len(list_filter(masked, m -> m)) AS BIGINT) * 1000000) // n_tok AS mask_ppm
+        |FROM (
+        |  SELECT doc_id, n_tok, n,
+        |    list_transform(range(1, n + 1),
+        |      i -> starts[i] OR (i >= 2 AND starts[i - 1]) OR (i >= 3 AND starts[i - 2])) AS masked
+        |  FROM (
+        |    SELECT doc_id, CAST(n AS BIGINT) AS n_tok, n,
+        |      list_transform(range(0, n),
+        |        i -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 7) AS BIGINT) % 20 = 0) AS starts
+        |    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)))
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
       lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier,
-      hardNegatives)
+      hardNegatives, spanMask)
 }

@@ -145,4 +145,42 @@ class RetrievalAuditSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (1L to 8L), "neg_rank must be a dense 1-based prefix")
     assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq, "bm25_rank order preserved")
   }
+
+  test("q_span_mask matches a from-scratch span-selection replay") {
+    def baseHash(x: String): Long = {
+      val d   = java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.core
+      .Tables(spark, sf)
+      .documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+    val expected = docs.map { case (id, text) =>
+      val n      = text.split(" ", -1).length
+      val starts = (0 until n).map(i => baseHash(s"$id:$i") % 20 == 0)
+      val masked = (0 until n).map(i =>
+        starts(i) || (i >= 1 && starts(i - 1)) || (i >= 2 && starts(i - 2))
+      )
+      val nMasked = masked.count(identity).toLong
+      val nSpans  = (0 until n).count(i => masked(i) && (i == 0 || !masked(i - 1))).toLong
+      (id, n.toLong, nMasked, nSpans, nMasked * 1000000L / n)
+    }.sortBy(_._1).toSeq
+
+    val got = graft.queries.TextQueries.spanMask
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, "span-mask stats diverge from the driver replay")
+    // the corpus-level realized rate sits near the configured 3/20 with
+    // merge sub-additivity: within [100k, 160k] ppm on any plausible fixture
+    val totTok  = expected.map(_._2).sum
+    val totMask = expected.map(_._3).sum
+    val ppm     = totMask * 1000000L / totTok
+    assert(ppm > 100000L && ppm < 160000L, s"corpus mask rate $ppm ppm implausible")
+  }
 }
