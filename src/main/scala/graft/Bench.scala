@@ -105,12 +105,28 @@ object Bench {
     // builder PID in their path), statistics — would make the fingerprint
     // differ across runs of the SAME plan and defeat the drift
     // attribution it exists for.
-    val s = df.queryExecution.optimizedPlan.toString
+    //
+    // CACHE-BOUNDARY INDEPENDENCE: QueryExecution.optimizedPlan substitutes
+    // any subtree matching a cached plan with an InMemoryRelation whose
+    // string embeds the cached PHYSICAL plan — so the fingerprint of query
+    // A changed whenever an unrelated query B started caching a shared
+    // subtree (observed: adding 5 registry entries flipped 5 bystanders'
+    // fps through exactly this). Re-running the optimizer on the ANALYZED
+    // plan bypasses the cache-substitution step, so the fp hashes the pure
+    // logical computation: same code ⇒ same fp, regardless of which family
+    // members ran first or at all.
+    val s = df.sparkSession.sessionState.optimizer
+      .execute(df.queryExecution.analyzed.clone())
+      .toString
       .replaceAll("#\\d+", "#")
       .replaceAll("@[0-9a-fA-F]+", "@")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$x")
-      .replaceAll("\\blambda x_\\d+", "lambda x_n")
+      // lambda variable names carry a session-global counter (x_7, y_34…)
+      // that shifts with registry construction order — mask EVERY variable,
+      // not just the x_ prefix (y_ slipped through and flipped bystander
+      // fps when queries were added to the registry)
+      .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_n")
       .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "InMemoryFileIndex [<paths>]")
       .replaceAll("Location: [^,\\]]*", "Location: <location>")
       .replaceAll("file:/[^\\s,\\])]*", "<path>")
