@@ -972,8 +972,63 @@ object Pipeline {
     )
   )
 
+  /** One-row dataset card — the datasheet summary a corpus release ships
+    * (Gebru et al. 2021's "Datasheets for Datasets" reduced to its
+    * quantitative core): document/source/language counts, exact distinct
+    * texts with the implied exact-duplicate count and rate, token and
+    * character volume, and mean document length. The card is what a
+    * mixture planner reads FIRST — every knob in q_mix_schedule /
+    * q_epoch_plan starts from these totals.
+    *
+    * Scale shape: one documents scan into one aggregate. The three exact
+    * COUNT(DISTINCT ...) columns plan as Spark's Expand (4× row
+    * multiplication of the narrow (source, lang, md5) projection before
+    * the shuffle) — the standard multi-distinct shape, acceptable for a
+    * once-per-release audit; a continuously-refreshed card would swap in
+    * the sketch tier (q_approx_distinct) unchanged. All integers, so the
+    * card itself is hash-checked.
+    */
+  val datasetCard: Q = Q(
+    "q_dataset_card",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"),
+          sum("n_chars").as("n_chars")
+        )
+        .select(
+          col("n_docs"),
+          col("n_sources"),
+          col("n_langs"),
+          col("n_distinct_texts"),
+          (col("n_docs") - col("n_distinct_texts")).as("dup_docs"),
+          expr("((n_docs - n_distinct_texts) * 1000000L) div n_docs").as("dup_ppm"),
+          col("n_tokens"),
+          expr("n_tokens div n_docs").as("mean_tokens"),
+          col("n_chars")
+        ),
+    Some(
+      """SELECT n_docs, n_sources, n_langs, n_distinct_texts,
+        |  n_docs - n_distinct_texts AS dup_docs,
+        |  ((n_docs - n_distinct_texts) * 1000000) // n_docs AS dup_ppm,
+        |  n_tokens, n_tokens // n_docs AS mean_tokens, n_chars
+        |FROM (
+        |  SELECT COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents)""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
       seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule,
-      mixTemperature, decontamNgram, cleanFunnel, epochPlan)
+      mixTemperature, decontamNgram, cleanFunnel, epochPlan, datasetCard)
 }

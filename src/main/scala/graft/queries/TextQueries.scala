@@ -1745,85 +1745,143 @@ object TextQueries {
     * is a partial+final sum on doc_id. No window, no cartesian, nothing
     * driver-side.
     */
+  /** The classifier's scored frame (doc_id, label, score, pred) — shared
+    * body of [[qualityClassifier]] (per-doc output) and
+    * [[qualityCalibration]] (the reliability re-aggregate). One lineage
+    * means the cached labeled table and the whole weight-training chain
+    * serve both consumers.
+    */
+  private def classifierScored(s: SparkSession, dir: String): DataFrame = {
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    // one corpus scan shared by the label pass, the df aggregate, and the
+    // score join (ScanAuditSpec single-scan discipline)
+    val labeled = graft.core.Cached.frame(
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        lower(col("text")).as("lt"),
+        when(
+          size(split(col("text"), " ", -1)).between(5, 10000) &&
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))) * 10
+            < length(col("text")),
+          1L
+        ).otherwise(0L).as("label")
+      )
+    )
+    val terms = labeled
+      .select(
+        col("doc_id"),
+        col("label"),
+        explode(array_distinct(split(col("lt"), " ", -1))).as("t")
+      )
+      .filter(col("t") =!= "")
+    val totals = labeled.agg(
+      sum(col("label")).as("n_pos"),
+      sum(lit(1L) - col("label")).as("n_neg")
+    )
+    val weights = terms
+      .groupBy("t")
+      .agg(sum(col("label")).as("df_pos"), sum(lit(1L) - col("label")).as("df_neg"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("t"),
+        (ilog2(col("df_pos") + 1) - ilog2(col("n_pos") + 2) -
+          (ilog2(col("df_neg") + 1) - ilog2(col("n_neg") + 2))).as("w")
+      )
+    val scores =
+      terms.join(weights, "t").groupBy("doc_id").agg(sum(col("w")).as("score"))
+    labeled
+      .select("doc_id", "label")
+      .join(scores, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("label"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) >= 0).cast("int").as("pred")
+      )
+  }
+
+  /** Oracle CTE chain ending in `scored` = [[classifierScored]] — shared
+    * verbatim by the q_quality_classifier and q_quality_calibration
+    * oracles so the two replays cannot drift apart.
+    */
+  private val ClassifierScoreCtes: String =
+    """lab AS (
+      |  SELECT doc_id, lower(text) AS lt,
+      |    CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 10000
+      |           AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 10
+      |               < length(text)
+      |         THEN 1 ELSE 0 END AS BIGINT) AS label
+      |  FROM documents),
+      |terms AS (
+      |  SELECT DISTINCT doc_id, label, w AS t FROM (
+      |    SELECT doc_id, label, unnest(string_split(lt, ' ')) AS w FROM lab)
+      |  WHERE w <> ''),
+      |tot AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+      |               CAST(SUM(1 - label) AS BIGINT) AS n_neg FROM lab),
+      |dfs AS (SELECT t, CAST(SUM(label) AS BIGINT) AS df_pos,
+      |               CAST(SUM(1 - label) AS BIGINT) AS df_neg
+      |        FROM terms GROUP BY t),
+      |w AS (SELECT t,
+      |    CAST((length(bin(df_pos + 1)) - 1) - (length(bin(n_pos + 2)) - 1)
+      |      - ((length(bin(df_neg + 1)) - 1) - (length(bin(n_neg + 2)) - 1)) AS BIGINT) AS w
+      |  FROM dfs CROSS JOIN tot),
+      |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+      |       FROM terms JOIN w USING (t) GROUP BY doc_id),
+      |scored AS (
+      |  SELECT lab.doc_id, label, COALESCE(score, 0) AS score,
+      |    CAST(CASE WHEN COALESCE(score, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+      |  FROM lab LEFT JOIN sc USING (doc_id))""".stripMargin
+
   val qualityClassifier: Q = Q(
     "q_quality_classifier",
-    (s, dir) => {
-      def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
-      // one corpus scan shared by the label pass, the df aggregate, and the
-      // score join (ScanAuditSpec single-scan discipline)
-      val labeled = graft.core.Cached.frame(
-        Tables(s, dir).documents.select(
-          col("doc_id"),
-          lower(col("text")).as("lt"),
-          when(
-            size(split(col("text"), " ", -1)).between(5, 10000) &&
-              (length(col("text")) -
-                length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))) * 10
-              < length(col("text")),
-            1L
-          ).otherwise(0L).as("label")
-        )
-      )
-      val terms = labeled
-        .select(
-          col("doc_id"),
-          col("label"),
-          explode(array_distinct(split(col("lt"), " ", -1))).as("t")
-        )
-        .filter(col("t") =!= "")
-      val totals = labeled.agg(
-        sum(col("label")).as("n_pos"),
-        sum(lit(1L) - col("label")).as("n_neg")
-      )
-      val weights = terms
-        .groupBy("t")
-        .agg(sum(col("label")).as("df_pos"), sum(lit(1L) - col("label")).as("df_neg"))
-        .crossJoin(broadcast(totals))
-        .select(
-          col("t"),
-          (ilog2(col("df_pos") + 1) - ilog2(col("n_pos") + 2) -
-            (ilog2(col("df_neg") + 1) - ilog2(col("n_neg") + 2))).as("w")
-        )
-      val scores =
-        terms.join(weights, "t").groupBy("doc_id").agg(sum(col("w")).as("score"))
-      labeled
-        .select("doc_id", "label")
-        .join(scores, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          col("label"),
-          coalesce(col("score"), lit(0L)).as("score"),
-          (coalesce(col("score"), lit(0L)) >= 0).cast("int").as("pred")
-        )
-        .orderBy("doc_id")
-    },
+    (s, dir) => classifierScored(s, dir).orderBy("doc_id"),
     Some(
-      """WITH lab AS (
-        |  SELECT doc_id, lower(text) AS lt,
-        |    CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 10000
-        |           AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 10
-        |               < length(text)
-        |         THEN 1 ELSE 0 END AS BIGINT) AS label
-        |  FROM documents),
-        |terms AS (
-        |  SELECT DISTINCT doc_id, label, w AS t FROM (
-        |    SELECT doc_id, label, unnest(string_split(lt, ' ')) AS w FROM lab)
-        |  WHERE w <> ''),
-        |tot AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
-        |               CAST(SUM(1 - label) AS BIGINT) AS n_neg FROM lab),
-        |dfs AS (SELECT t, CAST(SUM(label) AS BIGINT) AS df_pos,
-        |               CAST(SUM(1 - label) AS BIGINT) AS df_neg
-        |        FROM terms GROUP BY t),
-        |w AS (SELECT t,
-        |    CAST((length(bin(df_pos + 1)) - 1) - (length(bin(n_pos + 2)) - 1)
-        |      - ((length(bin(df_neg + 1)) - 1) - (length(bin(n_neg + 2)) - 1)) AS BIGINT) AS w
-        |  FROM dfs CROSS JOIN tot),
-        |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
-        |       FROM terms JOIN w USING (t) GROUP BY doc_id)
-        |SELECT lab.doc_id, label, COALESCE(score, 0) AS score,
-        |  CAST(CASE WHEN COALESCE(score, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS pred
-        |FROM lab LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+      s"""WITH $ClassifierScoreCtes
+         |SELECT doc_id, label, score, pred FROM scored
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Reliability curve + confusion cells for the learned quality
+    * classifier — the eval a pipeline runs BEFORE trusting the gate (the
+    * q_langid_confusion discipline applied to the trained model): scores
+    * clamped to ±400 and bucketed in 10-bit-wide bins, and per bin the
+    * doc count, seed-positive count, and seed-positive rate in ppm. A
+    * well-calibrated model shows the rate rising monotonically with the
+    * score bin; the pred/label confusion is readable from the sign
+    * buckets. Clamp-then-shift keeps the bucket index non-negative, so
+    * integer division agrees across engines (Spark `div` truncates toward
+    * zero while DuckDB `//` floors — they differ on negatives).
+    *
+    * Scale shape: one re-aggregate of the shared [[classifierScored]]
+    * lineage onto a ≤81-row bucket grain — partial+final counts, nothing
+    * new corpus-sized.
+    */
+  val qualityCalibration: Q = Q(
+    "q_quality_calibration",
+    (s, dir) =>
+      classifierScored(s, dir)
+        .select(
+          (expr("(greatest(least(score, 399L), -400L) + 400L) div 10L") * 10L - 400L)
+            .as("bucket_lo"),
+          col("label")
+        )
+        .groupBy("bucket_lo")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("label").as("n_seed_pos"),
+          expr("(sum(label) * 1000000L) div count(1)").as("seed_pos_ppm")
+        )
+        .orderBy("bucket_lo"),
+    Some(
+      s"""WITH $ClassifierScoreCtes
+         |SELECT ((greatest(least(score, 399), -400) + 400) // 10) * 10 - 400 AS bucket_lo,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(label) AS BIGINT) AS n_seed_pos,
+         |  (CAST(SUM(label) AS BIGINT) * 1000000) // COUNT(*) AS seed_pos_ppm
+         |FROM scored GROUP BY 1
+         |ORDER BY bucket_lo""".stripMargin
     )
   )
 
@@ -1995,5 +2053,5 @@ object TextQueries {
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
       lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier,
-      hardNegatives, spanMask)
+      hardNegatives, spanMask, qualityCalibration)
 }

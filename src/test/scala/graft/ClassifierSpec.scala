@@ -87,4 +87,47 @@ class ClassifierSpec extends SparkSpec {
     assert(ar(out("week")) <= ar(out("day")), "week rows_at_risk exceed day")
     assert(ar(out("month")) <= ar(out("week")), "month rows_at_risk exceed week")
   }
+
+  test("q_quality_calibration buckets recount from the classifier's own scores") {
+    val scored = TextQueries.qualityClassifier
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(1))) // (score, label)
+    val expected = scored
+      .groupBy { case (score, _) => (math.min(math.max(score, -400L), 399L) + 400L) / 10L * 10L - 400L }
+      .map { case (lo, xs) =>
+        (lo, xs.length.toLong, xs.count(_._2 == 1L).toLong,
+         xs.count(_._2 == 1L).toLong * 1000000L / xs.length)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val got = TextQueries.qualityCalibration
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"calibration buckets diverge:\n got $got\n exp $expected")
+    // buckets must partition the corpus
+    assert(got.map(_._2).sum == scored.length.toLong)
+  }
+
+  test("q_dataset_card matches a driver-side recount of the corpus") {
+    val card = graft.queries.Pipeline.datasetCard.fn(spark, sf).collect()(0)
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val nDocs     = docs.length.toLong
+    val nDistinct = docs.map(_._2).distinct.length.toLong
+    val nTokens   = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(card.getLong(0) === nDocs)
+    assert(card.getLong(1) === docs.map(_._4).distinct.length.toLong, "n_sources")
+    assert(card.getLong(2) === docs.map(_._3).distinct.length.toLong, "n_langs")
+    assert(card.getLong(3) === nDistinct, "n_distinct_texts")
+    assert(card.getLong(4) === nDocs - nDistinct, "dup_docs")
+    assert(card.getLong(5) === (nDocs - nDistinct) * 1000000L / nDocs, "dup_ppm")
+    assert(card.getLong(6) === nTokens, "n_tokens")
+    assert(card.getLong(7) === nTokens / nDocs, "mean_tokens")
+    assert(card.getLong(8) === docs.map(_._5).sum, "n_chars")
+  }
 }
