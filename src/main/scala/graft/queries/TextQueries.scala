@@ -1751,11 +1751,14 @@ object TextQueries {
     * means the cached labeled table and the whole weight-training chain
     * serve both consumers.
     */
-  private def classifierScored(s: SparkSession, dir: String): DataFrame = {
-    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    // one corpus scan shared by the label pass, the df aggregate, and the
-    // score join (ScanAuditSpec single-scan discipline)
-    val labeled = graft.core.Cached.frame(
+  private def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** The cached seed-labeled corpus (doc_id, lt, label) — ONE documents
+    * scan shared by every classifier-family consumer (ScanAuditSpec
+    * single-scan discipline).
+    */
+  private def labeledDocs(s: SparkSession, dir: String): DataFrame =
+    graft.core.Cached.frame(
       Tables(s, dir).documents.select(
         col("doc_id"),
         lower(col("text")).as("lt"),
@@ -1768,18 +1771,27 @@ object TextQueries {
         ).otherwise(0L).as("label")
       )
     )
-    val terms = labeled
+
+  /** Distinct nonempty terms of a labeled frame: (doc_id, label, t). */
+  private def classifierTerms(labeled: DataFrame): DataFrame =
+    labeled
       .select(
         col("doc_id"),
         col("label"),
         explode(array_distinct(split(col("lt"), " ", -1))).as("t")
       )
       .filter(col("t") =!= "")
-    val totals = labeled.agg(
+
+  /** 1-row (n_pos, n_neg) class totals of a labeled frame. */
+  private def classifierTotals(labeled: DataFrame): DataFrame =
+    labeled.agg(
       sum(col("label")).as("n_pos"),
       sum(lit(1L) - col("label")).as("n_neg")
     )
-    val weights = terms
+
+  /** The trained weight table (t, w) over a labeled training frame. */
+  private def classifierWeights(terms: DataFrame, totals: DataFrame): DataFrame =
+    terms
       .groupBy("t")
       .agg(sum(col("label")).as("df_pos"), sum(lit(1L) - col("label")).as("df_neg"))
       .crossJoin(broadcast(totals))
@@ -1788,6 +1800,11 @@ object TextQueries {
         (ilog2(col("df_pos") + 1) - ilog2(col("n_pos") + 2) -
           (ilog2(col("df_neg") + 1) - ilog2(col("n_neg") + 2))).as("w")
       )
+
+  private def classifierScored(s: SparkSession, dir: String): DataFrame = {
+    val labeled = labeledDocs(s, dir)
+    val terms   = classifierTerms(labeled)
+    val weights = classifierWeights(terms, classifierTotals(labeled))
     val scores =
       terms.join(weights, "t").groupBy("doc_id").agg(sum(col("w")).as("score"))
     labeled
@@ -1805,14 +1822,20 @@ object TextQueries {
     * verbatim by the q_quality_classifier and q_quality_calibration
     * oracles so the two replays cannot drift apart.
     */
-  private val ClassifierScoreCtes: String =
+  /** The seed-labeled corpus CTE (doc_id, lt, label) — shared by every
+    * classifier-family oracle.
+    */
+  private val ClassifierLabCte: String =
     """lab AS (
       |  SELECT doc_id, lower(text) AS lt,
       |    CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 10000
       |           AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 10
       |               < length(text)
       |         THEN 1 ELSE 0 END AS BIGINT) AS label
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  private val ClassifierScoreCtes: String =
+    s"""$ClassifierLabCte,
       |terms AS (
       |  SELECT DISTINCT doc_id, label, w AS t FROM (
       |    SELECT doc_id, label, unnest(string_split(lt, ' ')) AS w FROM lab)
@@ -2048,10 +2071,98 @@ object TextQueries {
     )
   )
 
+  /** Frozen-model incremental quality scoring — the TRAIN/SERVE split of
+    * the learned gate (q_dedup_incremental's ingest-gate shape and
+    * q_ann_incremental's frozen-quantizer shape, applied to the
+    * classifier): weights are trained ONLY on the seen corpus
+    * (doc_id < 400, the same batch convention as the dedup gate), then
+    * the new batch is scored statelessly against the frozen weight
+    * table. Terms the frozen model never saw score at the Laplace prior
+    * ratio ⌊log₂(n_neg+2)⌋ − ⌊log₂(n_pos+2)⌋ (exactly what the smoothed
+    * NB assigns a zero-df term), and the per-doc OOV count rides along —
+    * the drift monitor that schedules retraining, as the IVF centroid
+    * distance does for the ANN index.
+    *
+    * Scale/streaming shape: the frozen weight table is the production
+    * broadcast artifact; scoring the batch is one stream-static-joinable
+    * pass (explode → hash join → partial+final sum), so a Structured
+    * Streaming ingest gate runs the identical expressions per
+    * micro-batch with no aggregation state. Training reaggregates the
+    * family's ONE cached labeled scan with a pushed doc_id filter.
+    */
+  val qualityIncremental: Q = Q(
+    "q_quality_incremental",
+    (s, dir) => {
+      val lab  = labeledDocs(s, dir)
+      val seen = lab.filter(col("doc_id") < 400)
+      val newb = lab.filter(col("doc_id") >= 400)
+      val totals  = classifierTotals(seen)
+      val weights = classifierWeights(classifierTerms(seen), totals)
+      val scoredTerms = classifierTerms(newb)
+        .join(weights, Seq("t"), "left")
+        .crossJoin(broadcast(totals))
+        .select(
+          col("doc_id"),
+          coalesce(col("w"), ilog2(col("n_neg") + 2) - ilog2(col("n_pos") + 2)).as("w"),
+          col("w").isNull.cast("long").as("oov")
+        )
+      newb
+        .select("doc_id", "label")
+        .join(
+          scoredTerms.groupBy("doc_id").agg(sum("w").as("score"), sum("oov").as("n_oov")),
+          Seq("doc_id"),
+          "left"
+        )
+        .select(
+          col("doc_id"),
+          col("label"),
+          coalesce(col("score"), lit(0L)).as("score"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          (coalesce(col("score"), lit(0L)) >= 0).cast("int").as("pred")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $ClassifierLabCte,
+         |seen AS (SELECT * FROM lab WHERE doc_id < 400),
+         |newb AS (SELECT * FROM lab WHERE doc_id >= 400),
+         |sterms AS (
+         |  SELECT DISTINCT doc_id, label, w AS t FROM (
+         |    SELECT doc_id, label, unnest(string_split(lt, ' ')) AS w FROM seen)
+         |  WHERE w <> ''),
+         |tot AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+         |               CAST(SUM(1 - label) AS BIGINT) AS n_neg FROM seen),
+         |dfs AS (SELECT t, CAST(SUM(label) AS BIGINT) AS df_pos,
+         |               CAST(SUM(1 - label) AS BIGINT) AS df_neg
+         |        FROM sterms GROUP BY t),
+         |w AS (SELECT t,
+         |    CAST((length(bin(df_pos + 1)) - 1) - (length(bin(n_pos + 2)) - 1)
+         |      - ((length(bin(df_neg + 1)) - 1) - (length(bin(n_neg + 2)) - 1)) AS BIGINT) AS w
+         |  FROM dfs CROSS JOIN tot),
+         |nterms AS (
+         |  SELECT DISTINCT doc_id, t FROM (
+         |    SELECT doc_id, unnest(string_split(lt, ' ')) AS t FROM newb)
+         |  WHERE t <> ''),
+         |st AS (
+         |  SELECT nterms.doc_id,
+         |    COALESCE(w.w, CAST((length(bin(n_neg + 2)) - 1) - (length(bin(n_pos + 2)) - 1) AS BIGINT)) AS w,
+         |    CASE WHEN w.w IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM nterms LEFT JOIN w USING (t), tot),
+         |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+         |              CAST(SUM(oov) AS BIGINT) AS n_oov
+         |       FROM st GROUP BY 1)
+         |SELECT newb.doc_id, label, COALESCE(score, 0) AS score,
+         |  COALESCE(n_oov, 0) AS n_oov,
+         |  CAST(CASE WHEN COALESCE(score, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM newb LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
       lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier,
-      hardNegatives, spanMask, qualityCalibration)
+      hardNegatives, spanMask, qualityCalibration, qualityIncremental)
 }

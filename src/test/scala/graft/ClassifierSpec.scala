@@ -111,6 +111,61 @@ class ClassifierSpec extends SparkSpec {
     assert(got.map(_._2).sum == scored.length.toLong)
   }
 
+  test("q_quality_incremental: frozen-weight scoring replays from scratch at sf0.01") {
+    // sf0.01: 500 docs, so the doc_id >= 400 batch convention yields a
+    // real 100-doc batch (sf0.001 has no new batch)
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    def label(text: String): Long = {
+      val nTok  = text.split(" ", -1).length
+      val punct = text.length - text.replaceAll("[^A-Za-z0-9 ]", "").length
+      if (nTok >= 5 && nTok <= 10000 && punct * 10 < text.length) 1L else 0L
+    }
+    def terms(t: String) = t.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSet
+    val seen  = docs.filter(_._1 < 400L)
+    val nPos  = seen.count { case (_, t) => label(t) == 1L }.toLong
+    val nNeg  = seen.size - nPos
+    val dfPos = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val dfNeg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    seen.foreach { case (_, t) =>
+      val m = if (label(t) == 1L) dfPos else dfNeg
+      terms(t).foreach(x => m(x) += 1L)
+    }
+    val vocab = dfPos.keySet ++ dfNeg.keySet
+    def w(t: String): Long =
+      (ilog2(dfPos(t) + 1) - ilog2(nPos + 2)) - (ilog2(dfNeg(t) + 1) - ilog2(nNeg + 2))
+    val w0 = ilog2(nNeg + 2) - ilog2(nPos + 2) // frozen model's OOV prior ratio
+
+    val out = TextQueries.qualityIncremental.fn(spark, dir).collect()
+    assert(out.length === docs.count(_._1 >= 400L), "every new-batch doc scored")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ts = terms(docs(id))
+      val expScore = ts.toSeq.map(t => if (vocab(t)) w(t) else w0).sum
+      val expOov   = ts.count(t => !vocab(t)).toLong
+      assert(r.getLong(1) === label(docs(id)), s"label mismatch doc $id")
+      assert(r.getLong(2) === expScore, s"score mismatch doc $id")
+      assert(r.getLong(3) === expOov, s"n_oov mismatch doc $id")
+    }
+    // the fixture's new batch shares the synthetic vocabulary, so exercise
+    // the OOV path on a corpus where the new batch contains unseen terms
+    import spark.implicits._
+    val mini = (1L to 20L).map(i => (i, s"alpha beta gamma delta seen$i words here")) :+
+      (400L, "alpha beta nevertrained unseenword gamma mystery tokens")
+    val miniDir = "target/qi_corpus"
+    mini.toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$miniDir/documents.parquet")
+    val miniOut = TextQueries.qualityIncremental.fn(spark, miniDir).collect()
+    assert(miniOut.length === 1)
+    // unseen: nevertrained, unseenword, mystery, tokens (alpha/beta/gamma trained)
+    assert(miniOut(0).getLong(3) === 4L, "exactly the four unseen terms count as OOV")
+  }
+
   test("q_dataset_card matches a driver-side recount of the corpus") {
     val card = graft.queries.Pipeline.datasetCard.fn(spark, sf).collect()(0)
     val docs = spark.read
