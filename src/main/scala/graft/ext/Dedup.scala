@@ -336,7 +336,44 @@ object Dedup {
     * (append-only, bucketed by band_val) and the day's batch is small enough
     * that its band side broadcasts.
     */
-  def incrementalNearDups(docs: DataFrame, isNew: Column, threshold: Double): DataFrame = {
+  def incrementalNearDups(docs: DataFrame, isNew: Column, threshold: Double): DataFrame =
+    if (!hasExactDups(docs)) incrementalNearDupsPlain(docs, isNew, threshold)
+    else {
+      // EXACT-DUPLICATE PRE-COLLAPSE, SIDE-LOCAL — the ingest-gate analog
+      // of [[candidatePairs]]' family collapse, which the 10× scale gate
+      // showed this query was missing (clean 2.2 s vs hot 92.7 s, ratio
+      // 42.6: a 100k-copy text puts ~80k new copies and ~20k seen copies
+      // in ONE band bucket, and the new⋈seen band join emits their ~1.6·10⁹
+      // cross pairs before the verify tier sees any of them). Banding and
+      // verification run over one representative per (distinct text, SIDE)
+      // — side-LOCAL because the same text on both sides must keep a rep
+      // on each side for the cross-boundary jaccard-1.0 match to exist.
+      // Output-identical to the raw grain: identical text ⟹ identical
+      // bands and jaccard, so (a) a member is a band candidate of exactly
+      // the docs its rep partners with, and (b) the best-partner argmax
+      // (jaccard DESC, seen_id ASC) always lands on a seen REP — equal-
+      // jaccard exact copies lose the id tiebreak to their group's min-id
+      // rep by construction. New members then inherit their rep's
+      // (dup_of, jaccard) through a pair-bounded broadcast join.
+      // StressSpec pins collapsed ≡ plain on a dup-heavy corpus; the
+      // dup-free fixtures (sf0.001/sf0.01) keep the plain path via the
+      // memoized [[hasExactDups]] probe, zero overhead.
+      val mem      = members(docs, isNew.as("__new"))
+      val sideReps = mem.groupBy("rep", "__new").agg(min("doc_id").as("srep"))
+      val repFrame = docs.join(sideReps.select(col("srep").as("doc_id")), "doc_id")
+      val repRes   = incrementalNearDupsPlain(repFrame, isNew, threshold)
+      mem
+        .filter(col("__new"))
+        .join(sideReps.filter(col("__new")).select(col("rep"), col("srep")), "rep")
+        .join(repRes, col("srep") === col("new_id"))
+        .select(col("doc_id").as("new_id"), col("dup_of"), col("jaccard"))
+    }
+
+  /** The uncollapsed ingest-gate pipeline — [[incrementalNearDups]] routes
+    * here directly on dup-free corpora, and over the side-collapsed rep
+    * frame otherwise.
+    */
+  private[graft] def incrementalNearDupsPlain(docs: DataFrame, isNew: Column, threshold: Double): DataFrame = {
     // ONE tagged feature projection, cached: the predicate is evaluated at
     // the single `documents` scan, signatures are computed once for the
     // whole corpus with the side tag carried through (a doc's signature is
