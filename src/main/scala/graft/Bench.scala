@@ -60,6 +60,10 @@ object Bench {
       // lakehouse OPTIMIZE job); the probe query should time probes only
       if (subsetNeeds(_ == "q_zorder_probe"))
         graft.ops.ZOrder.layoutFor(spark, sfDir)
+      // the base MV snapshot is the same offline-build shape: the refresh
+      // query should time the delta scan + merge, not the snapshot job
+      if (subsetNeeds(_ == "q_mv_refresh"))
+        graft.ops.MatView.baseFor(spark, sfDir): Unit
       if (subsetNeeds(n => n.contains("minhash") || n.contains("lsh") || n.contains("dedup") ||
             n.contains("jaccard") || n == "q_clean_corpus")) {
         val docs = graft.core.Tables(spark, sfDir).documents

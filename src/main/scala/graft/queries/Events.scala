@@ -1043,8 +1043,84 @@ object EventQueries {
     )
   )
 
+  /** Differentially-private contribution bounding audit (Wilson et al.
+    * 2020, "Differentially Private SQL with Bounded User Contribution" —
+    * the public Google DP-SQL design): before any DP noise can be
+    * calibrated, each user's contribution to each aggregation group must
+    * be CAPPED so one user's rows move the histogram by at most K — the
+    * L∞ sensitivity bound the noise scale divides by. This query applies
+    * the cap (K = 3 rows per user per (event_type, day) cell, keeping each
+    * user's deterministic first K by event_id — production keeps a random
+    * K-subset, which is just a different rank key) and emits the
+    * per-cell audit a privacy reviewer signs off on: raw rows, kept rows,
+    * dropped rows, contributing users, and the worst single-user
+    * contribution before/after (the after-column must never exceed K —
+    * asserted in EventsSpec). The companion k-anonymity ladder is
+    * q_k_anonymity; this is the OTHER half of the DP prep pipeline.
+    *
+    * Scale shape: the rank is a window partitioned by (user_id,
+    * event_type, day) — millions of small partitions, never a global
+    * window; both audit aggregates reuse the same exchange keys
+    * ((user, type, day) → (type, day) is a prefix reaggregation, so the
+    * second groupBy is map-side-light). All integers; hash-exact.
+    */
+  val contributionCap: Q = Q(
+    "q_contribution_cap",
+    (s, dir) => {
+      val k = 3L
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), col("day"))
+        .orderBy("event_id")
+      val ranked = Tables(s, dir).events
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          to_date(col("ts")).as("day")
+        )
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val perUser = ranked
+        .groupBy("event_type", "day", "user_id")
+        .agg(
+          count(lit(1)).as("n_raw_u"),
+          sum(when(col("rn") <= k, 1L).otherwise(0L)).as("n_kept_u")
+        )
+      perUser
+        .groupBy("event_type", "day")
+        .agg(
+          sum("n_raw_u").as("n_raw"),
+          sum("n_kept_u").as("n_kept"),
+          sum(col("n_raw_u") - col("n_kept_u")).as("n_dropped"),
+          count(lit(1)).as("n_users"),
+          max("n_raw_u").as("max_user_raw"),
+          max("n_kept_u").as("max_user_kept")
+        )
+        .orderBy("event_type", "day")
+    },
+    Some(
+      """WITH ranked AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+        |                       ORDER BY event_id) AS rn
+        |  FROM events),
+        |pu AS (
+        |  SELECT event_type, day, user_id, COUNT(*) AS n_raw_u,
+        |    CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_u
+        |  FROM ranked GROUP BY 1, 2, 3)
+        |SELECT event_type, day,
+        |  CAST(SUM(n_raw_u) AS BIGINT) AS n_raw,
+        |  CAST(SUM(n_kept_u) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_raw_u - n_kept_u) AS BIGINT) AS n_dropped,
+        |  COUNT(*) AS n_users,
+        |  CAST(MAX(n_raw_u) AS BIGINT) AS max_user_raw,
+        |  CAST(MAX(n_kept_u) AS BIGINT) AS max_user_kept
+        |FROM pu GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
-      rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr, kAnonymity)
+      rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr, kAnonymity,
+      contributionCap)
 }

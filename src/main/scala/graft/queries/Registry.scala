@@ -22,7 +22,8 @@ object Registry {
       SemDedup.all ++
       SimHash.all ++
       Winnow.all ++
-      Multimodal.all
+      Multimodal.all ++
+      graft.ops.MatView.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names in Registry")
 

@@ -2159,10 +2159,108 @@ object TextQueries {
     )
   )
 
+  /** Pairwise total-variation distance between per-source unigram
+    * distributions — the corpus-comparison matrix a mixture designer reads
+    * before setting source weights (two sources at TV ≈ 0 are statistical
+    * near-duplicates and their combined weight should be split, the
+    * distribution-level analog of q_source_overlap's document-level
+    * matrix; TV ≈ 1 sources contribute genuinely disjoint text). TV is
+    * chosen over KL/JS precisely because it needs NO logarithm: with
+    * integer term counts c(s,t) and source token totals n(s),
+    *   TV(s1,s2) = Σ_t |c1(t)/n1 − c2(t)/n2| / 2
+    *             = Σ_t |c1(t)·n2 − c2(t)·n1| / (2·n1·n2)
+    * is an exact integer numerator over an exact integer denominator, and
+    * the emitted double is ONE IEEE division — hash-exact cross-engine,
+    * where a log-based divergence would drift in the last ulp.
+    *
+    * The term sum splits into three exact pieces so no term grid is ever
+    * materialized: terms present in BOTH sources contribute
+    * Σ|c1·n2 − c2·n1| over the inner join, and the one-sided tails are
+    * closed forms from the same aggregate — Σ_{t∈s1 only} c1·n2
+    * = n2·(n1 − Σ_both c1), symmetrically for s2. (The naive
+    * vocab × sources grid computes the same number with |V|·|S| rows of
+    * fan-out; the inner-join form touches only co-occurring terms.)
+    *
+    * Scale shape: per-source counts reaggregate the ONE cached
+    * [[docTermTf]] grain (shared with q_tfidf/q_bm25 — no second corpus
+    * explode) joined to a 2-column pruned (doc_id, source) scan; the
+    * pair matrix is |S|²-bounded (sources are a metadata-sized dimension
+    * at any corpus scale) with totals broadcast twice. A pair sharing ZERO
+    * terms (TV exactly 1) is omitted by the inner-join form in both engines
+    * alike; at unigram grain over natural text any shared token re-admits
+    * the pair, so this arises only for disjoint-alphabet corpora — where
+    * the answer is known to be 1 without computing it. Integer bound:
+    * Σ|c1·n2 − c2·n1| ≤ 2·n1·n2, exact in int64 to ~3·10⁹ tokens per
+    * source; past that production swaps the products to DECIMAL(38,0)
+    * unchanged (Spark decimal sums are exact; the fixture keeps BIGINT so
+    * the oracle compare is type-identical).
+    */
+  val sourceDivergence: Q = Q(
+    "q_source_divergence",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tf   = docTermTf(docs)
+      graft.core.Cached.frame(tf)
+      val st = tf
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source", "term")
+        .agg(sum("tf").as("c"))
+      val n = st.groupBy("source").agg(sum("c").as("n"))
+      val both = st
+        .select(col("source").as("source_a"), col("term"), col("c").as("c1"))
+        .join(
+          st.select(col("source").as("source_b"), col("term"), col("c").as("c2")),
+          "term"
+        )
+        .filter(col("source_a") < col("source_b"))
+        .join(broadcast(n.select(col("source").as("source_a"), col("n").as("n1"))), "source_a")
+        .join(broadcast(n.select(col("source").as("source_b"), col("n").as("n2"))), "source_b")
+        .groupBy("source_a", "source_b", "n1", "n2")
+        .agg(
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_both"),
+          sum("c1").as("m1"),
+          sum("c2").as("m2")
+        )
+      both
+        .select(
+          col("source_a"),
+          col("source_b"),
+          (col("d_both") + col("n2") * (col("n1") - col("m1")) +
+            col("n1") * (col("n2") - col("m2"))).as("tv_num"),
+          (lit(2L) * col("n1") * col("n2")).as("tv_den")
+        )
+        .withColumn("tv", col("tv_num").cast("double") / col("tv_den"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (
+        |  SELECT d.source, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS c
+        |  FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+        |b AS (
+        |  SELECT a.source AS source_a, bb.source AS source_b, n1.n AS n1, n2.n AS n2,
+        |    CAST(SUM(ABS(a.c * n2.n - bb.c * n1.n)) AS BIGINT) AS d_both,
+        |    CAST(SUM(a.c) AS BIGINT) AS m1, CAST(SUM(bb.c) AS BIGINT) AS m2
+        |  FROM st a JOIN st bb ON a.term = bb.term AND a.source < bb.source
+        |  JOIN n n1 ON n1.source = a.source
+        |  JOIN n n2 ON n2.source = bb.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b,
+        |  CAST(d_both + n2 * (n1 - m1) + n1 * (n2 - m2) AS BIGINT) AS tv_num,
+        |  CAST(2 * n1 * n2 AS BIGINT) AS tv_den,
+        |  CAST(d_both + n2 * (n1 - m1) + n1 * (n2 - m2) AS DOUBLE)
+        |    / (2 * n1 * n2) AS tv
+        |FROM b ORDER BY source_a, source_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
       lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier,
-      hardNegatives, spanMask, qualityCalibration, qualityIncremental)
+      hardNegatives, spanMask, qualityCalibration, qualityIncremental, sourceDivergence)
 }

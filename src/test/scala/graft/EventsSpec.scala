@@ -14,6 +14,46 @@ class EventsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q_mv_refresh: incremental merge equals a from-scratch rollup, delta is non-trivial") {
+    // the oracle certifies this cross-engine at the gate SF; this is the
+    // in-suite guard plus the engagement check that the split is real
+    // (a watermark past max(event_id) would make the delta empty and the
+    // "incremental" path degenerate to reading the stored snapshot)
+    val b = graft.ops.MatView.baseFor(spark, sf)
+    val ev = Tables(spark, sf).events
+    val nDelta = ev.filter(col("event_id") >= b.watermark).count()
+    val nTotal = ev.count()
+    assert(nDelta > 0, "delta empty — watermark past the table end")
+    assert(nDelta < nTotal / 2, s"delta is $nDelta of $nTotal rows — snapshot covers too little")
+    val got = graft.ops.MatView.mvRefresh.fn(spark, sf).collect()
+    val want = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(graft.queries.Num.Money)).cast("double").as("sum_value")
+      )
+      .orderBy("event_type", "day")
+      .collect()
+    assert(got.toSeq == want.toSeq, s"merged MV diverges from full recompute (got ${got.length} rows, want ${want.length})")
+  }
+
+  test("q_contribution_cap: no user exceeds K per cell after capping, and the cap engages") {
+    val rows = EventQueries.contributionCap.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var dropped = 0L
+    rows.foreach { r =>
+      val nRaw  = r.getLong(r.fieldIndex("n_raw"))
+      val nKept = r.getLong(r.fieldIndex("n_kept"))
+      val nDrop = r.getLong(r.fieldIndex("n_dropped"))
+      assert(nKept + nDrop == nRaw, s"kept+dropped != raw in $r")
+      assert(r.getLong(r.fieldIndex("max_user_kept")) <= 3L, s"cap violated in $r")
+      dropped += nDrop
+    }
+    // engagement: the fixture contains at least one user over the cap —
+    // a never-engaging cap would make this audit vacuous
+    assert(dropped >= 1L, "cap never engaged on the fixture")
+  }
+
   test("q_cms_topk: count-min estimate is one-sided (est >= exact) and within eps*N") {
     val rows = EventQueries.cmsTopk.fn(spark, sf).collect()
     assert(rows.length == 10, "top-10 probe must return 10 rows")

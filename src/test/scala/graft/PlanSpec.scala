@@ -203,6 +203,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_mv_refresh scans only the delta tail: pushed watermark predicate + artifact read") {
+    val b = graft.ops.MatView.baseFor(spark, sf)
+    val p = plan(graft.ops.MatView.mvRefresh.fn(spark, sf))
+    assert(p.contains("graft-mv-"), "refresh must read the persisted base MV artifact:\n" + p)
+    assert(
+      p.contains(s"GreaterThanOrEqual(event_id,${b.watermark})"),
+      s"events scan must push the event_id >= ${b.watermark} watermark predicate:\n" + p
+    )
+    // the base snapshot must NOT be recomputed from events inside the
+    // refresh: exactly one events scan (the delta), the rest reads parquet
+    // partials
+    assert(
+      "events\\.parquet".r.findAllIn(p).size <= 1,
+      "refresh re-scans the fact table for the base side:\n" + p
+    )
+  }
+
   test("q_maxsim: partial+final max aggregate, top-5 as TakeOrderedAndProject") {
     val p = plan(Similarity.maxSim.fn(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "max must combine map-side:\n" + p)
