@@ -14,4 +14,20 @@ import org.apache.spark.storage.StorageLevel
 object Cached {
   def frame(df: DataFrame): DataFrame =
     if (df.storageLevel == StorageLevel.NONE) df.persist() else df
+
+  /** Memoized `df.count()`, keyed on the analyzed plan's semantic hash —
+    * the measure-then-decide probes (LSH plane derivation, IVF centroid
+    * sizing) run at query-CONSTRUCTION time, and ~6 ANN queries would
+    * otherwise each schedule a count job per construction. Parquet footer
+    * metadata makes the first count cheap. Same staleness contract as
+    * Spark's own CacheManager: a fixture dir rewritten mid-session must
+    * not reuse the session.
+    */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  def count(df: DataFrame): Long =
+    countMemo
+      .computeIfAbsent(df.queryExecution.analyzed.semanticHash(), _ => df.count())
+      .longValue()
 }

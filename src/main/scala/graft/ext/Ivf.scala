@@ -81,16 +81,11 @@ object Ivf {
   def derivedProbe(c: Int): Int =
     math.max(NProbe, math.ceil(math.sqrt(c.toDouble)).toInt)
 
-  /** Corpus count for centroid derivation — memoized on the analyzed
-    * plan's semantic hash (the [[Similarity]] countMemo discipline).
+  /** Corpus count for centroid derivation — the shared memoized probe
+    * ([[graft.core.Cached.count]]); one session-wide memo means an LSH and
+    * an IVF query over the same embeddings plan schedule ONE count job.
     */
-  private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
-
-  private def vecCount(emb: DataFrame): Long =
-    countMemo
-      .computeIfAbsent(emb.queryExecution.analyzed.semanticHash(), _ => emb.count())
-      .longValue()
+  private def vecCount(emb: DataFrame): Long = graft.core.Cached.count(emb)
 
   /** Deterministic hash-ordered fit sample: at most [[FitSampleMult]]·C
     * vectors participate in the Lloyd's iterations, chosen by md5 of the
@@ -203,7 +198,8 @@ object Ivf {
     */
   final case class Index(path: String, centroids: Array[(Int, Array[Long])])
 
-  private val built = scala.collection.mutable.Map.empty[String, Index]
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Index]]()
 
   /** Fit + write the index for the embeddings under `dir` (memoized per
     * fixture dir for the session — the production analog is an offline
@@ -218,32 +214,20 @@ object Ivf {
     * or a new dir) — exactly the semantics of a production index that is
     * rebuilt on a schedule, not per write.
     */
-  def indexFor(spark: SparkSession, dir: String): Index = built.synchronized {
-    built.getOrElseUpdate(
-      dir, {
-        val q         = quantized(Tables(spark, dir).embeddings)
-        val c         = derivedCentroids(vecCount(q))
-        val centroids = kmeansFit(fitSample(q, c), c, Iters)
-        val digest    = java.security.MessageDigest.getInstance("MD5")
-        val tag       = digest.digest(dir.getBytes).map("%02x".format(_)).mkString.take(12)
-        // pid in the path: the index is per-JVM (the memo above is), so two
-        // processes working the same fixture dir must not Overwrite/scan one
-        // shared directory concurrently — and on a multi-user box one user
-        // must not collide with another's files
-        val path = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft-ivf-index-$tag-p${ProcessHandle.current().pid()}"
-        ).getAbsolutePath
-        graft.sources.Sources.writeParquetCompacted(
-          assignQ(q, centroids).select("vec_id", "label", "embedding", "cid"),
-          path,
-          partitionBy = Seq("cid"),
-          maxRecordsPerFile = 1000000L
-        )
-        Index(path, centroids)
-      }
-    )
-  }
+  def indexFor(spark: SparkSession, dir: String): Index =
+    graft.core.SessionArtifact.memo(built, dir) {
+      val q         = quantized(Tables(spark, dir).embeddings)
+      val c         = derivedCentroids(vecCount(q))
+      val centroids = kmeansFit(fitSample(q, c), c, Iters)
+      val path      = graft.core.SessionArtifact.pathFor("graft-ivf-index", dir)
+      graft.sources.Sources.writeParquetCompacted(
+        assignQ(q, centroids).select("vec_id", "label", "embedding", "cid"),
+        path,
+        partitionBy = Seq("cid"),
+        maxRecordsPerFile = 1000000L
+      )
+      Index(path, centroids)
+    }
 
   private def d2Local(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0

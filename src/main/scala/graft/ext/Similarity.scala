@@ -97,19 +97,13 @@ object Similarity {
     (minPlanes to MaxPlanes).find(p => (1L << p) >= buckets).getOrElse(MaxPlanes)
   }
 
-  /** Corpus count for plane derivation — memoized on the analyzed plan's
-    * semantic hash (same discipline as Dedup's dup-probe memo: ~6 ANN
-    * queries would otherwise each schedule a count job at construction
-    * time; a fixture dir rewritten mid-session must not reuse the
-    * session). Parquet footer metadata makes the first count cheap.
+  /** Corpus count for plane derivation — the shared memoized probe
+    * ([[graft.core.Cached.count]], same discipline as Dedup's dup-probe
+    * memo): ~6 ANN queries would otherwise each schedule a count job at
+    * construction time, and the session-wide memo also dedups against the
+    * IVF centroid derivation over the same embeddings plan.
     */
-  private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
-
-  private def vecCount(emb: DataFrame): Long =
-    countMemo
-      .computeIfAbsent(emb.queryExecution.analyzed.semanticHash(), _ => emb.count())
-      .longValue()
+  private def vecCount(emb: DataFrame): Long = graft.core.Cached.count(emb)
 
   /** 1-based rank column for an ALREADY-ORDERED ≤k-row result. The heavy
     * ordering work happened upstream (TakeOrderedAndProject); rank is just
@@ -126,11 +120,21 @@ object Similarity {
     * construction, and is free at this size. (q_ann_topk's hash-checked
     * oracle would also catch a rank regression.)
     */
-  private def withRank(ordered: DataFrame, orderingCols: Column*): DataFrame = {
+  private def withRank(ordered: DataFrame, orderingCols: Column*): DataFrame =
+    withRankNamed(ordered, "rank", orderingCols: _*)
+
+  /** [[withRank]] with a caller-chosen rank column name — the ONE
+    * definition of the rank-attach idiom engine-wide (the retrieval
+    * queries' `attachRank` was a drifting copy of this).
+    */
+  private[graft] def withRankNamed(
+      ordered: DataFrame,
+      rankCol: String,
+      orderingCols: Column*): DataFrame = {
     val reasserted =
       if (orderingCols.isEmpty) ordered
       else ordered.coalesce(1).sortWithinPartitions(orderingCols: _*)
-    val out = StructType(StructField("rank", LongType, nullable = false) +: reasserted.schema.fields)
+    val out = StructType(StructField(rankCol, LongType, nullable = false) +: reasserted.schema.fields)
     val rdd = reasserted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
     ordered.sparkSession.createDataFrame(rdd, out)
   }
@@ -537,7 +541,8 @@ object Similarity {
   /** k used by the registered k-NN graph queries. */
   val KnnK = 3
 
-  private val knnBuilt = scala.collection.mutable.Map.empty[String, String]
+  private val knnBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[String]]()
 
   /** The k-NN graph as a SESSION-scoped materialized artifact — the
     * [[Ivf.indexFor]] discipline applied to the graph both `q_knn_join`
@@ -552,20 +557,11 @@ object Similarity {
     * per session/dir, not per write.
     */
   def knnGraphFor(spark: SparkSession, dir: String): DataFrame = {
-    val path = knnBuilt.synchronized {
-      knnBuilt.getOrElseUpdate(
-        dir, {
-          val digest = java.security.MessageDigest.getInstance("MD5")
-          val tag    = digest.digest(dir.getBytes).map("%02x".format(_)).mkString.take(12)
-          val p = new java.io.File(
-            System.getProperty("java.io.tmpdir"),
-            s"graft-knn-graph-$tag-p${ProcessHandle.current().pid()}"
-          ).getAbsolutePath
-          knnJoin(Tables(spark, dir).embeddings, KnnK)
-            .write.mode("overwrite").parquet(p)
-          p
-        }
-      )
+    val path = graft.core.SessionArtifact.memo(knnBuilt, dir) {
+      val p = graft.core.SessionArtifact.pathFor("graft-knn-graph", dir)
+      knnJoin(Tables(spark, dir).embeddings, KnnK)
+        .write.mode("overwrite").parquet(p)
+      p
     }
     spark.read.parquet(path)
   }

@@ -58,17 +58,6 @@ object MatView {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Base]]()
 
-  private val sweptPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    sweptPaths.forEach(p => deleteRecursively(new java.io.File(p)))
-  }))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
   /** The daily-rollup aggregate both the base build and the delta pass run —
     * ONE definition so the stored partials and the refresh partials can
     * never drift. `sum_value` stays an exact DECIMAL partial (mergeable);
@@ -86,36 +75,18 @@ object MatView {
     * scans events once: the max-id probe and the rollup write — the same
     * one-pass snapshot job a production pipeline schedules offline.
     */
-  def baseFor(spark: SparkSession, dir: String): Base = {
-    val task = built.computeIfAbsent(
-      dir,
-      _ =>
-        new java.util.concurrent.FutureTask[Base](() => {
-          val tag = java.security.MessageDigest
-            .getInstance("MD5")
-            .digest(dir.getBytes)
-            .map("%02x".format(_))
-            .mkString
-            .take(12)
-          val file = new java.io.File(
-            System.getProperty("java.io.tmpdir"),
-            s"graft-mv-$tag-p${ProcessHandle.current().pid()}"
-          )
-          val path = file.getAbsolutePath
-          sweptPaths.add(path)
-          val events = Tables(spark, dir).events
-          val maxId  = events.agg(max("event_id")).head().getLong(0)
-          val wm     = (maxId + 1L) * Num90 / 10L
-          rollup(events.filter(col("event_id") < wm))
-            .write
-            .mode("overwrite")
-            .parquet(path)
-          Base(path, wm)
-        })
-    )
-    task.run() // no-op when another caller already ran it
-    task.get()
-  }
+  def baseFor(spark: SparkSession, dir: String): Base =
+    graft.core.SessionArtifact.memo(built, dir) {
+      val path   = graft.core.SessionArtifact.pathFor("graft-mv", dir)
+      val events = Tables(spark, dir).events
+      val maxId  = events.agg(max("event_id")).head().getLong(0)
+      val wm     = (maxId + 1L) * Num90 / 10L
+      rollup(events.filter(col("event_id") < wm))
+        .write
+        .mode("overwrite")
+        .parquet(path)
+      Base(path, wm)
+    }
 
   /** Refresh = stored base rollup ∪ delta rollup, re-aggregated on the MV
     * grain. The events scan carries the pushed `event_id >= wm` predicate

@@ -792,21 +792,15 @@ object TextQueries {
     )
   )
 
-  /** 1-based rank attach for an ALREADY-ORDERED ≤k-row top list — the
-    * [[graft.ext.Similarity]] withRank idiom: the heavy ordering happened
-    * upstream as a distributed TakeOrderedAndProject, so rank is just the
-    * row position via `zipWithIndex` over the tiny result. A keyless
-    * `row_number` window would do the same work while single-partitioning
-    * the frame (the pattern PlanSpec bans engine-wide).
+  /** 1-based rank attach for an ALREADY-ORDERED ≤k-row top list — the ONE
+    * engine-wide definition lives in [[graft.ext.Similarity.withRankNamed]]
+    * (the heavy ordering happened upstream as a distributed
+    * TakeOrderedAndProject, so rank is the row position via `zipWithIndex`
+    * over the tiny result; a keyless `row_number` window would do the same
+    * work while single-partitioning the frame — the pattern PlanSpec bans).
     */
-  private def attachRank(ordered: DataFrame, rankCol: String, orderCols: Column*): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val reasserted = ordered.coalesce(1).sortWithinPartitions(orderCols: _*)
-    val out = StructType(StructField(rankCol, LongType, nullable = false) +: reasserted.schema.fields)
-    val rdd = reasserted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
-    ordered.sparkSession.createDataFrame(rdd, out)
-  }
+  private def attachRank(ordered: DataFrame, rankCol: String, orderCols: Column*): DataFrame =
+    graft.ext.Similarity.withRankNamed(ordered, rankCol, orderCols: _*)
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval legs
     * over the same fixed query — the standard hybrid-retrieval merge

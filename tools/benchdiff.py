@@ -64,10 +64,11 @@ def main(old_path, new_path, ratio):
 
     tot_old = sum(old[q] for q in both)
     tot_new = sum(new[q] for q in both)
-    print(
-        f"\nshared {len(both)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
-        f"({tot_new / tot_old:.2f}x)"
-    )
+    # disjoint artifacts (e.g. two BENCH_PARTIAL.json from different
+    # SPARK_GRAFT_ONLY subsets) share nothing: still print the added/
+    # removed summary instead of dividing by zero
+    ratio_txt = f"({tot_new / tot_old:.2f}x)" if tot_old > 0 else "(no shared queries)"
+    print(f"\nshared {len(both)} queries: {tot_old:.1f}s -> {tot_new:.1f}s {ratio_txt}")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
