@@ -2043,6 +2043,78 @@ object Relational {
     )
   }
 
+  /** 2-D skyline (Pareto frontier) — Börzsönyi et al. 2001's SKYLINE
+    * operator: the (price, discount) offers not dominated by any other
+    * offer (dominates = price ≤ AND discount ≥ with at least one strict) —
+    * the multi-criteria "best offers" query no single ORDER BY expresses.
+    *
+    * Distributed shape (the classical two-phase skyline): after a DISTINCT
+    * on the integer-exact (cents, basis-point) grid, points are
+    * range-partitioned and sorted by (price ASC, discount DESC), and each
+    * partition runs the linear 2-D skyline scan — keep a point iff its
+    * discount strictly exceeds the running maximum (any earlier point in
+    * the sort order has price ≤ current, so a non-improving discount means
+    * dominated). `mapPartitions` is the deliberate last-resort tier here
+    * (SURVEY §custom-op ladder): the scan is inherently sequential state
+    * over an ordered partition, which no Catalyst operator expresses — and
+    * it reduces each partition to its local frontier, so the final
+    * cross-partition dominance anti-join runs over frontier-sized
+    * candidates (4 points at sf0.001; O(√n) expected for independent
+    * dimensions — worst case all points on the frontier is the
+    * anti-correlated-dimensions pathology, documented not defended). The
+    * merge anti-join is a BroadcastNestedLoopJoin over those candidates,
+    * never a corpus-sized product.
+    *
+    * Cross-engine determinism: the frontier is a unique SET given the
+    * dominance definition, money/rate casts make the grid exact, and the
+    * oracle computes the same set from first principles (NOT EXISTS
+    * dominance) with no knowledge of the two-phase algorithm.
+    */
+  val qSkyline: Q = Q(
+    "q_skyline",
+    (s, dir) => {
+      import s.implicits._
+      val pts = Tables(s, dir).lineitem
+        .select(
+          (col("l_extendedprice").cast(Money) * 100).cast("long").as("price_cents"),
+          (col("l_discount").cast(Rate) * 10000).cast("long").as("disc_bp")
+        )
+        .distinct()
+      val local = pts
+        .repartitionByRange(col("price_cents"), col("disc_bp").desc)
+        .sortWithinPartitions(col("price_cents"), col("disc_bp").desc)
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          var best = Long.MinValue
+          it.filter { case (_, d) => if (d > best) { best = d; true } else false }
+        }
+        .toDF("price_cents", "disc_bp")
+      local
+        .alias("a")
+        .join(
+          local.alias("b"),
+          col("b.price_cents") <= col("a.price_cents") &&
+            col("b.disc_bp") >= col("a.disc_bp") &&
+            (col("b.price_cents") < col("a.price_cents") || col("b.disc_bp") > col("a.disc_bp")),
+          "left_anti"
+        )
+        .orderBy("price_cents")
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT DISTINCT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS disc_bp
+        |  FROM lineitem)
+        |SELECT price_cents, disc_bp FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.disc_bp >= a.disc_bp
+        |    AND (b.price_cents < a.price_cents OR b.disc_bp > a.disc_bp))
+        |ORDER BY price_cents""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ2, qTpchQ3, qTpchQ4, qTpchQ5,
     qTpchQ6, qTpchQ7, qTpchQ8, qTpchQ9, qTpchQ10, qTpchQ11, qTpchQ12, qTpchQ13, qTpchQ15,
@@ -2051,6 +2123,6 @@ object Relational {
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder, qZorderProbe,
-    qBenford
+    qBenford, qSkyline
   )
 }

@@ -197,4 +197,28 @@ class PropertySpec extends SparkSpec {
       Prop.passed
     }, minSuccessful = 400)
   }
+
+  test("q_skyline equals the brute-force Pareto frontier of the fixture grid") {
+    val sf  = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.qSkyline
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val pts = graft.core.Tables(spark, sf).lineitem
+      .selectExpr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS LONG) AS p",
+        "CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS LONG) AS d"
+      )
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    def dominated(a: (Long, Long)): Boolean = pts.exists { b =>
+      b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2)
+    }
+    val brute = pts.filterNot(dominated)
+    assert(got == brute, s"frontier mismatch: got ${got.size}, brute ${brute.size}")
+    assert(got.nonEmpty)
+  }
 }
