@@ -202,6 +202,37 @@ object EventStream {
         col("m.event_type").as("event_type")
       )
 
+  /** Streaming dual of the incremental MV refresh ([[graft.ops.MatView]]):
+    * the SAME (event_type × day) rollup grain with the same mergeable
+    * measures — `count` and an exact-decimal `sum` partial — maintained
+    * continuously by a watermarked 1-day tumbling window instead of a
+    * batch delta-merge job. Append output emits each day's row exactly
+    * once, when the watermark passes the window end: the streaming form of
+    * "refresh on watermark advance". State is bounded by the watermark
+    * horizon (open days × event types — metadata-sized at any corpus
+    * scale), never by stream lifetime, so the query holds at
+    * 1000-executor scale exactly like the batch MV's metadata-grained
+    * merge. Session timezone is pinned UTC (SparkEnv), so the epoch-
+    * aligned window start date equals the batch rollup's `to_date(ts)`
+    * grain; StreamingSpec asserts batch/stream agreement against the
+    * oracle-certified q_mv_refresh expression, and runs unchanged on
+    * batch DataFrames (watermark is a no-op on batch).
+    */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(graft.queries.Num.Money)).as("sum_value")
+      )
+      .select(
+        col("event_type"),
+        col("window.start").cast("date").as("day"),
+        col("n_events"),
+        col("sum_value").cast("double").as("sum_value")
+      )
+
   /** Stream-stream interval join: clicks matched to the views they follow
     * within `horizon` for the same user. Both sides carry watermarks and the
     * join condition is time-bounded in BOTH directions, so Spark can evict

@@ -536,6 +536,52 @@ class StreamingSpec extends SparkSpec {
     assert(recovered == batchDual, s"recovered=$recovered batch=$batchDual")
   }
 
+  test("streaming daily MV rollup finalizes days on watermark and agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .dailyRollup(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("mv_daily")
+      .outputMode(OutputMode.Append)
+      .start()
+    val day1 = Seq(
+      ev(1, "2026-01-01 10:05:00", 1, "click", 1.25),
+      ev(2, "2026-01-01 18:40:00", 2, "click", 2.50),
+      ev(3, "2026-01-01 23:59:00", 1, "view", 3.00)
+    )
+    try {
+      input.addData(day1: _*)
+      q.processAllAvailable()
+      // nothing finalized yet: watermark has not passed Jan 1's window end
+      assert(spark.sql("SELECT * FROM mv_daily").count() == 0)
+      // advance the watermark past Jan 2 (wm = max ts - 1 day) → Jan 1 closes
+      input.addData(ev(4, "2026-01-03 01:00:00", 3, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(ev(5, "2026-01-04 01:00:00", 3, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark
+        .sql("SELECT event_type, day, n_events, sum_value FROM mv_daily ORDER BY event_type, day")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+        .toSeq
+      // batch dual over the SAME rows: the oracle-certified q_mv_refresh grain
+      val expected = EventStream
+        .dailyRollup(day1.toDF())
+        .orderBy("event_type", "day")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(expected == Seq(
+        ("click", "2026-01-01", 2L, 3.75),
+        ("view", "2026-01-01", 1L, 3.00)
+      ))
+      assert(got == expected, s"streaming $got != batch $expected")
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyCounts agree on the same data") {
     import spark.implicits._
     val batch = Seq(
