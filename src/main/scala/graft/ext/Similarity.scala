@@ -771,6 +771,71 @@ object Similarity {
     )
   )
 
+  /** k-NN label-purity audit — the label-noise check (Northcutt et al.
+    * 2021's confident-learning intuition in its classical kNN form,
+    * Wilson 1972 editing): each vector's k nearest neighbors vote on its
+    * label (majority, ties to the smallest label), and a per-class
+    * scorecard reports how often the vote agrees with the stored label
+    * plus how many vectors are UNANIMOUSLY contradicted — the
+    * high-confidence mislabel candidates a curation pass re-annotates
+    * before the labels feed a classifier or stratified sampler. Low
+    * agree_ppm for one class flags systematic annotation noise; scattered
+    * unanimous flags mark individual mislabels.
+    *
+    * Scale shape: reaggregates the MATERIALIZED k-NN graph
+    * ([[knnGraphFor]] — built once per session/dir, shared with
+    * `q_knn_join`/`q_knn_hubness`): the vote is one partial+final count
+    * over ≤ k·n narrow edges joined to the (vec_id → label) projection,
+    * the per-vector argmax is a max(struct) partial aggregate (never a
+    * window over the corpus), and the scorecard is a |labels|-row final
+    * aggregate. Integer vote counts and ppm rates ride the hash compare.
+    */
+  val knnPurity: Q = Q(
+    "q_knn_purity",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("label"))
+      val votes = knnGraphFor(s, dir)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nbr_label")), "neighbor_id")
+        .groupBy("vec_id", "nbr_label")
+        .agg(count(lit(1)).as("n_votes"))
+      val maj = votes
+        .groupBy("vec_id")
+        .agg(max(struct(col("n_votes"), (-col("nbr_label")).as("neg_label"))).as("m"))
+        .select(col("vec_id"), col("m.n_votes").as("maj_votes"), (-col("m.neg_label")).as("maj_label"))
+      maj
+        .join(emb, "vec_id")
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("maj_label") === col("label"), 1L).otherwise(0L)).as("n_agree"),
+          sum(
+            when(col("maj_label") =!= col("label") && col("maj_votes") === lit(KnnK.toLong), 1L)
+              .otherwise(0L)
+          ).as("n_flagged")
+        )
+        .withColumn("agree_ppm", expr("n_agree * 1000000L div n_vecs"))
+        .orderBy("label")
+    },
+    Some(
+      s"""WITH knn AS (
+         |${knnJoinOracleSql(KnnK)}),
+         |votes AS (
+         |  SELECT k.vec_id, e.label AS nbr_label, COUNT(*) AS n_votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+         |  GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT vec_id, nbr_label AS maj_label, n_votes AS maj_votes
+         |  FROM votes
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, nbr_label) = 1)
+         |SELECT e.label AS label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN m.maj_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(SUM(CASE WHEN m.maj_label <> e.label AND m.maj_votes = $KnnK THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  (CAST(SUM(CASE WHEN m.maj_label = e.label THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS agree_ppm
+         |FROM maj m JOIN embeddings e ON e.vec_id = m.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+
   /** Triangle census of the MUTUAL k-NN graph — the local-clustering
     * audit run next to [[knnHubness]] before trusting an embedding space:
     * mutual edges (each endpoint in the other's top-k) are the
@@ -849,5 +914,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim, annRecallQ, knnHubness,
-      graphTriangles)
+      knnPurity, graphTriangles)
 }

@@ -93,6 +93,9 @@ class ScanAuditSpec extends SparkSpec {
     ("q_knn_join", "embeddings")    -> 2,
     // in-degree reaggregation of the same k-NN graph as q_knn_join
     ("q_knn_hubness", "embeddings") -> 2,
+    // label vote: the (vec_id, label) projection joins the materialized
+    // k-NN graph twice (neighbor labels + own labels) — two 2-column scans
+    ("q_knn_purity", "embeddings") -> 2,
     // the pair graph derives from the cached dedup signature family (its
     // scan is hidden inside the InMemoryRelation), but the full-corpus
     // survivor attach is a second, DELIBERATE pass: a 2-column
@@ -128,6 +131,7 @@ class ScanAuditSpec extends SparkSpec {
     ("q_embed_neardup", "embeddings") -> 3.0,
     ("q_knn_join", "embeddings")      -> 3.0,
     ("q_knn_hubness", "embeddings")   -> 3.0,
+    ("q_knn_purity", "embeddings")    -> 3.0,
     ("q_semdedup", "embeddings")      -> 3.0,
     ("q_tpch_q2", "nation")    -> 3.0,
     ("q_tpch_q2", "supplier")  -> 3.0,
