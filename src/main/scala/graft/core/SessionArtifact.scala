@@ -35,19 +35,25 @@ object SessionArtifact {
     * fixture.
     */
   def pathFor(prefix: String, dir: String): String = {
-    val tag = java.security.MessageDigest
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"$prefix-${tag(dir)}-p${ProcessHandle.current().pid()}"
+    ).getAbsolutePath
+    sweptPaths.add(path)
+    path
+  }
+
+  /** Short stable identifier for a fixture dir — for artifact names that
+    * live in a per-JVM namespace (catalog tables) rather than on disk, so
+    * pid-scoping is unnecessary but cross-dir uniqueness still is.
+    */
+  def tag(dir: String): String =
+    java.security.MessageDigest
       .getInstance("MD5")
       .digest(dir.getBytes)
       .map("%02x".format(_))
       .mkString
       .take(12)
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"$prefix-$tag-p${ProcessHandle.current().pid()}"
-    ).getAbsolutePath
-    sweptPaths.add(path)
-    path
-  }
 
   /** Per-dir build memoizer: run `build` once per key, concurrent same-key
     * callers block on the one in-flight build. A FAILED build is not

@@ -47,6 +47,44 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  private val bucketBuilt =
+    new java.util.concurrent.ConcurrentHashMap[
+      String,
+      java.util.concurrent.FutureTask[(String, String)]
+    ]()
+
+  /** The orders/lineitem pair written bucketed+sorted by orderkey — the
+    * session-scoped LAYOUT artifact `q_join_bucketed` consumes (the
+    * [[graft.core.SessionArtifact]] discipline: built once per (JVM,
+    * fixture dir), read by every subsequent query). Both sides are
+    * projected to the joining/aggregating columns before the write, so the
+    * layout cost is paid on narrow data; lineitem's key is renamed to the
+    * orders-side name because bucketed co-location requires the SAME
+    * column name on both scan outputs for the planner to recognize the
+    * shared distribution. At 100 TB this one-time write is what converts
+    * every recurring orderkey join/aggregate from a per-run shuffle of the
+    * fact table into a zero-Exchange co-located SMJ — the classic
+    * fact-fact bucketing play. Returns the (orders, lineitem) table names.
+    */
+  def bucketedOrdersLineitemFor(spark: SparkSession, dir: String): (String, String) =
+    graft.core.SessionArtifact.memo(bucketBuilt, dir) {
+      val t   = graft.core.Tables(spark, dir)
+      val tag = graft.core.SessionArtifact.tag(dir)
+      val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
+      writeBucketed(t.orders.select("o_orderkey", "o_orderstatus"), ot, "o_orderkey", 16)
+      writeBucketed(
+        t.lineitem.select(
+          col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"),
+          col("l_discount")
+        ),
+        lt,
+        "o_orderkey",
+        16
+      )
+      (ot, lt)
+    }
+
   /** Salted inner equi-join for extreme single-key skew. The big side gets
     * a random salt in [0, salt); the small side is exploded `salt` times so
     * every (key, salt) combination can meet. Row-multiset result equals the

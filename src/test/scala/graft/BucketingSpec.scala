@@ -31,6 +31,21 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q_join_bucketed: join AND per-order aggregate plan zero hash exchanges") {
+    // broadcast off so the strategy decision is about the bucketed layout,
+    // as production fact-fact sizes would force anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df   = graft.queries.Relational.qJoinBucketed.fn(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(
+        !plan.contains("Exchange hashpartitioning"),
+        "bucketed join + orderkey aggregate must not hash-shuffle:\n" + plan
+      )
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     import spark.implicits._
     // pathological skew: one key holds 90% of the big side
