@@ -696,6 +696,68 @@ object TextQueries {
     )
   )
 
+  /** Per-source lexical diversity scorecard — type-token ratio and
+    * Simpson's repeat-rate (Simpson 1949; Yule's K up to scaling), the
+    * corpus-mix audit run next to the Gopher/repetition filters: a source
+    * whose TTR collapses or whose repeat-rate spikes is template/boilerplate
+    * text (SEO spam, log dumps, mirrored listings) that inflates token
+    * counts without adding training signal, and the per-source grain is
+    * what the mixture planner (q_mix_schedule) consumes to discount it.
+    *
+    * Cross-engine determinism: pure integer counts and ppm integer
+    * division. Simpson numerator Σ n·(n−1) stays exact BIGINT while
+    * Σn²·10⁶ < 2⁶³ — ≈ 3·10⁶ occurrences of the hottest term per source at
+    * this scaling; beyond that production moves the final division to
+    * double (the counts themselves are safe far past 100 TB).
+    *
+    * Scale shape: reaggregates the ONE cached [[docTermTf]] grain (no new
+    * corpus scan for tokens) joined to the 2-column (doc_id, source)
+    * projection; the (source, term) rollup is a partial+final sum whose
+    * shuffle carries vocabulary-sized rows per source, and the scorecard is
+    * a \|sources\|-row final aggregate. Denominators are guarded with
+    * greatest(·, 1) in BOTH engines so a one-token source yields 0, not a
+    * cross-engine null/error divergence.
+    */
+  val lexicalDiversity: Q = Q(
+    "q_lexical_diversity",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tf   = graft.core.Cached.frame(docTermTf(docs))
+      tf.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "term")
+        .agg(sum("tf").as("n"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_types"),
+          sum("n").as("n_tokens"),
+          sum(expr("n * (n - 1L)")).as("rep2")
+        )
+        .withColumn("ttr_ppm", expr("n_types * 1000000L div greatest(n_tokens, 1L)"))
+        .withColumn(
+          "simpson_ppm",
+          expr("rep2 * 1000000L div greatest(n_tokens * (n_tokens - 1L), 1L)")
+        )
+        .drop("rep2")
+        .orderBy("source")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (
+        |  SELECT d.source, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS n
+        |  FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n * (n - 1)) AS BIGINT) AS rep2
+        |  FROM st GROUP BY 1)
+        |SELECT source, n_types, n_tokens,
+        |  (n_types * 1000000) // GREATEST(n_tokens, 1) AS ttr_ppm,
+        |  (rep2 * 1000000) // GREATEST(n_tokens * (n_tokens - 1), 1) AS simpson_ppm
+        |FROM agg ORDER BY source""".stripMargin
+    )
+  )
+
   /** The retrieval family's shared grain: one row per (doc_id, term) with
     * its in-document count, from one scan+explode of the corpus.
     * [[tfidf]] and [[bm25]] both build exactly this lineage, so Spark's
@@ -2253,7 +2315,7 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
-      repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, bm25,
+      repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, lexicalDiversity, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
       lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier,
       hardNegatives, spanMask, qualityCalibration, qualityIncremental, sourceDivergence)

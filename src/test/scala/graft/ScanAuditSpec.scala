@@ -96,6 +96,9 @@ class ScanAuditSpec extends SparkSpec {
     // label vote: the (vec_id, label) projection joins the materialized
     // k-NN graph twice (neighbor labels + own labels) — two 2-column scans
     ("q_knn_purity", "embeddings") -> 2,
+    // tf-grain scan (hidden once the shared cache materializes) + the
+    // deliberate 2-column (doc_id, source) attribution scan
+    ("q_lexical_diversity", "documents") -> 2,
     // the pair graph derives from the cached dedup signature family (its
     // scan is hidden inside the InMemoryRelation), but the full-corpus
     // survivor attach is a second, DELIBERATE pass: a 2-column
@@ -132,6 +135,7 @@ class ScanAuditSpec extends SparkSpec {
     ("q_knn_join", "embeddings")      -> 3.0,
     ("q_knn_hubness", "embeddings")   -> 3.0,
     ("q_knn_purity", "embeddings")    -> 3.0,
+    ("q_lexical_diversity", "documents") -> 3.0,
     ("q_semdedup", "embeddings")      -> 3.0,
     ("q_tpch_q2", "nation")    -> 3.0,
     ("q_tpch_q2", "supplier")  -> 3.0,
