@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed GLOBAL running totals — the scale-safe form of the keyless
+  * `SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` window, which Spark
+  * plans as a single-partition WindowExec (banned engine-wide by PlanSpec:
+  * the entire input funnels through ONE task). This is the classic
+  * two-phase parallel prefix sum, expressed declaratively in three bounded
+  * levels so no task ever sees more than one bucket / chunk of state:
+  *
+  *   1. rows:    window partitioned by a caller-supplied order-aligned
+  *               BUCKET (e.g. the event day) — in-bucket running sums; one
+  *               full-data exchange, frames bounded by bucket volume;
+  *   2. buckets: one row per bucket (totals), prefix within CHUNKS of
+  *               `chunkSize` buckets — frames ≤ chunkSize by construction;
+  *   3. chunks:  bucketCount/chunkSize rows, exclusive prefix via a
+  *               triangular broadcast join (≤ (n/chunkSize)² pairs — at
+  *               10⁷ day-buckets and the default chunk size that is ~6M
+  *               pairs, still a broadcast-scale frame).
+  *
+  * The final per-bucket offset (level 2 + level 3) is broadcast-joined
+  * back to the rows, so the only full-data movements are the one level-1
+  * exchange and whatever sort the caller adds. All accumulation runs over
+  * exact-addition types (decimal / integral), so results are independent
+  * of partition boundaries and summation order — the cross-engine
+  * hash-compare contract.
+  *
+  * The input frame is session-cached here: levels 1 and 2 both consume it,
+  * and the cache (narrow, caller-projected columns only) keeps the source
+  * table at ONE scan. At 100 TB the same plan holds with the cache swapped
+  * for a materialized narrow projection — or a second column-pruned scan,
+  * whichever the cluster prefers; the hierarchy itself is unaffected.
+  *
+  * Reference anchor: the reference's group stage IS a global ordered pass
+  * (k-way merge with a running distinct counter,
+  * `/root/reference/mapreduce/manager/__main__.py:560-593`) — single-process
+  * by design; this operator is that pass re-expressed without the
+  * single-task bottleneck.
+  */
+object PrefixSum {
+
+  /** Attach global running totals over `order` to every row of `df`.
+    *
+    * @param df        narrow, pre-projected input (cached here)
+    * @param bucket    integral bucket expression ALIGNED with the global
+    *                  order: b1 < b2 must imply every row of bucket b1
+    *                  precedes every row of b2 in `order`
+    * @param order     within-bucket total order; must be unique per row for
+    *                  a well-defined (hash-stable) running value
+    * @param values    (column, outputName) pairs; each column must be an
+    *                  exact-addition type (decimal or integral — doubles
+    *                  would drift with summation order)
+    * @param chunkSize level-2 frame bound (buckets per chunk)
+    */
+  def runningTotals(
+      df: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      values: Seq[(Column, String)],
+      chunkSize: Int = 4096
+  ): DataFrame = {
+    require(values.nonEmpty, "runningTotals needs at least one value column")
+    val base = graft.core.Cached.frame(df.withColumn("_ps_b", bucket))
+
+    // level 1: in-bucket running sums (one WindowExec, all value columns)
+    val wRun = Window
+      .partitionBy(col("_ps_b"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = values.foldLeft(base) { case (d, (v, out)) =>
+      d.withColumn(s"_ps_run_$out", sum(v).over(wRun))
+    }
+
+    // level 2: bucket totals (one row per bucket; second reference to the
+    // cached base — zero extra source scans), exclusive prefix inside
+    // chunkSize-bucket chunks. floor-div so negative buckets stay ordered.
+    val totals = base
+      .groupBy(col("_ps_b"))
+      .agg(
+        values.map { case (v, out) => sum(v).as(s"_ps_tot_$out") }.head,
+        values.map { case (v, out) => sum(v).as(s"_ps_tot_$out") }.tail: _*
+      )
+      .withColumn("_ps_c", floor(col("_ps_b") / lit(chunkSize)).cast("long"))
+    val wIn = Window
+      .partitionBy(col("_ps_c"))
+      .orderBy(col("_ps_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inChunk = values.foldLeft(totals) { case (d, (_, out)) =>
+      d.withColumn(s"_ps_off_$out", coalesce(sum(col(s"_ps_tot_$out")).over(wIn), lit(0)))
+    }
+
+    // level 3: chunk totals + exclusive triangular broadcast prefix
+    val chunkTot = totals
+      .groupBy(col("_ps_c"))
+      .agg(
+        values.map { case (_, out) => sum(col(s"_ps_tot_$out")).as(s"_ps_ct_$out") }.head,
+        values.map { case (_, out) => sum(col(s"_ps_tot_$out")).as(s"_ps_ct_$out") }.tail: _*
+      )
+    val lo = chunkTot.select(
+      col("_ps_c").as("_ps_c2") +:
+        values.map { case (_, out) => col(s"_ps_ct_$out").as(s"_ps_ct2_$out") }: _*
+    )
+    val chunkOff = chunkTot
+      .join(broadcast(lo), col("_ps_c2") < col("_ps_c"), "left")
+      .groupBy(col("_ps_c"))
+      .agg(
+        values.map { case (_, out) =>
+          coalesce(sum(col(s"_ps_ct2_$out")), lit(0)).as(s"_ps_coff_$out")
+        }.head,
+        values.map { case (_, out) =>
+          coalesce(sum(col(s"_ps_ct2_$out")), lit(0)).as(s"_ps_coff_$out")
+        }.tail: _*
+      )
+
+    // per-bucket global offsets, broadcast back onto the rows
+    val offsets = inChunk
+      .join(broadcast(chunkOff), "_ps_c")
+      .select(
+        col("_ps_b") +:
+          values.map { case (_, out) =>
+            (col(s"_ps_off_$out") + col(s"_ps_coff_$out")).as(s"_ps_boff_$out")
+          }: _*
+      )
+    val joined = local.join(broadcast(offsets), "_ps_b")
+    val withOut = values.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out, col(s"_ps_run_$out") + col(s"_ps_boff_$out"))
+    }
+    val internal = "_ps_b" +: values.flatMap { case (_, out) =>
+      Seq(s"_ps_run_$out", s"_ps_boff_$out")
+    }
+    withOut.drop(internal: _*)
+  }
+}

@@ -16,6 +16,7 @@ object Registry {
       Pipeline.all ++
       GraphQueries.all ++
       EventQueries.all ++
+      StatsQueries.all ++
       Dedup.all ++
       Similarity.all ++
       Ivf.all ++
