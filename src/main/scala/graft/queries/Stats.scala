@@ -378,5 +378,141 @@ object StatsQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(globalCumsum, ksTest, chiSquare, abTest, seasonality, gini)
+  /** Per-type linear trend of daily event volume — ordinary least squares
+    * of count-per-day on the epoch day, the growth/decay readout behind
+    * capacity planning and data-freshness audits. The regression runs
+    * entirely on six INTEGER moments (x = epoch day, y = daily count —
+    * both exact int64, products < 2⁵³ through ~10⁵-day histories), so the
+    * slope/intercept/r doubles are each one exact-int-fed IEEE tree; the
+    * degenerate single-day group pins to NULL via the shared
+    * [[Num.pearson]] guard. Two partial+final aggregates (day grain, then
+    * type grain), no windows.
+    */
+  val trend: Q = Q(
+    "q_trend",
+    (s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"), dayOf(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      daily
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("day").as("sx"),
+          sum("y").as("sy"),
+          sum(col("day") * col("day")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("day") * col("y")).as("sxy")
+        )
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn(
+          "slope",
+          when(col("den") === 0, lit(null).cast("double"))
+            .otherwise(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                col("den").cast("double")
+            )
+        )
+        .withColumn(
+          "intercept",
+          when(col("den") === 0, lit(null).cast("double"))
+            .otherwise(
+              (col("sy").cast("double") - col("slope") * col("sx").cast("double")) / col("n")
+            )
+        )
+        .withColumn(
+          "r",
+          pearson(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+        )
+        .select(col("event_type"), col("n").as("n_days"), col("slope"), col("intercept"), col("r"))
+        .orderBy("event_type")
+    },
+    Some(
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(day * day) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(day * y) AS BIGINT) AS sxy
+         |  FROM daily GROUP BY 1)
+         |SELECT event_type, n AS n_days,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |       ELSE (CAST(sy AS DOUBLE) -
+         |             (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+         |               * CAST(sx AS DOUBLE)) / n END AS intercept,
+         |  ${Num.pearsonSql("n", "sx", "sy", "sxx", "syy", "sxy")} AS r
+         |FROM m ORDER BY event_type""".stripMargin
+    )
+  )
+
+  /** Deterministic half-sample bootstrap of the mean order price — the
+    * hash-based resampling CI that replaces rand()-based bootstraps at
+    * cluster scale (reproducible across engines, retries, and partition
+    * layouts; the Poisson/streaming-bootstrap family): B = 32 replicas,
+    * each keeping a row iff the salted 28-bit md5 of (o_orderkey:b) is
+    * even — the same keyed-hash idiom as `q_split_assign`. Replica means
+    * divide an exact decimal sum by an exact count; the CI is the
+    * min/max envelope over the 32 replica means (order-independent double
+    * reduction, no rank window needed); the 32× explode fan-out is a
+    * bounded scan-stage multiplier (`q_span_mask` precedent). The narrow
+    * base is session-cached so replicas and the overall mean share ONE
+    * orders scan.
+    */
+  val bootstrapCi: Q = Q(
+    "q_bootstrap_ci",
+    (s, dir) => {
+      val base = Cached.frame(
+        Tables(s, dir).orders
+          .select(col("o_orderkey"), col("o_totalprice").cast(Money).as("p"))
+      )
+      val keep = conv(
+        substring(
+          md5(
+            concat(col("o_orderkey").cast("string"), lit(":"), col("b").cast("string"))
+              .cast("binary")
+          ),
+          1,
+          7
+        ),
+        16,
+        10
+      ).cast("long") % 2 === 0
+      val rmeans = base
+        .select(col("o_orderkey"), col("p"), explode(sequence(lit(0), lit(31))).as("b"))
+        .filter(keep)
+        .groupBy(col("b").cast("long").as("b"))
+        .agg(count(lit(1)).as("n_b"), sum("p").cast("double").as("sv"))
+        .withColumn("mean_b", col("sv") / col("n_b"))
+      val ci      = rmeans.agg(min("mean_b").as("ci_lo"), max("mean_b").as("ci_hi"))
+      val overall = base.agg(davg(col("p")).as("mean_all"), count(lit(1)).as("n_all"))
+      rmeans
+        .crossJoin(broadcast(ci))
+        .crossJoin(broadcast(overall))
+        .select("b", "n_b", "mean_b", "mean_all", "n_all", "ci_lo", "ci_hi")
+        .orderBy("b")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |reps AS (
+        |  SELECT b, p
+        |  FROM base CROSS JOIN (SELECT b FROM range(0, 32) AS t(b))
+        |  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 7) AS BIGINT) % 2 = 0),
+        |rm AS (
+        |  SELECT b, COUNT(*) AS n_b,
+        |    CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_b
+        |  FROM reps GROUP BY 1),
+        |ci AS (SELECT MIN(mean_b) AS ci_lo, MAX(mean_b) AS ci_hi FROM rm),
+        |o AS (SELECT CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_all, COUNT(*) AS n_all FROM base)
+        |SELECT b, n_b, mean_b, mean_all, n_all, ci_lo, ci_hi
+        |FROM rm CROSS JOIN ci CROSS JOIN o ORDER BY b""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(globalCumsum, ksTest, chiSquare, abTest, seasonality, gini, trend, bootstrapCi)
 }
