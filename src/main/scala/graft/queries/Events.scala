@@ -180,6 +180,105 @@ object EventQueries {
     )
   )
 
+  /** Interval × interval overlap join — user sessions against hourly
+    * error-spike "outage" windows, the incident-impact readout ("how many
+    * sessions / users were active during each outage?"). Sessions are the
+    * [[sessionFlags]] gap sessions materialized as half-open [first_us,
+    * last_us + 1) intervals (running-flag session number → min/max per
+    * session — one keyed exchange shared by the window and the aggregate);
+    * outages are hours whose error count exceeds 1.5× the average error
+    * hour, decided by INTEGER cross-multiplication (errs·2·n > 3·tot — no
+    * division, no doubles) against the broadcast 1-row totals. The join is
+    * [[graft.ops.TemporalJoins.intervalJoin]]: both interval sets explode
+    * onto hour buckets and hash-join on the bucket with the exact overlap
+    * predicate after — never a non-equi nested loop — and the canonical-
+    * bucket rule makes each overlapping pair match exactly once with NO
+    * dedup pass. The narrow event projection is session-cached: sessions
+    * and the outage histogram are two branches of ONE events scan. The
+    * oracle joins the first-principles overlap predicate directly.
+    */
+  val intervalJoinImpact: Q = Q(
+    "q_interval_join",
+    (s, dir) => {
+      val base = graft.core.Cached.frame(
+        Tables(s, dir).events
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us")
+          )
+      )
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sessions = base
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs, 1L)
+            .otherwise(0L)
+        )
+        .withColumn("session_no", sum("new_session").over(w))
+        .groupBy("user_id", "session_no")
+        .agg(min("us").as("s_start"), (max("us") + 1).as("s_end"))
+      val hours = base
+        .filter(col("event_type") === "error")
+        .groupBy(call_function("div", col("us"), lit(3600000000L)).as("h"))
+        .agg(count(lit(1)).as("errs"))
+      val tot = hours.agg(sum("errs").as("tot_errs"), count(lit(1)).as("n_hours"))
+      val outages = hours
+        .crossJoin(broadcast(tot))
+        .filter(col("errs") * lit(2) * col("n_hours") > lit(3) * col("tot_errs"))
+        .select(
+          col("h"),
+          col("errs"),
+          (col("h") * 3600000000L).as("o_start"),
+          ((col("h") + 1) * 3600000000L).as("o_end")
+        )
+      graft.ops.TemporalJoins
+        .intervalJoin(sessions, outages, "s_start", "s_end", "o_start", "o_end", 3600000000L)
+        .groupBy("h", "errs")
+        .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
+        .select(
+          col("h").as("outage_hour"),
+          col("errs"),
+          col("n_sessions"),
+          col("n_users")
+        )
+        .orderBy("outage_hour")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 300000000
+        |         THEN 1 ELSE 0 END AS new_session,
+        |    event_id
+        |  FROM e),
+        |fs AS (
+        |  SELECT user_id, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_no
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_no,
+        |    CAST(MIN(us) AS BIGINT) AS s_start, CAST(MAX(us) + 1 AS BIGINT) AS s_end
+        |  FROM fs GROUP BY 1, 2),
+        |h AS (
+        |  SELECT us // 3600000000 AS h, COUNT(*) AS errs
+        |  FROM e WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT CAST(SUM(errs) AS BIGINT) AS tot_errs, COUNT(*) AS n_hours FROM h),
+        |o AS (
+        |  SELECT h, errs, h * 3600000000 AS o_start, (h + 1) * 3600000000 AS o_end
+        |  FROM h CROSS JOIN t WHERE errs * 2 * n_hours > 3 * tot_errs)
+        |SELECT o.h AS outage_hour, o.errs,
+        |  COUNT(*) AS n_sessions,
+        |  COUNT(DISTINCT sess.user_id) AS n_users
+        |FROM o JOIN sess ON sess.s_start < o.o_end AND o.o_start < sess.s_end
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    )
+  )
+
   /** Days-since-epoch bucket (truncating integer division of epoch micros —
     * `//` flooring in the DuckDB mirrors agrees for the fixtures' positive
     * epochs). ONE definition shared by the resample queries so the
@@ -1119,7 +1218,8 @@ object EventQueries {
   )
 
   val all: Seq[Q] =
-    Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, gapFill, locf,
+    Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, intervalJoinImpact,
+      gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
       rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr, kAnonymity,
       contributionCap)

@@ -78,4 +78,37 @@ class TemporalJoinsSpec extends SparkSpec {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("intervalJoin matches the naive overlap join exactly once per pair (multi-bucket spans)") {
+    import spark.implicits._
+    // left intervals deliberately span 0–20 buckets at width 64 so pairs
+    // sharing MANY buckets pin the canonical-bucket single-match rule;
+    // boundary-touching pairs (end == start) pin the half-open semantics
+    val left = (0L until 200L)
+      .map(i => (i % 5, i * 13, i * 13 + 1 + (i % 9) * 130, i))
+      .toDF("k", "ls", "le", "lid")
+    val right = Seq(
+      (0L, 0L, 64L, "a"),
+      (1L, 64L, 128L, "b"),     // exactly one bucket
+      (2L, 10L, 1300L, "c"),    // spans ~20 buckets
+      (3L, 63L, 65L, "d"),      // straddles a bucket edge
+      (4L, 2599L, 2600L, "e"),  // tail
+      (0L, 100L, 100L, "f")     // empty interval — matches nothing
+    ).toDF("k", "rs", "re", "tag")
+    val bucketed = TemporalJoins
+      .intervalJoin(left, right, "ls", "le", "rs", "re", bucketWidth = 64L, keys = Seq("k"))
+    // the naive reference must exclude empty intervals too: the pairwise
+    // overlap predicate alone "matches" an empty interval it can't contain
+    val naive = left
+      .join(
+        right.filter(right("rs") < right("re")),
+        left("k") === right("k") && left("ls") < right("re") && right("rs") < left("le")
+      )
+    assert(bucketed.count() == naive.count(), "pair multiplicity diverges (dup or miss)")
+    val a = bucketed.select("lid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = naive.select("lid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
