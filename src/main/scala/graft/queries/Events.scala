@@ -279,6 +279,88 @@ object EventQueries {
     )
   )
 
+  /** Event-sequence pattern matching (the MATCH_RECOGNIZE / funnel-regex
+    * shape): each gap session's ordered event types become ONE compact
+    * string (first letter per type — the fixture's five types have distinct
+    * initials) and ordinary regexes classify whole sessions — conversion
+    * (`v.*p`: a view eventually followed by a purchase), error-touched
+    * (`e`), single-event bounce. This subsumes arbitrarily deep funnels
+    * without one join per stage ([[funnel]]'s shape): the pattern is data,
+    * not plan, so adding a stage changes a string instead of the DAG.
+    * Scale: the window and BOTH groupBys are user_id-prefixed, so
+    * everything after the one sessionize exchange is partition-local
+    * (hash partitioning on user_id satisfies the (user_id, session_no)
+    * clustering). Per-session state is the session's event count — bounded
+    * by the gap rule, never corpus-sized; the regex runs once per session
+    * row inside codegen. Ordering inside a session is pinned by
+    * `array_sort` over (us, event_id, ch) structs ≙ the oracle's
+    * `string_agg(... ORDER BY us, event_id)` — collect_list alone has no
+    * order contract.
+    */
+  val seqPattern: Q = Q(
+    "q_seq_pattern",
+    (s, dir) => {
+      val base = Tables(s, dir).events
+        .select(
+          col("event_id"),
+          col("user_id"),
+          substring(col("event_type"), 1, 1).as("ch"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val seqs = base
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs, 1L)
+            .otherwise(0L)
+        )
+        .withColumn("session_no", sum("new_session").over(w))
+        .groupBy("user_id", "session_no")
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("us"), col("event_id"), col("ch")))),
+              x => x.getField("ch")
+            ),
+            ""
+          ).as("seq")
+        )
+      seqs
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("seq").rlike("v.*p"), 1L).otherwise(0L)).as("n_converted"),
+          sum(when(col("seq").rlike("e"), 1L).otherwise(0L)).as("n_with_error"),
+          sum(when(length(col("seq")) === 1, 1L).otherwise(0L)).as("n_bounce")
+        )
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, substr(event_type, 1, 1) AS ch, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ch, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 300000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |fs AS (
+        |  SELECT user_id, ch, us, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_no
+        |  FROM f),
+        |sq AS (
+        |  SELECT user_id, session_no, string_agg(ch, '' ORDER BY us, event_id) AS seq
+        |  FROM fs GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*p') THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, 'e') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_error,
+        |  CAST(SUM(CASE WHEN length(seq) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+        |FROM sq GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
+  )
+
   /** Days-since-epoch bucket (truncating integer division of epoch micros —
     * `//` flooring in the DuckDB mirrors agrees for the fixtures' positive
     * epochs). ONE definition shared by the resample queries so the
@@ -1219,7 +1301,7 @@ object EventQueries {
 
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, intervalJoinImpact,
-      gapFill, locf,
+      seqPattern, gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
       rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr, kAnonymity,
       contributionCap)

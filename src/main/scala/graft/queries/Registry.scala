@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Ivf, Multimodal, SemDedup, SimHash, Similarity, Winnow}
+import graft.ext.{Dedup, Ivf, Multimodal, SemDedup, SetJoin, SimHash, Similarity, Winnow}
 
 /** Single source of truth for every registered query. SparkEntry derives
   * the driver-facing `queries`/`oracleSql` maps from here, so a query wired
@@ -21,6 +21,7 @@ object Registry {
       Similarity.all ++
       Ivf.all ++
       SemDedup.all ++
+      SetJoin.all ++
       SimHash.all ++
       Winnow.all ++
       Multimodal.all ++

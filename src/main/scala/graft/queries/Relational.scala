@@ -2148,6 +2148,62 @@ object Relational {
     )
   )
 
+  /** CDC merge-apply (the batch MERGE INTO shape): a change batch is
+    * deduplicated to one latest change per key, then applied to a
+    * snapshot in ONE full-outer join — matched deletes drop, matched
+    * upserts replace, unmatched changes insert, untouched snapshot rows
+    * pass through, each row tagged with the action taken. The change
+    * stream is derived from orders (latest order per customer by
+    * (o_orderdate, o_orderkey); status F ⟹ delete, else upsert to that
+    * order's total), the snapshot is customer. This is the incremental-
+    * maintenance primitive a 100 TB pipeline runs every batch: dedup =
+    * one keyed window (partitioned by the merge key — the map-side-
+    * combine max_by variant of the same step is q_latest_by_key), apply =
+    * one equi join on the merge key, so a bucketed/partitioned snapshot
+    * layout makes the whole merge exchange-free (q_join_bucketed's play).
+    * `bal` picks a single stored value — no summation-order hazard.
+    */
+  val qCdcApply: Q = q(
+    "q_cdc_apply",
+    """WITH latest AS (
+      |  SELECT o_custkey, o_orderstatus, o_totalprice FROM (
+      |    SELECT o_custkey, o_orderstatus, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT COALESCE(c.c_custkey, l.o_custkey) AS cust_id,
+      |  CASE WHEN l.o_custkey IS NOT NULL THEN l.o_totalprice ELSE c.c_acctbal END AS bal,
+      |  CASE WHEN l.o_custkey IS NULL THEN 'keep'
+      |       WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END AS action
+      |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.o_custkey
+      |WHERE l.o_custkey IS NULL OR l.o_orderstatus <> 'F'
+      |ORDER BY cust_id""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables(s, dir)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = t.orders
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderstatus", "o_totalprice")
+    t.customer
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(latest, col("c_custkey") === col("o_custkey"), "full_outer")
+      .filter(col("o_custkey").isNull || col("o_orderstatus") =!= "F")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("cust_id"),
+        when(col("o_custkey").isNotNull, col("o_totalprice"))
+          .otherwise(col("c_acctbal"))
+          .as("bal"),
+        when(col("o_custkey").isNull, "keep")
+          .when(col("c_custkey").isNull, "insert")
+          .otherwise("update")
+          .as("action")
+      )
+      .orderBy("cust_id")
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qFilter, qProject, qJoinBroadcast, qJoinShuffle, qTpchQ2, qTpchQ3, qTpchQ4, qTpchQ5,
     qTpchQ6, qTpchQ7, qTpchQ8, qTpchQ9, qTpchQ10, qTpchQ11, qTpchQ12, qTpchQ13, qTpchQ15,
@@ -2156,6 +2212,6 @@ object Relational {
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
     qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder, qZorderProbe,
-    qBenford, qSkyline
+    qBenford, qSkyline, qCdcApply
   )
 }
