@@ -1421,6 +1421,77 @@ object Dedup {
     )
   )
 
+  /** Per-SOURCE MinHash union signatures + the pairwise source-similarity
+    * matrix they imply — the corpus-level companion to the per-document
+    * sketch ([[minhashSig]]): each source's signature is the MinHash of the
+    * UNION of all its documents' shingle sets, and component-match counts
+    * between two sources estimate the Jaccard similarity of their whole
+    * shingle vocabularies ("how much does src3's content universe overlap
+    * src7's"), the source-curation screen run before the expensive
+    * doc-level cross-source audit ([[sourceOverlap]]) is pointed anywhere.
+    *
+    * The scale story IS the query: `min` is associative, commutative and
+    * duplicate-insensitive, so the union sketch needs NO doc-level grain,
+    * no distinct, and no pre-collapse — one documents scan, per-partition
+    * partial mins, and a |sources|·K final state (map-side combine absorbs
+    * everything; an exact cross-source vocabulary Jaccard would cost a
+    * |vocab|-sized shuffle PER PAIR). Cross-source exact duplicates — the
+    * blind spot the member re-expansion fixes in [[sourceOverlap]] — are
+    * naturally correct here: a copied text contributes the same shingle
+    * mins to BOTH sources' sketches. The pair matrix is a self-join of a
+    * |sources|-row frame: metadata at any corpus scale. Component equality
+    * uses null-safe compare so a hypothetical all-short-doc source (empty
+    * shingle union ⇒ null mins) pairs as 0 matches, not null.
+    */
+  val sourceMinhash: Q = Q(
+    "q_source_minhash",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hs = docs
+        .select(col("source"), explode(shingles3(tokens(col("text")))).as("x"))
+        .select(col("source"), baseHash(col("x")).as("h"))
+      val mins = (0 until K).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i"))
+      val sig  = hs.groupBy("source").agg(mins.head, mins.tail: _*)
+      val matches = (0 until K)
+        .map(i => when(col(s"a.mh$i") <=> col(s"b.mh$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      sig
+        .alias("a")
+        .join(broadcast(sig.alias("b")), col("a.source") < col("b.source"))
+        .select(
+          col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          matches.as("matching"),
+          (matches * (1000000L / K)).as("est_jaccard_ppm")
+        )
+        .orderBy("source_a", "source_b")
+    },
+    Some {
+      val mh = (0 until K)
+        .map(i => s"MIN((h * ${A(i)} + ${B(i)}) % $P) AS mh$i")
+        .mkString(",\n    ")
+      val m = (0 until K)
+        .map(i => s"CASE WHEN a.mh$i IS NOT DISTINCT FROM b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT source, CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) AS h
+         |  FROM (
+         |    SELECT source,
+         |      unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+         |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS x
+         |    FROM (SELECT source, string_split(lower(text), ' ') AS t FROM documents))),
+         |sig AS (
+         |  SELECT source,
+         |    $mh
+         |  FROM h GROUP BY 1)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST($m AS BIGINT) AS matching,
+         |  CAST(($m) * ${1000000L / K} AS BIGINT) AS est_jaccard_ppm
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
-    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality, jaccardHistogram, softDedup, containment, clusterSurvivors)
+    Seq(dedupExact, minhashSig, lshCandidates, minhashNearDup, minhashEstimate, ngramJaccard, editNearDup, dedupClusters, dedupIncremental, dedupStats, graphDegree, sourceOverlap, lshQuality, jaccardHistogram, softDedup, containment, clusterSurvivors, sourceMinhash)
 }

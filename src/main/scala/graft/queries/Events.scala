@@ -361,6 +361,53 @@ object EventQueries {
     )
   )
 
+  /** Cumulative user growth: new users per day (first-appearance day) and
+    * the running total of distinct users seen to date — the classic
+    * "cumulative distinct count" that naive SQL writes as
+    * `COUNT(DISTINCT user) OVER (ORDER BY day)`, an O(n·days) disaster.
+    * Restated as the linear decomposition: distinct-to-date d = Σ_{d'≤d}
+    * |{users first seen on d'}| — one groupBy(user) min, one metadata-sized
+    * day aggregate, one prefix sum. The prefix runs on the hierarchical
+    * [[graft.ops.PrefixSum]] (32-day chunks) per the house no-keyless-window
+    * rule; the day grain is calendar-bounded but the discipline is uniform.
+    * Scale: the only corpus-sized exchange is the per-user min (partial
+    * min combines map-side); everything after is O(days). The oracle is
+    * the plain single-partition window over the same decomposition —
+    * hash-equality proves the hierarchy computes exactly the global-scan
+    * semantics.
+    */
+  val userGrowth: Q = Q(
+    "q_user_growth",
+    (s, dir) => {
+      val day = call_function("div", unix_micros(col("ts").cast("timestamp")), lit(86400000000L))
+      val firstDay = Tables(s, dir).events
+        .select(col("user_id"), day.as("d"))
+        .groupBy("user_id")
+        .agg(min("d").as("first_day"))
+      val newPerDay =
+        firstDay.groupBy("first_day").agg(count(lit(1)).as("new_users"))
+      graft.ops.PrefixSum
+        .runningTotals(
+          newPerDay,
+          bucket = call_function("div", col("first_day"), lit(32L)),
+          order = Seq(col("first_day")),
+          values = Seq((col("new_users"), "cum_users"))
+        )
+        .select(col("first_day").as("day"), col("new_users"), col("cum_users"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY 1),
+        |nd AS (SELECT first_day, COUNT(*) AS new_users FROM f GROUP BY 1)
+        |SELECT first_day AS day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM nd ORDER BY day""".stripMargin
+    )
+  )
+
   /** Days-since-epoch bucket (truncating integer division of epoch micros —
     * `//` flooring in the DuckDB mirrors agrees for the fixtures' positive
     * epochs). ONE definition shared by the resample queries so the
@@ -1301,7 +1348,7 @@ object EventQueries {
 
   val all: Seq[Q] =
     Seq(eventsWindow, eventsJson, eventsJsonTyped, sessionize, rangeJoinFunnel, intervalJoinImpact,
-      seqPattern, gapFill, locf,
+      seqPattern, userGrowth, gapFill, locf,
       funnel, retention, latestByKey, ewma, zscore, eventsHopping, scd2, cmsTopk,
       rolling7d, nextEvent, mad, timeWeightedAvg, sessionStats, autocorr, kAnonymity,
       contributionCap)

@@ -401,5 +401,278 @@ object GraphQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(pagerank, labelProp, kcore)
+  /** BFS relaxation radius (fixed — the oracle unrolls it). The semantics
+    * is deliberately "reach within [[BfsRounds]] hops", not
+    * run-to-convergence: a bounded-radius neighborhood is itself the
+    * product (how far does influence from the seed set propagate through
+    * the near-neighbor graph), and a fixed K is what an unrolled-CTE
+    * oracle can replay. GraphSpec separately drives the same lineage to a
+    * fixpoint and checks it against a driver-side BFS.
+    */
+  val BfsRounds = 8
+
+  /** Hop distances after `rounds` min-plus relaxations from the seed set —
+    * exposed separately from the registered query for GraphSpec's
+    * convergence/replay assertions.
+    */
+  private[graft] def bfsHops(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val sym = lpSymEdges(s, dir)
+    var dist = Tables(s, dir).embeddings
+      .filter(col("label") === 0)
+      .select(col("vec_id").as("node"), lit(0L).as("hops"))
+    for (_ <- 0 until rounds) {
+      // min-plus relaxation: dist'(v) = min(dist(v), 1 + min over in-
+      // neighbors u of dist(u)). References dist twice (self-union +
+      // neighbor push), so the per-round eager localCheckpoint is the
+      // labelProp 4^K discipline; the checkpoint is ≤ |V| rows.
+      dist = dist
+        .unionByName(
+          sym
+            .join(dist, sym("src") === dist("node"))
+            .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+        )
+        .groupBy("node")
+        .agg(min("hops").as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Multi-source BFS (bounded-radius min-plus / Bellman–Ford relaxation,
+    * the iterable-MapReduce shortest-path workload next to PageRank) over
+    * the mutual k-NN graph: hop distance from every vector to the nearest
+    * label-0 seed, within [[BfsRounds]] hops. The pipeline reading: label 0
+    * is a trusted/curated slice, and hop distance through the
+    * high-precision mutual-neighbor relation is a transitive-affinity score
+    * — documents 1–2 hops from curated data are expansion candidates,
+    * unreached nodes are semantically disconnected from it.
+    *
+    * Scale shape: the cached [[lpSymEdges]] grain (shared with
+    * `q_label_prop`/`q_kcore`) is the only edge structure; each round
+    * shuffles the (node, hops) frame — ≤ |V| rows, map-side `min` combine
+    * absorbing hub fan-in — plus one hash join against the ≤ 2k·n edge
+    * frame; per-round lineage truncation keeps analysis O(1) per round. A
+    * frontier-delta variant (propagate only changed nodes) halves traffic
+    * on late rounds but changes no semantics; at the fixture diameters the
+    * dense relaxation is already sub-second. Unreached nodes carry no row
+    * (no sentinel ∞ to disagree on between engines).
+    */
+  val bfs: Q = Q(
+    "q_bfs_hops",
+    (s, dir) =>
+      bfsHops(s, dir, BfsRounds)
+        .select(col("node").as("vec_id"), col("hops"))
+        .orderBy("vec_id"),
+    Some(bfsOracleSql(BfsRounds))
+  )
+
+  /** Unrolled min-plus rounds — [[labelPropOracleSql]]'s MATERIALIZED-CTE
+    * pattern (each round references the prior frame twice) over the same
+    * full k-NN graph replay.
+    */
+  def bfsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, MIN(hops) AS hops FROM (
+           |    SELECT node, hops FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT s.dst AS node, l.hops + 1 AS hops
+           |    FROM sym s JOIN d${i - 1} l ON l.node = s.src)
+           |  GROUP BY 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (
+       |${graft.ext.Similarity.knnJoinOracleSql(graft.ext.Similarity.KnnK)}),
+       |${graft.ext.Similarity.mutualEdgesCte},
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM und),
+       |d0 AS MATERIALIZED (
+       |  SELECT vec_id AS node, CAST(0 AS BIGINT) AS hops
+       |  FROM embeddings WHERE label = 0),
+       |$steps
+       |SELECT node AS vec_id, hops FROM d$rounds ORDER BY vec_id""".stripMargin
+  }
+
+  /** Link prediction over the mutual k-NN graph (Liben-Nowell & Kleinberg
+    * 2003): for every non-adjacent pair at distance 2, the common-neighbor
+    * count and an integer Adamic–Adar score — Σ over shared neighbors w of
+    * 10⁶ div max(⌊log₂ deg(w)⌋, 1), the "rare shared neighbors count more"
+    * weighting with the house `length(bin(·))−1` integer log so the score
+    * is exact cross-engine (the float 1/ln(deg) form would hash-drift).
+    * Pipeline reading: predicted links over the near-neighbor relation are
+    * retrieval-expansion candidates — pairs the embedding model does not
+    * yet connect but whose neighborhoods already overlap.
+    *
+    * Scale shape: the wedge join is the ONLY pair generator and it is
+    * degree-bounded BY CONSTRUCTION — mutual-k-NN degree ≤ k, so wedges
+    * ≤ |V|·k² regardless of corpus size (no df-cap needed, unlike
+    * `q_cooccur`'s unbounded per-doc sets). Degrees ride a partial+final
+    * count over the cached [[lpSymEdges]] grain shared with
+    * `q_label_prop`/`q_kcore`/`q_bfs_hops`; the middle-node weight joins
+    * onto the wedge stream before the (u,v) partial+final aggregate, the
+    * existing-edge exclusion is a left-anti hash join against the a<b edge
+    * frame, and the top-50 is TakeOrderedAndProject with a full (score, u,
+    * v) total order.
+    */
+  val linkPredict: Q = Q(
+    "q_link_predict",
+    (s, dir) => {
+      val sym = lpSymEdges(s, dir)
+      val deg = sym
+        .groupBy(col("src").as("w"))
+        .agg(count(lit(1)).as("deg"))
+        .select(
+          col("w"),
+          (lit(1000000L) / greatest(length(bin(col("deg"))) - 1, lit(1)))
+            .cast("long")
+            .as("aa_w")
+        )
+      val wedges = sym
+        .as("e1")
+        .join(sym.as("e2"), col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+        .select(col("e1.src").as("u"), col("e2.dst").as("v"), col("e1.dst").as("w"))
+      val und = graft.ext.Similarity.mutualKnnEdges(s, dir)
+      wedges
+        .join(deg, "w")
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("common_neighbors"), sum("aa_w").as("aa_ppm"))
+        .join(und, col("u") === col("a") && col("v") === col("b"), "left_anti")
+        .orderBy(col("aa_ppm").desc, col("u"), col("v"))
+        .limit(50)
+    },
+    Some(
+      s"""WITH knn AS MATERIALIZED (
+         |${graft.ext.Similarity.knnJoinOracleSql(graft.ext.Similarity.KnnK)}),
+         |${graft.ext.Similarity.mutualEdgesCte},
+         |sym AS (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM und),
+         |deg AS (
+         |  SELECT src AS w,
+         |    CAST(1000000 // GREATEST(LENGTH(bin(COUNT(*))) - 1, 1) AS BIGINT) AS aa_w
+         |  FROM sym GROUP BY 1),
+         |wed AS (
+         |  SELECT e1.src AS u, e2.dst AS v, e1.dst AS w
+         |  FROM sym e1 JOIN sym e2 ON e2.src = e1.dst AND e1.src < e2.dst),
+         |sc AS (
+         |  SELECT u, v, COUNT(*) AS common_neighbors, CAST(SUM(aa_w) AS BIGINT) AS aa_ppm
+         |  FROM wed JOIN deg USING (w) GROUP BY 1, 2)
+         |SELECT u, v, common_neighbors, aa_ppm FROM sc
+         |WHERE NOT EXISTS (SELECT 1 FROM und WHERE a = u AND b = v)
+         |ORDER BY aa_ppm DESC, u, v LIMIT 50""".stripMargin
+    )
+  )
+
+  /** HITS iteration count (fixed — the oracle unrolls it). */
+  val HitsIters = 4
+
+  /** HITS fixed-point scale: 10⁹, not PageRank's 10¹², so the per-step
+    * `raw · SCALE` product stays ≤ 10¹⁸ < 2⁶³ (raw ≤ Σ scores = SCALE
+    * after each normalization).
+    */
+  val HitsScale = 1000000000L
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    * supplier→part relation observed in lineitem — the second classic
+    * iterative-MapReduce ranking next to [[pagerank]], and the one whose
+    * normalization step exercises the per-superstep GLOBAL total that
+    * PageRank's fixed damping avoids. Suppliers are hubs (they point at
+    * parts), parts are authorities; K=[[HitsIters]] mutual-reinforcement
+    * rounds, each renormalized to total mass [[HitsScale]] in pure integer
+    * arithmetic — score = raw · SCALE div Σraw — so every score is an
+    * exact BIGINT cross-engine (the textbook L2 normalization needs a
+    * square root; L1 is the standard integer-exact substitute and keeps
+    * the same fixpoint direction).
+    *
+    * Scale shape: the distinct edge set builds once and is cached (the
+    * bucketed-edge-table production analog); each half-step is one
+    * |E|-join + one partial+final sum onto the |V| grain, and the
+    * normalizer is a 1-row aggregate broadcast back via
+    * `crossJoin(broadcast(...))` — the house keyless-window replacement,
+    * here exercised PER SUPERSTEP. Each normalized frame references its
+    * raw frame TWICE (once directly, once inside the total), so the plan
+    * would quadruple per round (4^K — the labelProp analyzer lesson, and
+    * measured here: the un-checkpointed K=4 lineage hung analysis); the
+    * per-half-step eager `localCheckpoint` on the ≤|V|-row raw grain
+    * truncates it. Top-20 per side is two TakeOrderedAndProject heaps
+    * under a total (score, node) order.
+    */
+  val hits: Q = Q(
+    "q_hits",
+    (s, dir) => {
+      val e = graft.core.Cached.frame(
+        Tables(s, dir).lineitem
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+          .distinct()
+      )
+      val nS = e.agg(countDistinct("s").as("n"))
+      var h = e
+        .select("s")
+        .distinct()
+        .crossJoin(broadcast(nS))
+        .select(col("s"), expr(s"${HitsScale}L div n").as("v"))
+      var a: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        val rawA =
+          e.join(h, "s").groupBy("p").agg(sum("v").as("raw")).localCheckpoint()
+        a = rawA
+          .crossJoin(broadcast(rawA.agg(sum("raw").as("tot"))))
+          .select(col("p"), expr(s"raw * ${HitsScale}L div tot").as("v"))
+        val rawH =
+          e.join(a, "p").groupBy("s").agg(sum("v").as("raw")).localCheckpoint()
+        h = rawH
+          .crossJoin(broadcast(rawH.agg(sum("raw").as("tot"))))
+          .select(col("s"), expr(s"raw * ${HitsScale}L div tot").as("v"))
+      }
+      val hubs = h
+        .select(lit("hub").as("side"), col("s").as("node"), col("v").as("score"))
+        .orderBy(col("score").desc, col("node"))
+        .limit(20)
+      val auths = a
+        .select(lit("auth").as("side"), col("p").as("node"), col("v").as("score"))
+        .orderBy(col("score").desc, col("node"))
+        .limit(20)
+      hubs.unionByName(auths).orderBy(col("side"), col("score").desc, col("node"))
+    },
+    Some(hitsOracleSql(HitsIters))
+  )
+
+  /** Unrolled K-round HITS replay: per round one authority CTE and one hub
+    * CTE, each normalized by its own scalar-subquery total (the 1-row
+    * broadcast's SQL form). All-positive integers, so DuckDB `//` flooring
+    * equals Spark `div` truncation.
+    */
+  def hitsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds)
+      .map { i =>
+        s"""a${i}r AS MATERIALIZED (SELECT p, CAST(SUM(v) AS BIGINT) AS raw
+           |  FROM e JOIN h${i - 1} USING (s) GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT p, CAST(raw * $HitsScale // (SELECT SUM(raw) FROM a${i}r) AS BIGINT) AS v FROM a${i}r),
+           |h${i}r AS MATERIALIZED (SELECT s, CAST(SUM(v) AS BIGINT) AS raw
+           |  FROM e JOIN a$i USING (p) GROUP BY 1),
+           |h$i AS MATERIALIZED (SELECT s, CAST(raw * $HitsScale // (SELECT SUM(raw) FROM h${i}r) AS BIGINT) AS v FROM h${i}r)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |h0 AS MATERIALIZED (
+       |  SELECT s, CAST($HitsScale // (SELECT COUNT(DISTINCT s) FROM e) AS BIGINT) AS v
+       |  FROM (SELECT DISTINCT s FROM e)),
+       |$steps
+       |SELECT side, node, score FROM (
+       |  (SELECT 'hub' AS side, s AS node, v AS score FROM h$rounds
+       |   ORDER BY v DESC, s LIMIT 20)
+       |  UNION ALL
+       |  (SELECT 'auth' AS side, p AS node, v AS score FROM a$rounds
+       |   ORDER BY v DESC, p LIMIT 20))
+       |ORDER BY side, score DESC, node""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank, labelProp, kcore, bfs, linkPredict, hits)
 }

@@ -1027,8 +1027,86 @@ object Pipeline {
     )
   )
 
+  /** Sample budget [[apportion]] distributes across sources — 100 keeps
+    * every quota ≤ its stratum size at all fixture SFs (a without-
+    * replacement sampler's precondition).
+    */
+  private[graft] val ApportionBudget = 100L
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed sample budget
+    * across sources — the EXACT integer quota allocation a stratified
+    * sampler or eval-set builder runs before drawing: quota_s =
+    * ⌊N·n_s/total⌋ plus one bonus seat for the N − Σ⌊·⌋ largest
+    * remainders (ties to the lexicographically first source). Naive
+    * per-stratum rounding drifts by up to ±|S| samples; Hamilton quotas
+    * sum to N exactly, by construction — the property SamplingSpec pins.
+    * Complements [[stratifiedSample]] (fixed per-stratum cap) and
+    * [[mixSchedule]] (ppm weights): this is the one that turns shares
+    * into integer draw counts.
+    *
+    * Scale shape: ONE documents scan collapses to the |sources| grain
+    * (partial+final count); everything after is metadata-sized — the
+    * total and the leftover-seat count are 1-row broadcasts, and the
+    * remainder rank is the triangular broadcast self-join (|S|² pairs)
+    * the house uses instead of a keyless window. All-integer (BIGINT
+    * div/mod), so quotas hash exactly cross-engine.
+    */
+  val apportion: Q = Q(
+    "q_apportion",
+    (s, dir) => {
+      val c = Tables(s, dir).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val base = graft.core.Cached.frame(
+        c.crossJoin(broadcast(c.agg(sum("n_docs").as("total"))))
+          .select(
+            col("source"),
+            col("n_docs"),
+            col("total"),
+            expr(s"(${ApportionBudget}L * n_docs) div total").as("fq"),
+            expr(s"(${ApportionBudget}L * n_docs) % total").as("rem")
+          )
+      )
+      val leftover = base.agg((lit(ApportionBudget) - sum("fq")).as("r"))
+      val lo       = base.select(col("source").as("s2"), col("rem").as("rem2"))
+      base
+        .join(
+          broadcast(lo),
+          col("rem2") > col("rem") ||
+            (col("rem2") === col("rem") && col("s2") < col("source")),
+          "left"
+        )
+        .groupBy("source", "n_docs", "total", "fq")
+        .agg(count(col("s2")).as("ahead"))
+        .crossJoin(broadcast(leftover))
+        .select(
+          col("source"),
+          col("n_docs"),
+          expr("(n_docs * 1000000L) div total").as("share_ppm"),
+          (col("fq") + when(col("ahead") < col("r"), lit(1L)).otherwise(lit(0L))).as("quota")
+        )
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+         |b AS (SELECT source, n_docs, total,
+         |        ($ApportionBudget * n_docs) // total AS fq,
+         |        ($ApportionBudget * n_docs) % total AS rem
+         |      FROM c, t),
+         |r AS (SELECT CAST($ApportionBudget - SUM(fq) AS BIGINT) AS r FROM b),
+         |rk AS (SELECT b.*,
+         |        (SELECT COUNT(*) FROM b b2
+         |         WHERE b2.rem > b.rem OR (b2.rem = b.rem AND b2.source < b.source)) AS ahead
+         |       FROM b)
+         |SELECT source, n_docs, (n_docs * 1000000) // total AS share_ppm,
+         |  CAST(fq + CASE WHEN ahead < (SELECT r FROM r) THEN 1 ELSE 0 END AS BIGINT) AS quota
+         |FROM rk ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
       seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule,
-      mixTemperature, decontamNgram, cleanFunnel, epochPlan, datasetCard)
+      mixTemperature, decontamNgram, cleanFunnel, epochPlan, datasetCard, apportion)
 }

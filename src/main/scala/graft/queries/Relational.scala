@@ -1885,6 +1885,57 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** Equi-DEPTH histogram (the CBO/ANALYZE statistic next to
+    * [[qHistogram]]'s equi-width bins): exact `percentile_disc` decile
+    * cutoffs over l_extendedprice, then every row bucketed by how many
+    * cutoffs it exceeds — counts come out ≈ n/10 per bucket by
+    * construction, and the per-bucket [lo, hi] spans ARE the histogram a
+    * cost model or range-partitioner consumes (equi-width bins collapse
+    * under skew; equi-depth bins track it). `percentile_disc` picks actual
+    * data elements, so cutoffs and bounds are bit-identical cross-engine
+    * with no interpolation arithmetic.
+    *
+    * Scale shape: ONE cached 1-column scan feeds both the cutoff aggregate
+    * and the bucketing pass; the 1-row cutoff frame broadcasts back
+    * (`crossJoin(broadcast(...))`, the house keyless-window replacement),
+    * bucket assignment is a scan-stage when-chain, and the final grain is
+    * 10 rows. Like [[qPercentile]], the exact global percentiles are the
+    * hash-checkable ground truth — at 100 TB the cutoff pass swaps for the
+    * KLL sketch (`q_approx_quantiles`) with the bucketing pass unchanged.
+    */
+  val qHistogramEqd: Q = q(
+    "q_histogram_eqd",
+    s"""WITH c AS (
+       |  SELECT ${(1 to 9).map(i => s"quantile_disc(l_extendedprice, 0.$i) AS c$i").mkString(", ")}
+       |  FROM lineitem)
+       |SELECT bucket, COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+       |FROM (
+       |  SELECT l_extendedprice AS v,
+       |    CAST(${(1 to 9).map(i => s"(CASE WHEN l_extendedprice > c$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket
+       |  FROM lineitem, c)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val base = graft.core.Cached.frame(
+      Tables(s, dir).lineitem.select(col("l_extendedprice").as("v"))
+    )
+    val cuts = base.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY v)").as("c1"),
+      (2 to 9).map(i => expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY v)").as(s"c$i")): _*
+    )
+    base
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("v"),
+        (1 to 9)
+          .map(i => when(col("v") > col(s"c$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+          .as("bucket")
+      )
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Heavy-hitter profile: the top-10 keys by row count with their share of
     * the table — the skew scan a pipeline runs BEFORE choosing a join
     * strategy (its output is what justifies reaching for q_join_salted's
@@ -2211,7 +2262,7 @@ object Relational {
     qTpchQ22, qPromoShare, qBloomJoin, qJoinSalted, qJoinBucketed, qJoinSkewAdaptive, qPercentile, qRunningTotal, qSemiJoin, qAntiJoin,
     qDistinct, qTopK, qIntersect, qExcept, qExceptAll, qUnion, qWindow, qWindowSuite, qRollup,
     qAggStats, qCorr, qCube, qAsofJoin, qApproxDistinct, qApproxQuantiles,
-    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHeavyHitters, qZorder, qZorderProbe,
+    qGroupingSets, qPivot, qUnpivot, qProfile, qHistogram, qHistogramEqd, qHeavyHitters, qZorder, qZorderProbe,
     qBenford, qSkyline, qCdcApply
   )
 }

@@ -2313,10 +2313,87 @@ object TextQueries {
     )
   )
 
+  /** Zipf power-law fit over the term-frequency head — the corpus-health
+    * audit next to [[vocabCoverage]]: natural text obeys cnt ∝ rank^(−s)
+    * with s ≈ 1; a collapsed (flat) or inflated slope marks template spam
+    * or truncated/synthetic text BEFORE a tokenizer or mixture decision
+    * trusts the vocabulary. OLS of ⌊log₂ cnt⌋ on ⌊log₂ rank⌋ over the
+    * top-256 terms — the [[graft.queries.StatsQueries]] `q_trend`
+    * integer-moment discipline with the house `length(bin(·))−1` integer
+    * log, so slope and intercept (milli-units) are exact BIGINTs
+    * cross-engine; a float ln() would hash-drift (neither engine's libm
+    * log is correctly rounded — unlike the sqrt q_mix_temperature leans
+    * on).
+    *
+    * Scale shape: term counts reaggregate the ONE cached [[docTermTf]]
+    * grain (zero new corpus scans); the head is a distributed
+    * TakeOrderedAndProject(256) under a total (cnt, term) order; rank is
+    * `zipWithIndex` over the 256-row tail (never a keyless window) and
+    * the moment fold is a 1-row aggregate of a 256-row frame.
+    */
+  val zipfFit: Q = Q(
+    "q_zipf_fit",
+    (s, dir) => {
+      val tf = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      val top = tf
+        .groupBy("term")
+        .agg(sum("tf").as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(256)
+      attachRank(top, "rank", col("cnt").desc, col("term"))
+        .select(
+          (length(bin(col("rank"))) - 1).cast("long").as("x"),
+          (length(bin(col("cnt"))) - 1).cast("long").as("y")
+        )
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy")
+        )
+        // Spark div TRUNCATES; the numerators are signed (the slope is
+        // negative by Zipf's nature), so the oracle mirrors truncation
+        // sign-safely rather than letting DuckDB's flooring // drift by 1
+        .withColumn("slope_milli", expr("(1000L * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
+        .withColumn("int_num", expr("1000L * sy - slope_milli * sx"))
+        .select(
+          col("n").as("n_terms"),
+          col("slope_milli"),
+          expr("int_num div n").as("intercept_milli")
+        )
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt, term
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |  GROUP BY term ORDER BY cnt DESC, term LIMIT 256),
+        |r AS (
+        |  SELECT CAST(LENGTH(bin(ROW_NUMBER() OVER (ORDER BY cnt DESC, term))) - 1 AS BIGINT) AS x,
+        |         CAST(LENGTH(bin(cnt)) - 1 AS BIGINT) AS y
+        |  FROM t),
+        |m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM r),
+        |s AS (
+        |  SELECT n, sx, sy, 1000 * (n * sxy - sx * sy) AS snum, n * sxx - sx * sx AS sden
+        |  FROM m),
+        |s2 AS (
+        |  SELECT n, sx, sy,
+        |    CASE WHEN snum < 0 THEN -((-snum) // sden) ELSE snum // sden END AS slope
+        |  FROM s),
+        |s3 AS (SELECT n, slope, 1000 * sy - slope * sx AS inum FROM s2)
+        |SELECT n AS n_terms, slope AS slope_milli,
+        |  CASE WHEN inum < 0 THEN -((-inum) // n) ELSE inum // n END AS intercept_milli
+        |FROM s3""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(wordCount, grep, textStats, langId, quality, tokenCount, fingerprint, tfidf,
       repetition, ngramNovelty, lmScore, dsirWeights, invertedIndex, hofOps, vocabCoverage, lexicalDiversity, bm25,
       rankFusion, pmiBigrams, bpePairs, bpeMerges, bpeEncode, cooccur, gopherRules, ccnetBuckets,
       lengthHist, langidConfusion, tokenFertility, blocklistGate, charEntropy, qualityClassifier,
-      hardNegatives, spanMask, qualityCalibration, qualityIncremental, sourceDivergence)
+      hardNegatives, spanMask, qualityCalibration, qualityIncremental, sourceDivergence, zipfFit)
 }

@@ -179,6 +179,46 @@ object EventStream {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** A user's first-appearance day, as emitted by [[firstSeen]]. */
+  final case class FirstSeen(user_id: Long, first_day: Long)
+
+  /** Streaming new-user detection — the STREAMING half of the batch
+    * `q_user_growth` decomposition (cumulative distinct users = prefix sum
+    * of per-day first appearances): per-user min first-appearance day kept
+    * as typed state, a row emitted whenever a user's min day DECREASES
+    * (first sight, or an out-of-order earlier event) — Update-mode
+    * semantics, so the LAST emission per user equals the batch
+    * `min(day) GROUP BY user`, which StreamingSpec asserts. Downstream the
+    * metadata-sized per-day count + prefix sum stay batch jobs over the
+    * emitted feed.
+    *
+    * State is one long per EVER-SEEN user — inherently unbounded for true
+    * streaming-distinct (evicting a user's state would re-report them as
+    * new on return; no watermark bound exists for "has this user ever
+    * appeared"). That is the honest cost of the continuous form, and why
+    * the batch decomposition remains the 100 TB backfill path: this
+    * operator's production role is the per-batch new-user FEED, with state
+    * scaled by |users|, not stream length.
+    */
+  def firstSeen(events: Dataset[Event]): Dataset[FirstSeen] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstSeen, FirstSeen](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout
+      ) { (userId: Long, batch: Iterator[Event], state: GroupState[FirstSeen]) =>
+        // day buckets match the batch query: epoch micros div 86400000000
+        // = floorDiv(millis, 86400000) for the timestamp range
+        val incoming = batch.map(e => Math.floorDiv(e.ts.getTime, 86400000L)).min
+        if (state.getOption.forall(incoming < _.first_day)) {
+          val next = FirstSeen(userId, incoming)
+          state.update(next)
+          Iterator.single(next)
+        } else Iterator.empty
+      }
+  }
+
   /** Streaming latest-record-per-key — CDC upsert materialization: each
     * user's single most recent event (ties on ts broken by the unique
     * event_id) survives, updated per micro-batch. Order-equivalent to the

@@ -216,4 +216,84 @@ class GraphSpec extends SparkSpec {
     // non-trivial on the fixture: the 2-core keeps some cycle structure
     assert(alive.nonEmpty, "fixture 2-core unexpectedly empty")
   }
+
+  test("q_bfs_hops: registered radius equals the true fixpoint and a driver-side BFS") {
+    val out = graft.queries.Registry
+      .queries("q_bfs_hops")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+    // driver-side multi-source BFS over the same symmetric edge set
+    val edges = GraphQueries
+      .lpSymEdges(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    edges.foreach { case (s0, d0) => adj(s0) ::= d0 }
+    val seeds = graft.core
+      .Tables(spark, sf)
+      .embeddings
+      .filter(col("label") === 0)
+      .select("vec_id")
+      .collect()
+      .map(_.getLong(0))
+    val dist    = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = seeds.toList
+    seeds.foreach(dist(_) = 0L)
+    var depth = 0L
+    while (frontier.nonEmpty) {
+      depth += 1
+      frontier = frontier.flatMap(adj).filterNot(dist.contains).distinct
+      frontier.foreach(dist(_) = depth)
+    }
+    // the fixture's relaxation converges inside the registered budget: the
+    // true eccentricity from the seed set fits in BfsRounds, so the K-round
+    // min-plus table IS the fixpoint (no truncated-distance rows shipped)
+    assert(
+      dist.values.max <= GraphQueries.BfsRounds,
+      s"seed eccentricity ${dist.values.max} exceeds the ${GraphQueries.BfsRounds}-round budget"
+    )
+    assert(out === dist.toMap, "relaxation distances differ from the driver BFS")
+    // non-trivial: reaches beyond the seeds but not the whole graph
+    assert(dist.values.max >= 1L, "fixture BFS never leaves the seed set")
+  }
+
+  test("q_hits: both sides present, scores positive and mass-bounded by the scale") {
+    val rows = graft.queries.Registry.queries("q_hits")(spark, sf).collect()
+    val (hubs, auths) = rows.partition(_.getString(0) == "hub")
+    assert(hubs.nonEmpty && auths.nonEmpty, "both HITS sides must survive")
+    assert(rows.forall(_.getLong(2) > 0L), "top scores must be positive")
+    // each side renormalizes to HitsScale; the top-20 slice can only carry
+    // less. Floor dust means strictly <= on the full frame too.
+    assert(hubs.map(_.getLong(2)).sum <= GraphQueries.HitsScale, "hub mass exceeds scale")
+    assert(auths.map(_.getLong(2)).sum <= GraphQueries.HitsScale, "authority mass exceeds scale")
+    // within each side the result is score-descending with node tiebreak
+    Seq(hubs, auths).foreach { side =>
+      side.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) >= b.getLong(2), "side not score-sorted")
+        case _           => ()
+      }
+    }
+  }
+
+  test("q_link_predict: only distance-2 non-edges, scores match a driver replay") {
+    val out = graft.queries.Registry.queries("q_link_predict")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture graph has no predicted links")
+    val edges = graft.ext.Similarity
+      .mutualKnnEdges(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    def aaW(deg: Int): Long = 1000000L / math.max(63 - java.lang.Long.numberOfLeadingZeros(deg.toLong), 1L)
+    out.foreach { r =>
+      val (u, v, cn, aa) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(!adj(u).contains(v), s"($u,$v) is an existing edge")
+      val common = adj(u) & adj(v)
+      assert(common.size.toLong == cn, s"($u,$v) common-neighbor count mismatch")
+      // iterator, not Set.map — equal weights must not collapse before the sum
+      assert(common.iterator.map(w => aaW(adj(w).size)).sum == aa, s"($u,$v) Adamic-Adar mismatch")
+    }
+  }
 }

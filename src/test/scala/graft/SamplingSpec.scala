@@ -87,4 +87,35 @@ class SamplingSpec extends SparkSpec {
       "temperature scaling must preserve the share ordering"
     )
   }
+
+  test("apportion: quotas sum EXACTLY to the budget, stay near-proportional, preserve order") {
+    val rows = graft.queries.Registry
+      .queries("q_apportion")(spark, sf)
+      .collect()
+    val budget = graft.queries.Pipeline.ApportionBudget
+    // the Hamilton guarantee — the whole reason this beats per-stratum
+    // rounding: Σ quota = N with zero drift
+    assert(rows.map(_.getLong(3)).sum == budget, "quotas must sum exactly to the budget")
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val ideal = budget.toDouble * r.getLong(1) / total
+      val quota = r.getLong(3)
+      // quota stays within one seat of the ideal share (Hamilton satisfies
+      // the quota rule: floor(ideal) <= quota <= ceil(ideal))
+      assert(quota >= math.floor(ideal).toLong && quota <= math.ceil(ideal).toLong,
+        s"${r.getString(0)} quota $quota violates the quota rule around $ideal")
+      assert(quota <= r.getLong(1), s"${r.getString(0)} quota exceeds stratum size")
+    }
+    // monotone: a strictly larger stratum never gets a smaller quota than a
+    // smaller one... (Hamilton can invert only across equal remainders;
+    // assert the weak form on n_docs order)
+    val byN = rows.sortBy(r => (r.getLong(1), r.getString(0)))
+    byN.sliding(2).foreach {
+      case Array(a, b) =>
+        if (b.getLong(1) > a.getLong(1))
+          assert(b.getLong(3) + 1L >= a.getLong(3),
+            s"larger stratum ${b.getString(0)} fell more than a seat below ${a.getString(0)}")
+      case _ => ()
+    }
+  }
 }

@@ -193,6 +193,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstSeen emits on min-day decrease only; final state agrees with batch min") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream
+      .firstSeen(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("first_seen")
+      .outputMode(OutputMode.Update)
+      .start()
+    val batch1 = Seq(
+      ev(1, "2026-01-03 10:00:00", 1, "view", 0),
+      ev(2, "2026-01-03 11:00:00", 2, "view", 0)
+    )
+    // user 1 returns (no emission), user 2 arrives OUT OF ORDER with an
+    // earlier day (min decreases -> re-emission), user 3 is brand new
+    val batch2 = Seq(
+      ev(3, "2026-01-04 09:00:00", 1, "click", 0),
+      ev(4, "2026-01-01 08:00:00", 2, "view", 0),
+      ev(5, "2026-01-05 12:00:00", 3, "view", 0)
+    )
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT COUNT(*) FROM first_seen").collect()(0).getLong(0)
+      assert(afterB1 == 2L, "both new users must emit in batch 1")
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // emissions: 2 (batch1) + user2 correction + user3 = 4; user 1's
+      // return must NOT re-emit
+      val emitted = spark.sql("SELECT COUNT(*) FROM first_seen").collect()(0).getLong(0)
+      assert(emitted == 4L, s"expected 4 emissions, got $emitted")
+      // last emission per user == batch min(day) over the union
+      val streamed = spark
+        .sql(
+          """SELECT user_id, MIN(first_day) FROM first_seen
+            |GROUP BY user_id ORDER BY user_id""".stripMargin
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+      val batch = (batch1 ++ batch2)
+        .groupBy(_.user_id)
+        .map { case (u, es) => (u, es.map(e => Math.floorDiv(e.ts.getTime, 86400000L)).min) }
+        .toSeq
+        .sorted
+      assert(streamed == batch, "streaming min-day state diverged from the batch min")
+    } finally q.stop()
+  }
+
   test("transformWithState v2 keeps running totals on the RocksDB store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
