@@ -455,6 +455,12 @@ object Ivf {
     * curation pipeline maintains anyway; the mixture audit stays a
     * metadata-sized aggregate no matter the corpus size.
     */
+  /** Public replay handles for cross-module oracles (q_conductance builds
+    * the same fitted-centroid CTE chain and distance expression).
+    */
+  def fitReplayCtes: (String, String)           = fitCtesSql(Iters)
+  def d2ReplaySql(v: String, c: String): String = d2Sql(v, c)
+
   val topicClusters: Q = Q(
     "q_topic_clusters",
     (s, dir) => {

@@ -271,7 +271,15 @@ object GraphQueries {
     * inlining would expand the plan 2^K-fold — materialization makes the
     * replay linear in K, exactly like the Spark lineage it mirrors.
     */
-  def labelPropOracleSql(iters: Int): String = {
+  def labelPropOracleSql(iters: Int): String =
+    s"""${lpReplayCtes(iters)}
+       |SELECT node AS vec_id, lbl AS community FROM l$iters ORDER BY vec_id""".stripMargin
+
+  /** The full label-propagation replay as a CTE prefix ending in
+    * `l<iters>` (node, lbl) — shared by [[labelPropOracleSql]] and the
+    * community-audit oracles that consume the converged labels.
+    */
+  private def lpReplayCtes(iters: Int): String = {
     val steps = (1 to iters)
       .map { i =>
         s"""m$i AS MATERIALIZED (
@@ -293,8 +301,7 @@ object GraphQueries {
        |  UNION ALL
        |  SELECT b AS src, a AS dst FROM und),
        |l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
-       |$steps
-       |SELECT node AS vec_id, lbl AS community FROM l$iters ORDER BY vec_id""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** Peel rounds for the k-core decomposition. A bulk peel needs
@@ -674,5 +681,171 @@ object GraphQueries {
        |ORDER BY side, score DESC, node""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(pagerank, labelProp, kcore, bfs, linkPredict, hits)
+  /** Degree assortativity (Newman 2002) of the mutual k-NN graph — one
+    * number answering "do well-connected vectors neighbor each other?":
+    * the Pearson correlation of endpoint degrees over the DIRECTED edge
+    * list of the symmetrized graph (the standard estimator; each
+    * undirected edge contributes both orientations, making the x/y
+    * marginals symmetric). Positive ⇒ hub-hub linking (dense semantic
+    * cores — SemDeDup-style pruning targets), negative ⇒ hub-periphery
+    * (hubs as connectors of unique long-tail content). Degrees are small
+    * exact integers, so every moment is an exact BIGINT; the single
+    * emitted correlation divides once through IEEE `sqrt` (correctly
+    * rounded, the q_mix_temperature precedent — the d1·d2 product would
+    * overflow int64, so each factor roots separately), with the
+    * regular-graph degenerate case (zero variance) pinned to NULL in both
+    * engines.
+    *
+    * Scale shape: degrees are a partial+final count over the cached
+    * [[lpSymEdges]] grain; attaching them to both endpoints is two hash
+    * joins of the ≤2k·n edge frame against the |V|-row degree frame; the
+    * moment fold is one 1-row partial+final aggregate. Nothing
+    * corpus-sized crosses more than one exchange.
+    */
+  val assortativity: Q = Q(
+    "q_assortativity",
+    (s, dir) => {
+      val sym = lpSymEdges(s, dir)
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      sym
+        .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy")
+        )
+        .select(
+          col("n").as("n_directed_edges"),
+          when(
+            col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+              col("n") * col("syy") - col("sy") * col("sy") === 0,
+            lit(null)
+          ).otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          ).as("assortativity")
+        )
+    },
+    Some(
+      s"""WITH knn AS MATERIALIZED (
+         |${graft.ext.Similarity.knnJoinOracleSql(graft.ext.Similarity.KnnK)}),
+         |${graft.ext.Similarity.mutualEdgesCte},
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM und),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+         |m AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(dx.deg) AS BIGINT) AS sx, CAST(SUM(dy.deg) AS BIGINT) AS sy,
+         |    CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+         |    CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy,
+         |    CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy
+         |  FROM sym e JOIN deg dx ON dx.node = e.src JOIN deg dy ON dy.node = e.dst)
+         |SELECT n AS n_directed_edges,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+         |            (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |             sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS assortativity
+         |FROM m""".stripMargin
+    )
+  )
+
+  /** Per-TOPIC conductance audit: the k-means topic clusters
+    * (`q_topic_clusters`' persisted IVF assignment) evaluated against the
+    * mutual k-NN graph — the centroid-vs-graph agreement scorecard run
+    * before clusters are TRUSTED as curation/pruning units (SemDeDup
+    * prunes within clusters; a leaky cluster makes that pruning blind).
+    * For each of the 20 largest clusters: vector count, internal
+    * undirected edges, cut edges, and conductance cut/vol in ppm
+    * (vol = directed edge endpoints in members = 2·internal + cut). Near-0
+    * ⇒ the centroid partition respects the neighbor structure; high ⇒ the
+    * cluster is a centroid artifact. NOT run on the [[labelPropLabels]]
+    * components — a converged component has zero cut edges by definition,
+    * so that audit is vacuous; the independently-derived centroid
+    * partition is the one whose boundary quality is in question.
+    * All-integer (counts + one div), hash-exact.
+    *
+    * Scale shape: assignments read from the ALREADY-persisted
+    * cid-partitioned index ([[graft.ext.Ivf.indexFor]] — the artifact a
+    * production pipeline maintains anyway), 2-column projection session-
+    * cached (two endpoint joins + the size count read it); labeling the
+    * edge list is two hash joins of the ≤2k·n cached [[lpSymEdges]]
+    * frame; the per-cluster aggregate is partial+final onto the
+    * C=O(√n) grain; top-20 is TakeOrderedAndProject under a total
+    * (n_vecs, cid) order. Edgeless clusters surface via the left join
+    * with vol 0 and NULL conductance — pinned, not dropped.
+    */
+  val conductance: Q = Q(
+    "q_conductance",
+    (s, dir) => {
+      val asg = graft.core.Cached.frame(
+        s.read
+          .parquet(graft.ext.Ivf.indexFor(s, dir).path)
+          .select(col("vec_id"), col("cid").cast("int").as("cid"))
+      )
+      val sym = lpSymEdges(s, dir)
+      val grp = sym
+        .join(asg.select(col("vec_id").as("src"), col("cid").as("src_cid")), "src")
+        .join(asg.select(col("vec_id").as("dst"), col("cid").as("dst_cid")), "dst")
+        .groupBy(col("src_cid").as("cid"))
+        .agg(
+          count(lit(1)).as("vol"),
+          sum(when(col("src_cid") =!= col("dst_cid"), 1L).otherwise(0L)).as("cut")
+        )
+      asg
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"))
+        .join(grp, Seq("cid"), "left")
+        .select(
+          col("cid").cast("long").as("cid"),
+          col("n_vecs"),
+          expr("(coalesce(vol, 0L) - coalesce(cut, 0L)) div 2L").as("internal_edges"),
+          coalesce(col("cut"), lit(0L)).as("cut_edges"),
+          when(coalesce(col("vol"), lit(0L)) === 0, lit(null))
+            .otherwise(expr("(cut * 1000000L) div vol"))
+            .as("conductance_ppm")
+        )
+        .orderBy(col("n_vecs").desc, col("cid"))
+        .limit(20)
+    },
+    Some {
+      val (fitPrefix, fitted) = graft.ext.Ivf.fitReplayCtes
+      s"""WITH $fitPrefix,
+         |af AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${graft.ext.Ivf.d2ReplaySql("q.qv", "c.cv")}, c.cid) AS rn
+         |    FROM q, $fitted c) WHERE rn = 1),
+         |knn AS MATERIALIZED (
+         |${graft.ext.Similarity.knnJoinOracleSql(graft.ext.Similarity.KnnK)}),
+         |${graft.ext.Similarity.mutualEdgesCte},
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM und),
+         |grp AS (
+         |  SELECT ax.cid AS cid, COUNT(*) AS vol,
+         |    CAST(SUM(CASE WHEN ax.cid <> ay.cid THEN 1 ELSE 0 END) AS BIGINT) AS cut
+         |  FROM sym e JOIN af ax ON ax.vec_id = e.src JOIN af ay ON ay.vec_id = e.dst
+         |  GROUP BY 1),
+         |sz AS (SELECT cid, COUNT(*) AS n_vecs FROM af GROUP BY 1)
+         |SELECT CAST(sz.cid AS BIGINT) AS cid, sz.n_vecs,
+         |  (COALESCE(vol, 0) - COALESCE(cut, 0)) // 2 AS internal_edges,
+         |  COALESCE(cut, 0) AS cut_edges,
+         |  CASE WHEN COALESCE(vol, 0) = 0 THEN NULL
+         |       ELSE (cut * 1000000) // vol END AS conductance_ppm
+         |FROM sz LEFT JOIN grp ON grp.cid = sz.cid
+         |ORDER BY n_vecs DESC, cid LIMIT 20""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(pagerank, labelProp, kcore, bfs, linkPredict, hits, assortativity, conductance)
 }

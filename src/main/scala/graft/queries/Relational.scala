@@ -1895,13 +1895,21 @@ object Relational {
     * data elements, so cutoffs and bounds are bit-identical cross-engine
     * with no interpolation arithmetic.
     *
-    * Scale shape: ONE cached 1-column scan feeds both the cutoff aggregate
-    * and the bucketing pass; the 1-row cutoff frame broadcasts back
-    * (`crossJoin(broadcast(...))`, the house keyless-window replacement),
-    * bucket assignment is a scan-stage when-chain, and the final grain is
-    * 10 rows. Like [[qPercentile]], the exact global percentiles are the
-    * hash-checkable ground truth — at 100 TB the cutoff pass swaps for the
-    * KLL sketch (`q_approx_quantiles`) with the bucketing pass unchanged.
+    * Scale shape: ONE cached 1-column scan feeds both the cutoff pass and
+    * the bucketing pass. The cutoffs do NOT use the `percentile_disc`
+    * aggregate — that is an ImperativeAggregate buffering EVERY value of
+    * the group in one task (measured: 138 s on the 6M-row 10× corpus,
+    * 40× this rank-select form) — but the equivalent distributed
+    * definition: global RangePartitioning sort, `zipWithIndex`, and the
+    * values at ranks ⌈p·n⌉ folded to one row by a partial+final
+    * conditional max (percentile_disc(p) IS the value at rank ⌈p·n⌉, so
+    * the hash-checked results are identical). The 1-row cutoff frame
+    * broadcasts back (`crossJoin(broadcast(...))`, the house
+    * keyless-window replacement), bucket assignment is a scan-stage
+    * when-chain, and the final grain is 10 rows. At 100 TB the cutoff
+    * pass can further swap for the KLL sketch (`q_approx_quantiles`) with
+    * the bucketing pass unchanged; [[qPercentile]] remains the
+    * ground-truth exactness statement for the aggregate form.
     */
   val qHistogramEqd: Q = q(
     "q_histogram_eqd",
@@ -1918,10 +1926,26 @@ object Relational {
     val base = graft.core.Cached.frame(
       Tables(s, dir).lineitem.select(col("l_extendedprice").as("v"))
     )
-    val cuts = base.agg(
-      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY v)").as("c1"),
-      (2 to 9).map(i => expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY v)").as(s"c$i")): _*
+    // distributed exact percentile_disc: rank every value in one global
+    // (parallel) sort, keep the 9 decile ranks. zipWithIndex is the same
+    // distributed rank primitive the reference-parity group stage uses.
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)
+    ))
+    val ranked = s.createDataFrame(
+      base.orderBy("v").rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1L, r.getDouble(0))
+      },
+      idxSchema
     )
+    val cuts = ranked
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+      .agg(
+        max(when(col("idx") === expr("((1 * n) + 9) div 10"), col("v"))).as("c1"),
+        (2 to 9).map(i =>
+          max(when(col("idx") === expr(s"(($i * n) + 9) div 10"), col("v"))).as(s"c$i")): _*
+      )
     base
       .crossJoin(broadcast(cuts))
       .select(
