@@ -846,6 +846,96 @@ object GraphQueries {
     }
   )
 
+  /** Walk length for [[randomWalk]] (fixed — the oracle unrolls it). */
+  val WalkSteps = 4
+
+  /** Deterministic "random" walks — the DeepWalk/node2vec CORPUS-SAMPLING
+    * primitive (Perozzi et al. 2014): from every connected node, a
+    * [[WalkSteps]]-step walk over the mutual k-NN graph whose step choice
+    * is the md5-argmin neighbor under a (walker, step, candidate) salt —
+    * hash-derived pseudo-randomness instead of an RNG, the same
+    * determinism play as the hash split/sampler family, so every path is
+    * reproducible, shard-independent, and hash-checkable cross-engine
+    * (rand()-seeded walks are partition-layout-dependent and would break
+    * both properties). The emitted (walker, path, end_node) rows are
+    * exactly the skip-gram training sequences an embedding stage consumes.
+    *
+    * Scale shape: per step ONE hash join of the |V|-row walker frame
+    * against the cached [[lpSymEdges]] grain (fan-out ≤ deg ≤ 2k by
+    * construction) and one partial+final `min(struct(h, dst))` argmin per
+    * walker — map-side combine absorbs the fan-out before the shuffle.
+    * State is (walker, path, cur): linear lineage (each step references
+    * its predecessor once), so no checkpoint ladder is needed at K=4.
+    * Isolated vectors have no edges and thus no walk — dropped by the
+    * seed definition (walkers = nodes of the edge frame), documented.
+    */
+  val randomWalk: Q = Q(
+    "q_random_walk",
+    (s, dir) => {
+      val sym = lpSymEdges(s, dir)
+      var st = sym
+        .select(col("src").as("walker"))
+        .distinct()
+        .select(
+          col("walker"),
+          col("walker").cast("string").as("path"),
+          col("walker").as("cur")
+        )
+      for (t <- 1 to WalkSteps) {
+        val salt = graft.ext.Dedup.baseHash(
+          concat(
+            col("walker").cast("string"),
+            lit(s":$t:"),
+            col("dst").cast("string")
+          )
+        )
+        st = st
+          .join(sym, st("cur") === sym("src"))
+          .select(col("walker"), col("path"), struct(salt.as("h"), col("dst")).as("c"))
+          .groupBy("walker", "path")
+          .agg(min("c").as("m"))
+          .select(
+            col("walker"),
+            concat(col("path"), lit(">"), col("m.dst").cast("string")).as("path"),
+            col("m.dst").as("cur")
+          )
+      }
+      st.select(col("walker"), col("path"), col("cur").as("end_node")).orderBy("walker")
+    },
+    Some(randomWalkOracleSql(WalkSteps))
+  )
+
+  /** Unrolled K-step walk replay: per step the same md5-argmin via a
+    * per-walker row_number over (h, dst).
+    */
+  def randomWalkOracleSql(steps: Int): String = {
+    def h(t: Int) =
+      s"CAST('0x' || substr(md5(CAST(walker AS VARCHAR) || ':$t:' || CAST(dst AS VARCHAR)), 1, 7) AS BIGINT)"
+    val rounds = (1 to steps)
+      .map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT walker, path || '>' || CAST(dst AS VARCHAR) AS path, dst AS cur FROM (
+           |    SELECT walker, path, dst,
+           |      row_number() OVER (PARTITION BY walker ORDER BY ${h(t)}, dst) AS rn
+           |    FROM w${t - 1} JOIN sym ON sym.src = w${t - 1}.cur)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (
+       |${graft.ext.Similarity.knnJoinOracleSql(graft.ext.Similarity.KnnK)}),
+       |${graft.ext.Similarity.mutualEdgesCte},
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM und),
+       |w0 AS MATERIALIZED (
+       |  SELECT node AS walker, CAST(node AS VARCHAR) AS path, node AS cur
+       |  FROM (SELECT DISTINCT src AS node FROM sym)),
+       |$rounds
+       |SELECT walker, path, cur AS end_node FROM w$steps ORDER BY walker""".stripMargin
+  }
+
   val all: Seq[Q] =
-    Seq(pagerank, labelProp, kcore, bfs, linkPredict, hits, assortativity, conductance)
+    Seq(pagerank, labelProp, kcore, bfs, linkPredict, hits, assortativity, conductance,
+      randomWalk)
 }

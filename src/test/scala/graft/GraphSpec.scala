@@ -362,4 +362,35 @@ class GraphSpec extends SparkSpec {
     // deliberately avoids)
     assert(out.exists(_._4 > 0L), "no cut edges anywhere — the audit is vacuous")
   }
+
+  test("q_random_walk equals a driver-side md5-argmin walk replay") {
+    val out = graft.queries.Registry
+      .queries("q_random_walk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val edges = graft.ext.Similarity
+      .mutualKnnEdges(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    (edges ++ edges.map { case (a, b) => (b, a) }).foreach { case (a, b) => adj(a) ::= b }
+    def h7(s0: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val expected = adj.keySet.toSeq.sorted.map { w =>
+      var cur  = w
+      var path = w.toString
+      for (t <- 1 to graft.queries.GraphQueries.WalkSteps) {
+        val next = adj(cur).map(d => (h7(s"$w:$t:$d"), d)).min._2
+        path += s">$next"
+        cur = next
+      }
+      (w, path, cur)
+    }
+    assert(out == expected, "walk paths differ from the driver replay")
+    // the walks must actually move: at least one walker ends off its start
+    assert(out.exists(t => t._1 != t._3), "every walk returned to its start")
+  }
 }
