@@ -78,6 +78,12 @@ object SetJoin {
         .select(
           col("doc_id"),
           transform(col("ord"), x => x.getField("tok")).as("stoks"),
+          // 64-bit token hashes for the cheap verify pre-filter: long-array
+          // intersection is several times cheaper than string-array (no
+          // per-element string hashing/equality), and hash collisions can
+          // only INFLATE the intersect — over-admission the exact string
+          // tier then discards, never a miss
+          transform(col("ord"), x => xxhash64(x.getField("tok"))).as("htoks"),
           size(col("ord")).as("sz")
         )
     )
@@ -96,21 +102,61 @@ object SetJoin {
     val os = orderedSets(base)
     val pref = os.select(
       col("doc_id"),
-      explode(slice(col("stoks"), lit(1), prefixLen(col("sz")))).as("tok")
+      col("sz"),
+      posexplode(slice(col("stoks"), lit(1), prefixLen(col("sz"))))
+        .as(Seq("pos", "tok"))
     )
+    // Two output-neutral PPJoin prunes ride the candidate join itself (the
+    // exact verify below only discards, so both are pure work savers — and
+    // necessary ones: on the 10× stress corpus the small synthetic
+    // vocabulary saturates the shingle space, prefix df climbs with corpus
+    // size, and the unpruned collision set ground for >50 min where the
+    // pruned one gates in minutes):
+    //  - length filter: J >= t forces t <= |a|/|b| <= 1/t;
+    //  - per-collision positional filter (Xiao 2008; the MapReduce form is
+    //    Vernica 2010): overlap i <= 1 + min(|a| - pa, |b| - pb) at any
+    //    shared prefix position, and J >= t needs i >= ceil(t/(1+t) *
+    //    (|a|+|b|)), so a collision sitting late in BOTH prefixes cannot
+    //    witness a qualifying pair. Completeness: a true pair's FIRST
+    //    shared token satisfies the bound (1 + min(...) >= i there), so at
+    //    least one collision per qualifying pair always survives into the
+    //    distinct. For t = 1/2 the required overlap is ceil((sa+sb)/3).
     val cands = pref
       .alias("a")
       .join(
         pref.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * TNum <= col("b.sz") * TDen &&
+          col("b.sz") * TNum <= col("a.sz") * TDen &&
+          lit(1) + least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1) >=
+          expr(
+            s"(${TNum}L * (CAST(a.sz AS BIGINT) + b.sz) + ${TNum + TDen - 1}L) div ${TNum + TDen}L"
+          )
       )
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val s1 = os.select(col("doc_id").as("d1"), col("stoks").as("s1"), col("sz").as("sza"))
-    val s2 = os.select(col("doc_id").as("d2"), col("stoks").as("s2"), col("sz").as("szb"))
+    val s1 = os.select(
+      col("doc_id").as("d1"), col("stoks").as("s1"), col("htoks").as("h1"), col("sz").as("sza"))
+    val s2 = os.select(
+      col("doc_id").as("d2"), col("stoks").as("s2"), col("htoks").as("h2"), col("sz").as("szb"))
     cands
+      // explicit numPartitions spread before the CPU-heavy verify: the
+      // candidate frame is BYTE-small, so AQE's size-based coalescing packs
+      // it into a handful of partitions and the per-row array-intersect
+      // then runs nearly serial (measured: 4 tasks busy, 28 cores idle on
+      // the 10× corpus). A user-NUMBERED repartition is exempt from AQE
+      // coalescing, and keying it by d1 lets the first verify join reuse
+      // the exchange; after that join the rows carry the arrays, so byte-
+      // based coalescing no longer under-parallelizes downstream stages.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
       .join(s1, "d1")
       .join(s2, "d2")
+      // tier-1 verify on the long-hash arrays: |∩| >= ceil(t/(1+t)(sa+sb))
+      // is EXACTLY J >= t restated, and hash collisions only over-admit
+      .filter(
+        size(array_intersect(col("h1"), col("h2"))) * (TNum + TDen) >=
+          expr(s"${TNum}L * (CAST(sza AS BIGINT) + szb)")
+      )
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("uni", col("sza").cast("long") + col("szb") - col("inter"))
       .filter(col("inter") * TDen >= col("uni") * TNum)
