@@ -912,7 +912,69 @@ object Similarity {
     )
   )
 
+  /** Cross-modal near-dup AGREEMENT audit: the textual tier
+    * ([[graft.ext.Dedup.nearDuplicates]], shingle Jaccard ≥ 0.2) full-outer
+    * joined with the semantic tier ([[cachedNearDupPairs]], embedding
+    * cosine ≥ τ over LSH buckets) on the shared doc/vec id space — each
+    * pair labeled `both` / `text_only` / `embed_only`. This is the
+    * curation calibration every two-tier dedup pipeline runs before
+    * trusting either tier alone: `text_only` pairs are surface-form
+    * near-copies the embedding model separates (templates with swapped
+    * entities), `embed_only` pairs are paraphrase-range semantic
+    * duplicates no n-gram tier can see — exactly SemDeDup's motivating
+    * gap — and the `both` rate is the inter-tier agreement a threshold
+    * decision is based on. Binding assumption (documented, fixture-true):
+    * `vec_id` ≡ `doc_id`.
+    *
+    * Scale shape: BOTH inputs are the session-cached pair-bounded
+    * verified-pair frames their own queries emit (zero new corpus scans —
+    * text pairs at the exact-dup rep grain per the family pre-collapse,
+    * embed pairs bucket-bounded); the audit itself is one full-outer hash
+    * join of two pair lists plus a scan-stage verdict. The oracle nests
+    * each tier's full replay as an isolated CTE (names like `cand` exist
+    * in both replays — the nested WITH scopes them).
+    */
+  val crossmodalAgree: Q = Q(
+    "q_crossmodal_agree",
+    (s, dir) => {
+      val tp = graft.ext.Dedup
+        .nearDuplicates(Tables(s, dir).documents, 0.2)
+        .select(col("d1"), col("d2"), col("jaccard"))
+      val ep = cachedNearDupPairs(Tables(s, dir).embeddings)
+        .select(col("v1"), col("v2"))
+      tp.join(ep, tp("d1") === ep("v1") && tp("d2") === ep("v2"), "full_outer")
+        .select(
+          coalesce(col("d1"), col("v1")).as("p1"),
+          coalesce(col("d2"), col("v2")).as("p2"),
+          col("jaccard"),
+          when(col("d1").isNotNull && col("v1").isNotNull, "both")
+            .when(col("d1").isNotNull, "text_only")
+            .otherwise("embed_only")
+            .as("tier")
+        )
+        .orderBy("p1", "p2")
+    },
+    Some(
+      s"""WITH tp AS MATERIALIZED (
+         |  WITH sig AS (${graft.ext.Dedup.sqlSigRep}),
+         |  bands AS (${graft.ext.Dedup.sqlBands}),
+         |  cand AS (${graft.ext.Dedup.sqlCand}),
+         |  sets AS (${graft.ext.Dedup.sqlSets}),
+         |  pairs AS (${graft.ext.Dedup.sqlPairs(0.2)})
+         |  SELECT d1, d2, jaccard FROM pairs),
+         |ep AS MATERIALIZED (
+         |${nearDupOracleSql(NearDupTau)})
+         |SELECT COALESCE(tp.d1, ep.v1) AS p1, COALESCE(tp.d2, ep.v2) AS p2,
+         |  tp.jaccard,
+         |  CASE WHEN tp.d1 IS NOT NULL AND ep.v1 IS NOT NULL THEN 'both'
+         |       WHEN tp.d1 IS NOT NULL THEN 'text_only'
+         |       ELSE 'embed_only' END AS tier
+         |FROM tp FULL OUTER JOIN ep ON tp.d1 = ep.v1 AND tp.d2 = ep.v2
+         |ORDER BY p1, p2""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(annTopK, annLsh, annSq8, embedNearDup, knnJoinQ, maxSim, annRecallQ, knnHubness,
-      knnPurity, graphTriangles)
+      knnPurity, graphTriangles, crossmodalAgree)
 }
