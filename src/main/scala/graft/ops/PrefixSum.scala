@@ -76,14 +76,18 @@ object PrefixSum {
 
     // level 2: bucket totals (one row per bucket; second reference to the
     // cached base — zero extra source scans), exclusive prefix inside
-    // chunkSize-bucket chunks. floor-div so negative buckets stay ordered.
+    // chunkSize-bucket chunks. Exact integer `div` (not floor(a/b), whose
+    // double intermediate drifts for |bucket| >= 2^53): truncating division
+    // by a positive width is weakly monotone — including for negative
+    // buckets — and chunk CONTIGUITY in bucket order is the only property
+    // levels 2-3 rely on, so trunc-vs-floor chunk boundaries are immaterial.
     val totals = base
       .groupBy(col("_ps_b"))
       .agg(
         values.map { case (v, out) => sum(v).as(s"_ps_tot_$out") }.head,
         values.map { case (v, out) => sum(v).as(s"_ps_tot_$out") }.tail: _*
       )
-      .withColumn("_ps_c", floor(col("_ps_b") / lit(chunkSize)).cast("long"))
+      .withColumn("_ps_c", call_function("div", col("_ps_b"), lit(chunkSize.toLong)))
     val wIn = Window
       .partitionBy(col("_ps_c"))
       .orderBy(col("_ps_b"))

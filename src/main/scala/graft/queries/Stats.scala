@@ -99,7 +99,7 @@ object StatsQueries {
         )
       val cum = PrefixSum.runningTotals(
         g,
-        bucket = floor(col("cents") / lit(4096)).cast("long"),
+        bucket = call_function("div", col("cents"), lit(4096L)),
         order = Seq(col("cents")),
         values = Seq((col("ca"), "cum_a"), (col("cb"), "cum_b"))
       )

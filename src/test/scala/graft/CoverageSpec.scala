@@ -39,4 +39,24 @@ class CoverageSpec extends AnyFunSuite {
       s"COVERAGE.md documents queries that are not registered: ${stale.toSeq.sorted.mkString(", ")}"
     )
   }
+
+  /** Leak gate: library source must cite only public knowledge. Dev-harness
+    * paths (and anything else in the pattern list, mirrored in
+    * tools/leaksweep.py) must never appear under src/. The pattern is split
+    * so this file does not trip its own gate.
+    */
+  test("source tree is free of dev-harness leaks") {
+    val forbidden = Seq("." + "claude")
+    val srcRoot = new java.io.File("src")
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) f.listFiles().iterator.flatMap(walk) else Iterator(f)
+    val hits = walk(srcRoot).flatMap { f =>
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      val lines = try s.getLines().zipWithIndex.toVector finally s.close()
+      lines.collect {
+        case (line, i) if forbidden.exists(line.contains) => s"${f.getPath}:${i + 1}"
+      }
+    }.toVector
+    assert(hits.isEmpty, s"forbidden strings found: ${hits.mkString(", ")}")
+  }
 }

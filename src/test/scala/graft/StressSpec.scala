@@ -52,8 +52,8 @@ class StressSpec extends SparkSpec {
   /** clean-vs-hot wall-time gate; clean runs first so shared JVM warm-up
     * lands on the denominator (the conservative direction). A failing
     * measurement is retried ONCE before asserting: a concurrent process
-    * landing inside one 32-thread run inflates it 3-8× (see the bench
-    * discipline in .claude/skills/verify), and a real quadratic blow-up
+    * landing inside one 32-thread run inflates it 3-8× (run-to-run noise
+    * of ±20-30% is normal on a shared box), and a real quadratic blow-up
     * reproduces on the retry while scheduler noise does not.
     */
   private def assertBounded(name: String): (Double, Double) = {
