@@ -22,13 +22,30 @@ object Bench {
     *
     * `only` gates the offline builds so SPARK_GRAFT_ONLY=q1_agg iteration
     * doesn't pay an IVF fit + dedup cache materialization it never uses.
+    *
+    * Returns the per-artifact build WALL TIME (seconds) — the honest cost
+    * accounting BENCH_FULL.json carries as its `artifacts` field. The
+    * shared session artifacts (k-NN graph, IVF index, dedup caches, …)
+    * amortize invisibly across their consumers inside a full sweep, while
+    * an isolated run of one consumer pays the whole build alone
+    * (q_kcore: 49.5 s isolated vs ~0.2 s amortized at the r10 10× gate);
+    * emitting build time separately keeps round-over-round per-query
+    * diffs from being confounded by artifact-warmth order. The
+    * artifact→consumer map is documented in COVERAGE.md ("Artifact
+    * economics" section).
     */
   def warmUp(
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String,
-      only: Option[Set[String]]): Unit = {
+      only: Option[Set[String]]): Map[String, Double] = {
     // true when the full set runs OR the subset contains a matching query
     def subsetNeeds(p: String => Boolean): Boolean = only.forall(_.exists(p))
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timedBuild(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      builds(name) = (System.nanoTime() - t0) / 1e9
+    }
     try {
       import org.apache.spark.sql.functions.{call_function, col}
       spark.range(1000000).groupBy((col("id") % 100).as("k")).count()
@@ -49,10 +66,10 @@ object Bench {
       // band index described in ext/Dedup.scala). The first probing query
       // would otherwise absorb the whole build into its timing.
       if (subsetNeeds(n => n == "q_ann_ivf" || n == "q_topic_clusters" || n == "q_semdedup"))
-        graft.ext.Ivf.indexFor(spark, sfDir)
+        timedBuild("ivf_index")(graft.ext.Ivf.indexFor(spark, sfDir): Unit)
       // PQ codebook training is the same offline-build shape
       if (subsetNeeds(_ == "q_ann_pq"))
-        graft.ext.Ivf.pqWarm(spark, sfDir)
+        timedBuild("pq_codebook")(graft.ext.Ivf.pqWarm(spark, sfDir))
       // the materialized k-NN graph EVERY graph consumer reads — the
       // mutual-kNN community/census queries included, or a targeted
       // SPARK_GRAFT_ONLY run of one of them absorbs the whole graph build
@@ -60,28 +77,31 @@ object Bench {
       if (subsetNeeds(n =>
             n == "q_knn_join" || n == "q_knn_hubness" || n == "q_graph_triangles" ||
               n == "q_label_prop" || n == "q_kcore"))
-        graft.ext.Similarity.knnGraphFor(spark, sfDir)
+        timedBuild("knn_graph")(graft.ext.Similarity.knnGraphFor(spark, sfDir): Unit)
       // the z-ordered lineitem layout is the same offline-build shape (a
       // lakehouse OPTIMIZE job); the probe query should time probes only
       if (subsetNeeds(_ == "q_zorder_probe"))
-        graft.ops.ZOrder.layoutFor(spark, sfDir)
+        timedBuild("zorder_layout")(graft.ops.ZOrder.layoutFor(spark, sfDir): Unit)
       // the base MV snapshot is the same offline-build shape: the refresh
       // query should time the delta scan + merge, not the snapshot job
       if (subsetNeeds(_ == "q_mv_refresh"))
-        graft.ops.MatView.baseFor(spark, sfDir): Unit
+        timedBuild("mv_base")(graft.ops.MatView.baseFor(spark, sfDir): Unit)
       if (subsetNeeds(n => n.contains("minhash") || n.contains("lsh") || n.contains("dedup") ||
-            n.contains("jaccard") || n == "q_clean_corpus")) {
-        val docs = graft.core.Tables(spark, sfDir).documents
-        graft.ext.Dedup.signatures(docs).write.format("noop").mode("overwrite").save()
-        graft.ext.Dedup.gramSets(docs).write.format("noop").mode("overwrite").save()
-        graft.ext.Dedup.exactGroups(docs).write.format("noop").mode("overwrite").save()
-      }
+            n.contains("jaccard") || n == "q_clean_corpus"))
+        timedBuild("dedup_caches") {
+          val docs = graft.core.Tables(spark, sfDir).documents
+          graft.ext.Dedup.signatures(docs).write.format("noop").mode("overwrite").save()
+          graft.ext.Dedup.gramSets(docs).write.format("noop").mode("overwrite").save()
+          graft.ext.Dedup.exactGroups(docs).write.format("noop").mode("overwrite").save()
+        }
       // the char-bigram reference LM is trained OFFLINE in a CCNet-style
       // pipeline; its tf table is the same session-scoped artifact shape
       // as the dedup signature caches
       if (subsetNeeds(_ == "q_lm_score"))
-        graft.queries.TextQueries.bigramTf(graft.core.Tables(spark, sfDir).documents)
-          .write.format("noop").mode("overwrite").save()
+        timedBuild("bigram_tf")(
+          graft.queries.TextQueries.bigramTf(graft.core.Tables(spark, sfDir).documents)
+            .write.format("noop").mode("overwrite").save()
+        )
     } catch {
       case scala.util.control.NonFatal(e) =>
         // keep benching (a warm-up failure must not zero the whole run), but
@@ -89,6 +109,7 @@ object Bench {
         // q_ann_ivf's timed region and masquerade as a probe regression
         System.err.println(s"[bench] warm-up failed (timings may include one-time init): $e")
     }
+    builds.toMap
   }
 
   /** Normalized fingerprint of a query's OPTIMIZED logical plan — the
@@ -174,7 +195,7 @@ object Bench {
     // Optional comma-separated subset for local iteration (SPARK_GRAFT_ONLY);
     // the driver never sets it, so the driver path is always the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    warmUp(spark, sfDir, only)
+    val artifacts = warmUp(spark, sfDir, only)
 
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
@@ -250,8 +271,15 @@ object Bench {
       "\"" + esc(name) + "\":\"" + fp + "\""
     }.mkString("{", ",", "}")
 
+    // Per-artifact offline-build wall time, separated from the per-query
+    // probe timings (see warmUp's scaladoc): `value`/`queries` are
+    // steady-state probe costs ONLY; the one-time index/cache builds are
+    // accounted here and never double-counted into a query.
+    val artJson = artifacts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"plan_fp":$fps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"plan_fp":$fps}"""
     // A SPARK_GRAFT_ONLY iteration run must not clobber the committed
     // full-registry snapshot with a partial map (it did once: a 2-query
     // targeted run overwrote the 169-query artifact the judge reads).

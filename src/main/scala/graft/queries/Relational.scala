@@ -1616,6 +1616,13 @@ object Relational {
     * at a bucket boundary all land in the SAME bucket (the bound count is
     * ≤-based), so the cross-bucket ordering is total and the picked
     * values are tie-order-independent.
+    *
+    * Round 11: the three passes (sketch, counts, rank pick) now feed from
+    * ONE cached 2-column projection instead of three parquet scans — the
+    * `docTermTf` discipline. At 100 TB the cache is the same two pruned
+    * columns an uncached pass would read, but it is read once from
+    * storage and twice from executor memory/disk instead of three times
+    * from storage.
     */
   val qApproxQuantiles: Q = q(
     "q_approx_quantiles",
@@ -1625,8 +1632,18 @@ object Relational {
       |  TRUE AS p50_ok, TRUE AS p95_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
-    val base = Tables(s, dir).lineitem
+    val raw = Tables(s, dir).lineitem
       .select(col("l_returnflag"), col("l_extendedprice"))
+    // widen ONLY when the scan under-parallelizes (the sf-fixture parquet
+    // is 3 splits, which serialized every cached pass onto 3 of 32 cores —
+    // the whole residual wall of the pre-r11 form). At 100 TB the scan has
+    // thousands of splits, the condition is false, and no exchange is
+    // added; locally the one 2-column round-robin exchange is repaid 3×
+    // by the consumers below.
+    val par = s.sparkContext.defaultParallelism
+    val base = graft.core.Cached.frame(
+      if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    )
     // ONE sketch serves everything: the 19 ventile bounds spread/prune
     // the sort AND contain the approximate companions as elements 10
     // (0.50 = 10/20) and 19 (0.95 = 19/20) — the previous form paid for
@@ -1647,10 +1664,16 @@ object Relational {
         .withColumn("a50", element_at(col("bs"), 10))
         .withColumn("a95", element_at(col("bs"), 19))
     )
-    val bucketed = base
-      .join(broadcast(bounds.select("l_returnflag", "bs")), "l_returnflag")
-      .withColumn("bkt", size(filter(col("bs"), b => b <= col("l_extendedprice"))))
-      .drop("bs")
+    // cached too: the interpreted array-filter lambda (decimal compares,
+    // no codegen) is the expensive per-row step, and BOTH downstream
+    // passes (bucket counts, rank pick) key on bkt — pay it once. The
+    // footprint is one extra 2-byte-ish column over the base cache.
+    val bucketed = graft.core.Cached.frame(
+      base
+        .join(broadcast(bounds.select("l_returnflag", "bs")), "l_returnflag")
+        .withColumn("bkt", size(filter(col("bs"), b => b <= col("l_extendedprice"))))
+        .drop("bs")
+    )
     val cnts = bucketed
       .groupBy("l_returnflag", "bkt")
       .agg(count(lit(1)).as("c"))

@@ -50,12 +50,10 @@ class ScanAuditSpec extends SparkSpec {
     // the measure-then-salt design: the heavy-key detection pass is the
     // same scan q_heavy_hitters runs (or its CMS sketch in production)
     ("q_join_skew_adaptive", "lineitem") -> 2,
-    // distributed order statistics is three passes BY DESIGN: the
-    // approximate-bounds sketch, the per-(flag,bucket) count, and the
-    // bucket-parallel rank pick — the price of not serializing each
-    // flag's sort onto one task (2-column scans; at 100 TB three pruned
-    // column scans beat one 3-task global sort by orders of magnitude)
-    ("q_approx_quantiles", "lineitem") -> 3,
+    // distributed order statistics is three passes BY DESIGN (bounds
+    // sketch, per-(flag,bucket) count, bucket-parallel rank pick), but as
+    // of round 11 all three feed one CACHED 2-column projection — the
+    // parquet scan hides inside the InMemoryRelation, so no exception
     // the dense date grid needs the per-user bounds BEFORE the explode:
     // bounds pass + join-back pass by construction
     ("q_gap_fill", "events") -> 2,
@@ -120,7 +118,6 @@ class ScanAuditSpec extends SparkSpec {
     ("q_zscore", "events")     -> 3.0,
     ("q_range_join", "events") -> 3.0,
     ("q_histogram", "lineitem") -> 3.0,
-    ("q_approx_quantiles", "lineitem") -> 3.5,
     ("q_tpch_q21", "lineitem") -> 3.0,
     ("q_retention", "events")  -> 3.0,
     ("q_except", "orders")     -> 3.0,
