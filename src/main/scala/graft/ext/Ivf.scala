@@ -709,16 +709,43 @@ object Ivf {
   val annIncremental: Q = Q(
     "q_ann_incremental",
     (s, dir) => {
-      val q    = quantized(Tables(s, dir).embeddings)
-      val seen = q.filter(col("vec_id") < IncrSeenMax)
-      val c    = derivedCentroids(vecCount(seen))
-      val centroids = kmeansFit(fitSample(seen, c), c, Iters)
-      assignScored(q.filter(col("vec_id") >= IncrSeenMax), centroids)
-        .select(col("vec_id"), col("cid").cast("int").as("cid"), col("d2"))
+      val q = quantized(Tables(s, dir).embeddings)
+      streamingIngest(q.filter(col("vec_id") >= IncrSeenMax), frozenQuantizer(s, dir))
         .orderBy("vec_id")
     },
     Some(incrementalOracleSql(IncrSeenMax))
   )
+
+  /** The FROZEN coarse quantizer (the production index's offline-trained
+    * artifact): k-means fit on the seen corpus only (vec_id <
+    * [[IncrSeenMax]], C derived from the SEEN count), collected to a
+    * driver-side centroid array — in production this ships with the index
+    * metadata and is broadcast to every ingest executor. Shared by the
+    * batch [[annIncremental]] and the Structured Streaming ingest path so
+    * the two are the same model by construction.
+    */
+  def frozenQuantizer(s: SparkSession, dir: String): Array[(Int, Array[Long])] = {
+    val seen = quantized(Tables(s, dir).embeddings).filter(col("vec_id") < IncrSeenMax)
+    val c    = derivedCentroids(vecCount(seen))
+    kmeansFit(fitSample(seen, c), c, Iters)
+  }
+
+  /** Streaming half of [[annIncremental]]: route a (streaming or batch)
+    * frame of raw embedding rows into cells of the frozen quantizer.
+    * Quantization + nearest-centroid assignment are per-row expressions
+    * against centroid LITERALS — zero joins, zero aggregation state — so
+    * the returned frame is Append-mode safe under Structured Streaming
+    * and per-micro-batch output equals the batch dual row-for-row
+    * (StreamingSpec asserts it). `d2` doubles as the drift monitor, as in
+    * the batch path.
+    */
+  def streamingIngest(newBatch: DataFrame, centroids: Array[(Int, Array[Long])]): DataFrame = {
+    // idempotent quantization: a caller handing over already-quantized
+    // rows (the batch path) must not double-scale
+    val q = if (newBatch.columns.contains("qv")) newBatch else quantized(newBatch)
+    assignScored(q, centroids)
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("d2"))
+  }
 
   val all: Seq[Q] = Seq(annIvf, topicClusters, annPq, annIncremental)
 }

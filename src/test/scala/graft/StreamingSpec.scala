@@ -420,6 +420,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frozen-model quality scoring agrees with the q_quality_incremental batch dual") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the registered batch query: train on doc_id < 400, score the rest
+    val batch = graft.queries.Registry
+      .queries("q_quality_incremental")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    // the SAME frozen artifact the batch path trains, served over a stream
+    val (weights, prior) = graft.queries.TextQueries.frozenQualityModel(spark, sf)
+    val newDocs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" >= 400)
+      .select($"doc_id", $"text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    val input = MemoryStream[(Long, String)]
+    val gate =
+      graft.queries.TextQueries.scoreFrozen(input.toDF().toDF("doc_id", "text"), weights, prior)
+    assert(gate.isStreaming, "scoreFrozen must stay a streaming frame over a streaming input")
+    val q = gate.writeStream
+      .format("memory")
+      .queryName("quality_gate")
+      .outputMode(OutputMode.Append) // legal ONLY because scoring is stateless per row
+      .start()
+    try {
+      // two micro-batches so agreement covers the batch boundary
+      input.addData(newDocs.take(40): _*)
+      q.processAllAvailable()
+      input.addData(newDocs.drop(40): _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .sql("SELECT doc_id, score, n_oov, pred FROM quality_gate")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toMap
+      assert(streamed.keySet == batch.keySet, "streamed doc set diverges from batch")
+      val diverged = streamed.collect { case (id, v) if batch(id) != v => (id, v, batch(id)) }
+      assert(diverged.isEmpty, s"frozen-model stream/batch divergence: ${diverged.take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming frozen-quantizer ingest agrees with the q_ann_incremental batch dual") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.Registry
+      .queries("q_ann_incremental")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    val centroids = graft.ext.Ivf.frozenQuantizer(spark, sf)
+    val newVecs = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" >= graft.ext.Ivf.IncrSeenMax)
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val ingest =
+      graft.ext.Ivf.streamingIngest(input.toDF().toDF("vec_id", "embedding"), centroids)
+    assert(ingest.isStreaming, "streamingIngest must stay a streaming frame over a streaming input")
+    val q = ingest.writeStream
+      .format("memory")
+      .queryName("ann_ingest")
+      .outputMode(OutputMode.Append) // zero joins, zero state: per-row assignment only
+      .start()
+    try {
+      input.addData(newVecs.take(60): _*)
+      q.processAllAvailable()
+      input.addData(newVecs.drop(60): _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .sql("SELECT vec_id, cid, d2 FROM ann_ingest")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+        .toMap
+      assert(streamed.keySet == batch.keySet, "streamed vec set diverges from batch")
+      val diverged = streamed.collect { case (id, v) if batch(id) != v => (id, v, batch(id)) }
+      assert(diverged.isEmpty, s"frozen-quantizer stream/batch divergence: ${diverged.take(5)}")
+    } finally q.stop()
+  }
+
   test("CMS counters accumulate across micro-batches and equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
