@@ -1105,9 +1105,29 @@ object TextQueries {
     */
   private def bpeTrain(
       s: SparkSession,
-      dir: String): (Seq[(Long, String, Long)], DataFrame) = {
+      dir: String): (Seq[(Long, String, Long)], DataFrame) =
+    bpeTrainK(s, dir, BpeMergeIters)
+
+  /** [[bpeTrain]] with an explicit merge count — split out so the lineage
+    * gate (CollocationSpec "BPE merge ladder") can drive the SAME loop at
+    * K=32 and pin per-iteration growth, the 4^K label-prop lesson applied
+    * here before it can happen a third time.
+    */
+  private[graft] def bpeTrainK(
+      s: SparkSession,
+      dir: String,
+      bpeIters: Int): (Seq[(Long, String, Long)], DataFrame) = {
     val tf    = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
     val words = tf.groupBy("term").agg(sum("tf").as("f"))
+    // Per-iteration EAGER localCheckpoint, not a persist() ladder: each
+    // persist chained the previous InMemoryRelation inside the next plan's
+    // string form, and at K=32 the driver spent MINUTES in
+    // generateTreeString alone (the 4^K label-prop lesson, caught a third
+    // time by CollocationSpec's "BPE merge ladder" gate before it could
+    // ship). Checkpointing truncates the analyzed plan to a LogicalRDD of
+    // constant depth, so per-iteration analysis cost is flat in K; blocks
+    // of dropped iterations are reclaimed by the ContextCleaner, the same
+    // contract as the graph family's ladders (queries/Graph.scala).
     var vocab = words
       .filter(length(col("term")) >= 2)
       .select(
@@ -1122,10 +1142,9 @@ object TextQueries {
         ).as("w"),
         col("f")
       )
-      .persist()
-    var prev: Option[org.apache.spark.sql.DataFrame] = None
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-    for (k <- 1 to BpeMergeIters) {
+    for (k <- 1 to bpeIters) {
       val top = vocab
         .withColumn("sy", split(trim(col("w")), "  "))
         .filter(size(col("sy")) >= 2)
@@ -1140,21 +1159,16 @@ object TextQueries {
         .orderBy(col("n").desc, col("pair"))
         .limit(1)
         .collect()(0)
-      prev.foreach(_.unpersist()) // its child materialized via this collect
-      prev = None
       val pair = top.getString(0)
       merges += ((k.toLong, pair, top.getLong(1)))
       val (a, b) = pair.splitAt(pair.indexOf(' ')) match { case (x, y) => (x, y.tail) }
-      prev = Some(vocab)
       vocab = vocab
         .withColumn(
           "w",
           call_function("replace", col("w"), lit(s" $a  $b "), lit(s" $a$b "))
         )
-        .persist()
+        .localCheckpoint()
     }
-    prev.foreach(_.unpersist())
-    vocab.unpersist() // likely never materialized; lineage stays consumable
     (merges.toSeq, vocab)
   }
 

@@ -229,4 +229,29 @@ class CollocationSpec extends SparkSpec {
       )
     }
   }
+
+  test("BPE merge ladder K=32: wall and analysis stay ~linear in K") {
+    // The ladder stacks K persist()s with a replace() chain; the 4^K
+    // label-prop lesson (GraphSpec's pagerank lineage gate) says nothing
+    // may assume "fine at K=8" survives a deeper ladder. Quadrupling K
+    // from 8 to 32 must cost ~4x wall (generous 8x bound with a 1 s
+    // floor: per-iteration ANALYSIS grows with plan depth, so strict
+    // linearity is not expected — exponential blow-up is what this gate
+    // exists to catch; the documented escape hatch is a per-iteration
+    // localCheckpoint like the graph family's).
+    def timedRun(k: Int): (Double, Int) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val (merges, _) = graft.queries.TextQueries.bpeTrainK(spark, sf, k)
+      ((System.nanoTime() - t0) / 1e9, merges.size)
+    }
+    val (t8, n8)   = timedRun(8)
+    val (t32, n32) = timedRun(32)
+    info(f"bpe ladder wall: K=8 $t8%.2fs, K=32 $t32%.2fs")
+    assert(n8 == 8 && n32 == 32, "merge list must have exactly K entries")
+    assert(
+      t32 <= 8.0 * math.max(t8, 1.0),
+      f"K=32 wall $t32%.2fs vs K=8 $t8%.2fs — superlinear in K; switch the ladder to per-iteration localCheckpoint"
+    )
+  }
 }
