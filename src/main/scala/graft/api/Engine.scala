@@ -78,6 +78,27 @@ final class Engine(
     f
   }
 
+  /** Queued library-dataflow stage job — the same FIFO pool, job-id and
+    * scheduler-pool contract as [[submit]], with a Spark action as the
+    * payload instead of executable map/reduce stages (the reference's
+    * manager queues any job payload FIFO; `graft.queries.Pipeline`'s
+    * chained curation DAG is the production consumer: each stage job
+    * reads the previous job's parquet artifact, so FIFO ordering IS the
+    * dependency order). The body returns the artifact paths it wrote,
+    * reported back through [[JobResult.outputFiles]].
+    */
+  def submitStage(body: SparkSession => Seq[String]): Future[JobResult] = {
+    val f = Future {
+      val jobId = jobIds.getAndIncrement()
+      val t0    = System.nanoTime()
+      if (maxConcurrent > 1)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-job-$jobId")
+      JobResult(jobId, body(spark), t0, System.nanoTime())
+    }(pool)
+    pending.add(f)
+    f
+  }
+
   /** Block until every job queued so far has finished. Failed jobs count
     * as finished (their Futures carry the failure for the submitter);
     * `timeoutSec` bounds the TOTAL wait across all in-flight jobs.

@@ -486,18 +486,28 @@ object Dedup {
 
   // ---- SQL fragments shared by the DuckDB oracles -------------------------
 
-  private[graft] val sqlShingles =
-    """SELECT doc_id,
-      |  list_transform(range(1, greatest(len(t)-2, 0)+1),
-      |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
-      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)""".stripMargin
+  /** Shingle CTE body over an arbitrary (doc_id, text) relation — the
+    * staged-pipeline oracles (q_pipeline_e2e) near-dedup an INTERMEDIATE
+    * corpus, not `documents`, so the fragments are parametrized on the
+    * source name; the fixed-name vals below keep every existing oracle
+    * byte-identical.
+    */
+  private[graft] def sqlShinglesOver(src: String): String =
+    s"""SELECT doc_id,
+       |  list_transform(range(1, greatest(len(t)-2, 0)+1),
+       |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src)""".stripMargin
+
+  private[graft] val sqlShingles = sqlShinglesOver("documents")
 
   private def sqlMh(i: Int): String =
     s"list_aggregate(list_transform(sh, x -> (CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) * ${A(i)} + ${B(i)}) % $P), 'min') AS mh$i"
 
-  private[graft] val sqlSig =
+  private[graft] def sqlSigOver(src: String): String =
     s"""SELECT doc_id, ${(0 until K).map(sqlMh).mkString(",\n  ")}
-       |FROM ($sqlShingles)""".stripMargin
+       |FROM (${sqlShinglesOver(src)})""".stripMargin
+
+  private[graft] val sqlSig = sqlSigOver("documents")
 
   /** Exact-duplicate collapse for the PAIR oracles: one representative
     * (min doc_id) per distinct text — the oracle replay of the
@@ -540,8 +550,10 @@ object Dedup {
       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
       |   AND a.doc_id < b.doc_id""".stripMargin
 
-  private[graft] val sqlSets =
-    s"SELECT doc_id, list_distinct(sh) AS sset FROM ($sqlShingles)"
+  private[graft] def sqlSetsOver(src: String): String =
+    s"SELECT doc_id, list_distinct(sh) AS sset FROM (${sqlShinglesOver(src)})"
+
+  private[graft] val sqlSets = sqlSetsOver("documents")
 
   /** Jaccard-verified (d1, d2, jaccard) pairs at `threshold`. */
   private[graft] def sqlPairs(threshold: Double): String =

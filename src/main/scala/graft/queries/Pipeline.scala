@@ -1105,8 +1105,271 @@ object Pipeline {
     )
   )
 
+  // ---- chained Engine-job curation DAG (q_pipeline_e2e) -------------------
+
+  /** Per-source sample cap of the mix stage and token size of a pack —
+    * shared by the staged jobs and the oracle replay below.
+    */
+  private[graft] val PipeMixCap     = 30
+  private[graft] val PipePackTokens = 256L
+
+  /** The full curation pipeline as CHAINED [[graft.api.Engine]] jobs with
+    * parquet intermediate artifacts — the production shape, and the one
+    * runtime feature the reference's job server distinguishes itself by
+    * (FIFO multi-job queue, `/root/reference/mapreduce/manager/__main__.py:
+    * 278-291`): clean → segment-dedup → near-dup → mix → pack → dataset
+    * card, each stage a queued `submitStage` job that reads ONLY the
+    * previous job's artifact. FIFO ordering IS the dependency order, so no
+    * extra coordination exists anywhere — exactly how the reference chains
+    * MapReduce jobs through its manager queue.
+    *
+    * Stage semantics reuse the registered per-stage operators' exact
+    * expressions (clean = q_clean_corpus's lang/quality/exact gates;
+    * segment dedup = q_segment_dedup's 8-word first-occurrence rule;
+    * near-dup = the MinHash band + exact-Jaccard verify at 0.2 — run
+    * UNCOLLAPSED because stage 1 already exact-deduped the corpus, which
+    * also pre-strips the hot-corpus pathology; mix = per-source md5-order
+    * cap, q_stratified_sample's determinism; pack = per-source running
+    * token count into [[PipePackTokens]]-token bins). Note the stage
+    * ORDER: segment dedup runs BEFORE near-dup — the C4/CCNet ordering
+    * StressSpec proves defuses the boilerplate band-saturation pathology.
+    *
+    * Returns one [[graft.api.JobResult]] per stage (EngineSpec asserts the
+    * queue actually serialized them). At 100 TB each stage is an
+    * independent Spark job whose artifact is a partitioned parquet
+    * dataset; the queue shape is unchanged.
+    */
+  private[graft] def pipelineJobs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      work: String): Seq[graft.api.JobResult] = {
+    val a1 = s"$work/s1_clean"
+    val a2 = s"$work/s2_segdedup"
+    val a3 = s"$work/s3_neardup"
+    val a4 = s"$work/s4_mix"
+    val a5 = s"$work/s5_pack"
+    val a6 = s"$work/s6_card"
+    val eng  = new graft.api.Engine(s)
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[scala.concurrent.Future[graft.api.JobResult]]
+    try {
+      jobs += eng.submitStage { sp =>
+        val toks = split(lower(col("text")), " ", -1)
+        val langOk = size(toks) > 0 &&
+          size(filter(toks, x => x.isInCollection(StopWords))).cast("double") / size(toks) >= 0.03
+        val nTok  = size(split(col("text"), " ", -1))
+        val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+        val qualityOk = nTok.between(5, 10000) && punct.cast("double") / length(col("text")) < 0.1
+        Tables(sp, dir).documents
+          .withColumn("fp", Fingerprint.of(col("text")))
+          .withColumn("exact_keep", min("doc_id").over(Window.partitionBy("fp")) === col("doc_id"))
+          .filter(langOk && qualityOk && col("exact_keep"))
+          .select("doc_id", "source", "lang", "text")
+          .write.mode("overwrite").parquet(a1)
+        Seq(a1)
+      }
+      jobs += eng.submitStage { sp =>
+        val cleaned = sp.read.parquet(a1)
+        val segs = graft.core.Cached.frame(
+          cleaned
+            .select(col("doc_id"), split(col("text"), " ").as("words"))
+            .select(
+              col("doc_id"),
+              posexplode(
+                expr(
+                  "transform(sequence(0, (size(words)+7) div 8 - 1)," +
+                    " i -> array_join(slice(words, cast(i*8+1 as int), 8), ' '))"
+                )
+              ).as(Seq("seg_no", "seg"))
+            )
+        )
+        val winners = segs
+          .groupBy(col("seg").as("w_seg"))
+          .agg(min(struct(col("doc_id"), col("seg_no"))).as("w"))
+          .select(col("w_seg"), col("w.doc_id").as("w_doc"), col("w.seg_no").as("w_no"))
+        val kept = segs
+          .join(
+            winners,
+            col("seg") === col("w_seg") && col("doc_id") === col("w_doc") &&
+              col("seg_no") === col("w_no"),
+            "left_semi"
+          )
+          .groupBy("doc_id")
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(struct(col("seg_no"), col("seg")))), _.getField("seg")),
+              " "
+            ).as("seg_text")
+          )
+        // inner join: a doc whose every segment occurred earlier keeps
+        // nothing and leaves the corpus here
+        cleaned
+          .select("doc_id", "source", "lang")
+          .join(kept, "doc_id")
+          .select(col("doc_id"), col("source"), col("lang"), col("seg_text").as("text"))
+          .write.mode("overwrite").parquet(a2)
+        segs.unpersist()
+        Seq(a2)
+      }
+      jobs += eng.submitStage { sp =>
+        val s2docs = sp.read.parquet(a2)
+        val drops = Dedup
+          .nearDuplicatesUncollapsed(s2docs.select("doc_id", "text"), 0.2)
+          .select(col("d2").as("doc_id"))
+          .distinct()
+        s2docs
+          .join(drops, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(a3)
+        Seq(a3)
+      }
+      jobs += eng.submitStage { sp =>
+        val h = md5(col("doc_id").cast("string").cast("binary"))
+        val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+        sp.read.parquet(a3)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= PipeMixCap)
+          .select(
+            col("doc_id"),
+            col("source"),
+            col("lang"),
+            col("text"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")
+          )
+          .write.mode("overwrite").parquet(a4)
+        Seq(a4)
+      }
+      jobs += eng.submitStage { sp =>
+        val w = Window
+          .partitionBy("source")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        sp.read.parquet(a4)
+          .withColumn("before", coalesce(sum("n_tok").over(w), lit(0L)))
+          .select(
+            col("source"),
+            col("doc_id"),
+            col("n_tok"),
+            expr(s"before div $PipePackTokens").as("pack_id")
+          )
+          .write.mode("overwrite").parquet(a5)
+        Seq(a5)
+      }
+      jobs += eng.submitStage { sp =>
+        val nInput    = Tables(sp, dir).documents.count()
+        val nClean    = sp.read.parquet(a1).count()
+        val nSegdedup = sp.read.parquet(a2).count()
+        val nNeardup  = sp.read.parquet(a3).count()
+        sp.read.parquet(a5)
+          .agg(
+            count(lit(1)).as("n_mix"),
+            countDistinct(col("source"), col("pack_id")).as("n_packs"),
+            sum("n_tok").as("n_tokens"),
+            countDistinct(col("source")).as("n_sources")
+          )
+          .select(
+            lit(nInput).as("n_input"),
+            lit(nClean).as("n_clean"),
+            lit(nSegdedup).as("n_segdedup"),
+            lit(nNeardup).as("n_neardup"),
+            col("n_mix"),
+            col("n_packs"),
+            col("n_tokens"),
+            col("n_sources")
+          )
+          .write.mode("overwrite").parquet(a6)
+        Seq(a6)
+      }
+      eng.await()
+    } finally eng.close()
+    jobs.map(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)).toSeq
+  }
+
+  /** End-to-end staged curation run, hash-checked: the DAG above executes
+    * through the Engine queue at query time (eager, the bpeTrain driver-
+    * loop precedent) and the registered result is the FINAL dataset card —
+    * per-stage survivor counts plus pack/token totals, all integers. The
+    * oracle replays every stage's semantics as one unrolled CTE chain over
+    * the same fixture.
+    */
+  val pipelineE2E: Q = Q(
+    "q_pipeline_e2e",
+    (s, dir) => {
+      val work = graft.core.SessionArtifact.pathFor("graft-pipeline", dir)
+      pipelineJobs(s, dir, work)
+      s.read.parquet(s"$work/s6_card")
+    },
+    Some(
+      s"""WITH lng AS (
+         |  SELECT doc_id,
+         |    (tok_cnt > 0 AND CAST(stop_cnt AS DOUBLE) / tok_cnt >= 0.03) AS lang_ok
+         |  FROM (
+         |    SELECT doc_id, COUNT(*) AS tok_cnt,
+         |      CAST(SUM(CASE WHEN w IN $StopList THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
+         |    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |    GROUP BY doc_id)),
+         |qual AS (
+         |  SELECT doc_id,
+         |    (len(string_split(text, ' ')) BETWEEN 5 AND 10000 AND
+         |     CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |       / length(text) < 0.1) AS quality_ok
+         |  FROM documents),
+         |fpx AS (
+         |  SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY ${Fingerprint.sql}) = doc_id AS exact_keep
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT d.doc_id, d.source, d.lang, d.text
+         |  FROM documents d
+         |  JOIN lng USING (doc_id) JOIN qual USING (doc_id) JOIN fpx USING (doc_id)
+         |  WHERE lang_ok AND quality_ok AND exact_keep),
+         |segs AS (
+         |  SELECT doc_id,
+         |         unnest(range((len(words)+7)//8)) AS seg_no,
+         |         unnest(list_transform(range((len(words)+7)//8),
+         |                i -> array_to_string(words[i*8+1 : i*8+8], ' '))) AS seg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM s1)),
+         |wins AS (
+         |  SELECT doc_id, seg_no, seg,
+         |         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+         |  FROM segs),
+         |kept AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS text
+         |  FROM wins WHERE rn = 1 GROUP BY doc_id),
+         |s2 AS (SELECT s1.doc_id, s1.source, s1.lang, kept.text FROM s1 JOIN kept USING (doc_id)),
+         |sig AS (${Dedup.sqlSigOver("s2")}),
+         |bands AS (${Dedup.sqlBands}),
+         |cand AS (${Dedup.sqlCand}),
+         |sets AS (${Dedup.sqlSetsOver("s2")}),
+         |pairs AS (${Dedup.sqlPairs(0.2)}),
+         |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+         |s3 AS (SELECT s2.* FROM s2 LEFT JOIN drops USING (doc_id) WHERE drops.doc_id IS NULL),
+         |s4 AS (
+         |  SELECT doc_id, source, lang, text,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM (
+         |    SELECT s3.*, ROW_NUMBER() OVER (PARTITION BY source
+         |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |    FROM s3)
+         |  WHERE rn <= $PipeMixCap),
+         |s5 AS (
+         |  SELECT source, doc_id, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PipePackTokens AS pack_id
+         |  FROM s4)
+         |SELECT
+         |  (SELECT COUNT(*) FROM documents) AS n_input,
+         |  (SELECT COUNT(*) FROM s1) AS n_clean,
+         |  (SELECT COUNT(*) FROM s2) AS n_segdedup,
+         |  (SELECT COUNT(*) FROM s3) AS n_neardup,
+         |  (SELECT COUNT(*) FROM s5) AS n_mix,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT source, pack_id FROM s5)) AS n_packs,
+         |  (SELECT CAST(SUM(n_tok) AS BIGINT) FROM s5) AS n_tokens,
+         |  (SELECT COUNT(DISTINCT source) FROM s5) AS n_sources""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(splitAssign, cleanCorpus, piiScrub, stratifiedSample, domainMix, tokenBudget,
       seqPack, contamination, segmentDedup, chunkOverlap, weightedSample, mixSchedule,
-      mixTemperature, decontamNgram, cleanFunnel, epochPlan, datasetCard, apportion)
+      mixTemperature, decontamNgram, cleanFunnel, epochPlan, datasetCard, apportion,
+      pipelineE2E)
 }

@@ -121,4 +121,34 @@ class EngineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no_such_op"))
   }
+
+  test("curation pipeline runs as chained FIFO stage jobs with parquet artifacts") {
+    val work = tmpDir("pipe")
+    val jobs = graft.queries.Pipeline.pipelineJobs(spark, "/root/testdata/sf0.001", work)
+    assert(jobs.size == 6, s"expected 6 stage jobs, got ${jobs.size}")
+    // queue semantics: ids assigned at execution start, strictly increasing,
+    // and — on the single-thread FIFO pool — stage k+1 starts only after
+    // stage k finishes (the dependency order the chain relies on)
+    assert(jobs.map(_.jobId) == (0 to 5), s"job ids not FIFO: ${jobs.map(_.jobId)}")
+    jobs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(
+          a.finishedNanos <= b.startedNanos,
+          s"jobs ${a.jobId} and ${b.jobId} overlapped — queue did not serialize them"
+        )
+      case _ => ()
+    }
+    // every stage reported its artifact, and each artifact is readable
+    val stages = Seq("s1_clean", "s2_segdedup", "s3_neardup", "s4_mix", "s5_pack", "s6_card")
+    assert(jobs.map(_.outputFiles) == stages.map(st => Seq(s"$work/$st")))
+    val counts = stages.take(4).map(st => spark.read.parquet(s"$work/$st").count())
+    // the funnel only ever narrows: clean >= segdedup >= neardup >= mix
+    assert(
+      counts == counts.sorted.reverse && counts.last > 0,
+      s"stage funnel not monotone non-increasing: $counts"
+    )
+    val card = spark.read.parquet(s"$work/s6_card").collect()
+    assert(card.length == 1)
+    assert(card(0).getLong(card(0).fieldIndex("n_clean")) == counts.head)
+  }
 }
