@@ -80,10 +80,19 @@ object SetJoin {
           transform(col("ord"), x => x.getField("tok")).as("stoks"),
           // 64-bit token hashes for the cheap verify pre-filter: long-array
           // intersection is several times cheaper than string-array (no
-          // per-element string hashing/equality), and hash collisions can
-          // only INFLATE the intersect — over-admission the exact string
-          // tier then discards, never a miss
+          // per-element string hashing/equality). CROSS-doc collisions only
+          // INFLATE the intersect (over-admission the exact string tier
+          // discards), but an INTRA-doc collision collapses two distinct
+          // tokens to one hash and can DEFLATE it — a qualifying pair would
+          // be rejected, breaking this query's exactness premise. `hok`
+          // (hashes collision-free within this doc) is computed once at
+          // build; the filter below only trusts the hash tier when BOTH
+          // sides are collision-free, falling through to the exact tier
+          // otherwise (probability ~2^-64 per doc, so the fallback is
+          // effectively never taken and costs nothing hot).
           transform(col("ord"), x => xxhash64(x.getField("tok"))).as("htoks"),
+          (size(array_distinct(transform(col("ord"), x => xxhash64(x.getField("tok"))))) ===
+            size(col("ord"))).as("hok"),
           size(col("ord")).as("sz")
         )
     )
@@ -136,9 +145,11 @@ object SetJoin {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val s1 = os.select(
-      col("doc_id").as("d1"), col("stoks").as("s1"), col("htoks").as("h1"), col("sz").as("sza"))
+      col("doc_id").as("d1"), col("stoks").as("s1"), col("htoks").as("h1"),
+      col("hok").as("hok1"), col("sz").as("sza"))
     val s2 = os.select(
-      col("doc_id").as("d2"), col("stoks").as("s2"), col("htoks").as("h2"), col("sz").as("szb"))
+      col("doc_id").as("d2"), col("stoks").as("s2"), col("htoks").as("h2"),
+      col("hok").as("hok2"), col("sz").as("szb"))
     cands
       // explicit numPartitions spread before the CPU-heavy verify: the
       // candidate frame is BYTE-small, so AQE's size-based coalescing packs
@@ -152,9 +163,12 @@ object SetJoin {
       .join(s1, "d1")
       .join(s2, "d2")
       // tier-1 verify on the long-hash arrays: |∩| >= ceil(t/(1+t)(sa+sb))
-      // is EXACTLY J >= t restated, and hash collisions only over-admit
+      // is EXACTLY J >= t restated WHEN both sides are intra-doc
+      // collision-free (hok); otherwise the hash intersection could
+      // under-count and the pair falls through to the exact tier unpruned
       .filter(
-        size(array_intersect(col("h1"), col("h2"))) * (TNum + TDen) >=
+        !col("hok1") || !col("hok2") ||
+          size(array_intersect(col("h1"), col("h2"))) * (TNum + TDen) >=
           expr(s"${TNum}L * (CAST(sza AS BIGINT) + szb)")
       )
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))

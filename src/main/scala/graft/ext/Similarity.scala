@@ -926,6 +926,19 @@ object Similarity {
     * decision is based on. Binding assumption (documented, fixture-true):
     * `vec_id` ≡ `doc_id`.
     *
+    * GRAIN ASYMMETRY (deliberate, oracle-replayed): the text tier runs at
+    * the exact-duplicate REPRESENTATIVE grain (the family pre-collapse),
+    * while the embedding tier runs over ALL vec_ids — so a pair touching a
+    * collapsed non-representative duplicate can only ever be labeled
+    * `embed_only`, and the `embed_only` bucket is inflated by exactly
+    * those pairs. Readers comparing the tier RATES should either restrict
+    * to representative ids first or read `embed_only` as "semantic tier
+    * fired where the text tier was not even consulted at this id". Kept
+    * as-is because the audit's production reading is per-PAIR triage, the
+    * collapse membership is available from q_dedup_exact when rate
+    * normalization is needed, and both engines replay the same grains so
+    * the hash contract is unaffected.
+    *
     * Scale shape: BOTH inputs are the session-cached pair-bounded
     * verified-pair frames their own queries emit (zero new corpus scans —
     * text pairs at the exact-dup rep grain per the family pre-collapse,

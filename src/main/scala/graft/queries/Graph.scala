@@ -696,6 +696,17 @@ object GraphQueries {
     * regular-graph degenerate case (zero variance) pinned to NULL in both
     * engines.
     *
+    * INT64 CEILING (the q_gini documentation discipline): with n directed
+    * edges and degree ≤ 2k, the variance products n·sxx grow like
+    * n²·(2k)² ≈ (|V|·2k)²·(2k)², which crosses 2⁶³ around |V|·k ~ 10⁸⁻⁹ —
+    * a ~10-billion-vector mutual-kNN graph at k=8. Past that, lift the six
+    * moment columns (and the oracle's) to DECIMAL(38,0): the folds and the
+    * two variance products stay exact there to ~10³⁸, and only the final
+    * one-division/two-sqrt step changes representation. Kept BIGINT here
+    * because exact integer folds are cheaper than decimal128 at every
+    * scale the fixture contract reaches, and the escape hatch is a
+    * type-only swap.
+    *
     * Scale shape: degrees are a partial+final count over the cached
     * [[lpSymEdges]] grain; attaching them to both endpoints is two hash
     * joins of the ≤2k·n edge frame against the |V|-row degree frame; the
