@@ -109,12 +109,23 @@ object SetJoin {
     val base =
       if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
     val os = orderedSets(base)
-    val pref = os.select(
-      col("doc_id"),
-      col("sz"),
-      posexplode(slice(col("stoks"), lit(1), prefixLen(col("sz"))))
-        .as(Seq("pos", "tok"))
-    )
+    // Explicit numbered repartition on the join key BEFORE the prefix
+    // self-join (exempt from AQE coalescing, like the verify-stage spread
+    // below): measured in the round-11 half-registry 10× sweep, AQE's
+    // byte-based estimate of the cached prefix frame coalesced the
+    // sort-merge self-join to FOUR tasks late in the sweep (when session
+    // caches from ~90 prior queries had eaten the unified memory), and
+    // the under-provisioned sorts spill-thrashed for >30 min — the
+    // isolated gate, with a quiet heap, never reproduced it. Keying by
+    // tok co-locates the join and fans the sort across all cores.
+    val pref = os
+      .select(
+        col("doc_id"),
+        col("sz"),
+        posexplode(slice(col("stoks"), lit(1), prefixLen(col("sz"))))
+          .as(Seq("pos", "tok"))
+      )
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("tok"))
     // Two output-neutral PPJoin prunes ride the candidate join itself (the
     // exact verify below only discards, so both are pure work savers — and
     // necessary ones: on the 10× stress corpus the small synthetic
