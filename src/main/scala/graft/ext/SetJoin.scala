@@ -59,6 +59,13 @@ object SetJoin {
   private val TNum = 1L
   private val TDen = 2L
 
+  /** Enumeration fan-out of the salted candidate join (see
+    * [[similarityJoin]]): each prefix-token group's pair enumeration is
+    * split SaltB ways, at the cost of SaltB× replication of the narrow
+    * prefix frame on the d2 side.
+    */
+  private val SaltB = 8
+
   /** Per-doc shingle sets ordered by the global rare-first canonical
     * order, with sizes — the grain both the prefix generator and the
     * verify pass read. Built on the family-shared [[Dedup.shingleSets]]
@@ -68,7 +75,19 @@ object SetJoin {
     * positive threshold against anything.
     */
   private def orderedSets(docs: DataFrame): DataFrame = {
-    val sets = Dedup.shingleSets(docs).filter(size(col("sset")) > 0)
+    // Round-robin spread BEFORE the explode (round 11): the family shingle
+    // cache inherits the fixture parquet's 3-4 input splits, so the
+    // 100M-row (doc_id, tok) explode + its two shuffle writes (df count,
+    // df join) ran as FOUR map tasks spilling for minutes at 10× — the
+    // true bottleneck both half-sweep grinds pointed at. One narrow
+    // 500k-row exchange of the set rows buys 32-way map parallelism for
+    // everything downstream; at production scale the scan has thousands
+    // of splits and the exchange is a no-op-sized rebalance.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sets = Dedup
+      .shingleSets(docs)
+      .filter(size(col("sset")) > 0)
+      .repartition(par)
     val tk = sets.select(col("doc_id"), explode(col("sset")).as("tok"))
     val dfs = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     graft.core.Cached.frame(
@@ -108,24 +127,36 @@ object SetJoin {
   def similarityJoin(docs: DataFrame): DataFrame = {
     val base =
       if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
-    val os = orderedSets(base)
-    // Explicit numbered repartition on the join key BEFORE the prefix
-    // self-join (exempt from AQE coalescing, like the verify-stage spread
-    // below): measured in the round-11 half-registry 10× sweep, AQE's
-    // byte-based estimate of the cached prefix frame coalesced the
-    // sort-merge self-join to FOUR tasks late in the sweep (when session
-    // caches from ~90 prior queries had eaten the unified memory), and
-    // the under-provisioned sorts spill-thrashed for >30 min — the
-    // isolated gate, with a quiet heap, never reproduced it. Keying by
-    // tok co-locates the join and fans the sort across all cores.
-    val pref = os
-      .select(
-        col("doc_id"),
-        col("sz"),
-        posexplode(slice(col("stoks"), lit(1), prefixLen(col("sz"))))
-          .as(Seq("pos", "tok"))
-      )
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("tok"))
+    val os  = orderedSets(base)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val pref = os.select(
+      col("doc_id"),
+      col("sz"),
+      posexplode(slice(col("stoks"), lit(1), prefixLen(col("sz"))))
+        .as(Seq("pos", "tok"))
+    )
+    // SALTED enumeration (Vernica 2010's block split, the round-11 fix for
+    // quadratic-OUTPUT skew): on a saturated token space a handful of hot
+    // prefix tokens hold most rows, so a plain tok-equi-join concentrates
+    // the |group|² pair enumeration in as many TASKS as there are hot
+    // tokens — measured twice in the round-11 half-registry 10× sweep as
+    // 4 busy cores + 28 idle, spill-thrashing for >30 min. AQE's skew
+    // split cannot help: it keys on shuffle INPUT bytes, and the hot
+    // partitions are small in bytes (the blow-up is the join OUTPUT).
+    // Salting splits every tok group's enumeration SaltB ways: the d1
+    // side keeps one salt (hash of its own id), the d2 side replicates
+    // across all SaltB salts, so each (d1, d2) pair still meets EXACTLY
+    // once — at salt = hash(d1) — and the candidate set is unchanged.
+    // Cost: SaltB× replication of the narrow prefix frame (a few GB at
+    // 500k docs); benefit: the quadratic stage engages every core. The
+    // explicit numbered repartitions keep AQE's byte-based coalescing
+    // (same root cause, small input bytes) from re-serializing the sort.
+    val prefA = pref
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(SaltB)))
+      .repartition(par, col("tok"), col("salt"))
+    val prefB = pref
+      .withColumn("salt", explode(array((0 until SaltB).map(lit): _*)))
+      .repartition(par, col("tok"), col("salt"))
     // Two output-neutral PPJoin prunes ride the candidate join itself (the
     // exact verify below only discards, so both are pure work savers — and
     // necessary ones: on the 10× stress corpus the small synthetic
@@ -141,11 +172,12 @@ object SetJoin {
     //    shared token satisfies the bound (1 + min(...) >= i there), so at
     //    least one collision per qualifying pair always survives into the
     //    distinct. For t = 1/2 the required overlap is ceil((sa+sb)/3).
-    val cands = pref
+    val cands = prefA
       .alias("a")
       .join(
-        pref.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        prefB.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * TNum <= col("b.sz") * TDen &&
           col("b.sz") * TNum <= col("a.sz") * TDen &&
           lit(1) + least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1) >=
