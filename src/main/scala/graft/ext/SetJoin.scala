@@ -66,6 +66,7 @@ object SetJoin {
     */
   private val SaltB = 8
 
+
   /** Per-doc shingle sets ordered by the global rare-first canonical
     * order, with sizes — the grain both the prefix generator and the
     * verify pass read. Built on the family-shared [[Dedup.shingleSets]]
@@ -123,8 +124,19 @@ object SetJoin {
   private def prefixLen(sz: Column): Column =
     (sz - call_function("div", sz + 1, lit(TDen / TNum)) + 1).cast("int")
 
-  /** All pairs (d1 < d2) with shingle-set Jaccard ≥ 1/2, exactly. */
-  def similarityJoin(docs: DataFrame): DataFrame = {
+  /** All pairs (d1 < d2) with shingle-set Jaccard ≥ 1/2, exactly. One plan
+    * at every corpus size — unconditional [[SaltB]] salting: a size-derived
+    * fan-out was measured at sf0.1 and bought nothing (the small-scale
+    * residual is the spread/hok correctness work, not the salt), so the
+    * plan the 10× gate certified is the plan everywhere.
+    */
+  def similarityJoin(docs: DataFrame): DataFrame = similarityJoinWith(docs, SaltB)
+
+  /** [[similarityJoin]] at an explicit salt fan-out — split out so
+    * SetJoinSpec can prove the salted enumeration equals brute force on a
+    * corpus small enough to enumerate exactly, at more than one fan-out.
+    */
+  private[graft] def similarityJoinWith(docs: DataFrame, saltB: Int): DataFrame = {
     val base =
       if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
     val os  = orderedSets(base)
@@ -152,10 +164,10 @@ object SetJoin {
     // explicit numbered repartitions keep AQE's byte-based coalescing
     // (same root cause, small input bytes) from re-serializing the sort.
     val prefA = pref
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(SaltB)))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltB)))
       .repartition(par, col("tok"), col("salt"))
     val prefB = pref
-      .withColumn("salt", explode(array((0 until SaltB).map(lit): _*)))
+      .withColumn("salt", explode(array((0 until saltB).map(lit): _*)))
       .repartition(par, col("tok"), col("salt"))
     // Two output-neutral PPJoin prunes ride the candidate join itself (the
     // exact verify below only discards, so both are pure work savers — and
