@@ -290,13 +290,33 @@ object Dedup {
     ).otherwise(array().cast("array<string>"))
   }
 
-  /** Cached (doc_id, gset) distinct char-4-gram sets — [[shingleSets]]'s
-    * analog for the n-gram verifier, so `q_ngram_jaccard` pays one
-    * `documents` scan for its gram sets (its candidates reuse the shingle
-    * cache).
+  /** Cached (doc_id, gset, hg, hok, gsz) distinct char-4-gram sets —
+    * [[shingleSets]]'s analog for the n-gram verifier, so `q_ngram_jaccard`
+    * pays one `documents` scan for its gram sets (its candidates reuse the
+    * shingle cache). Round 12 carries [[SetJoin]]'s verify-tier columns:
+    * `hg` is the xxhash64 image of `gset` (long-array intersection is
+    * several times cheaper than string-array — no per-element string
+    * hashing/equality in the hot loop), `hok` records that the hashes are
+    * collision-free WITHIN this doc (a cross-doc collision only inflates
+    * the hash intersect, which the exact string tier discards; an intra-doc
+    * collision collapses two grams to one hash and could DEFLATE it, so the
+    * cheap tier is only trusted when both sides are `hok` — the ~2⁻⁶⁴
+    * fall-through re-verifies on strings unpruned), and `gsz` is the
+    * distinct-gram count the size prefilters read without touching arrays.
     */
   def gramSets(docs: DataFrame): DataFrame =
-    cached(docs.select(col("doc_id"), array_distinct(charGrams4(col("text"))).as("gset")))
+    cached(
+      docs
+        .select(col("doc_id"), array_distinct(charGrams4(col("text"))).as("gset"))
+        .select(
+          col("doc_id"),
+          col("gset"),
+          transform(col("gset"), g => xxhash64(g)).as("hg"),
+          (size(array_distinct(transform(col("gset"), g => xxhash64(g)))) ===
+            size(col("gset"))).as("hok"),
+          size(col("gset")).as("gsz")
+        )
+    )
 
   /** Candidates verified with exact Jaccard over distinct 3-shingle sets.
     * Candidate generation and verification share the cached [[shingleSets]]
@@ -627,28 +647,91 @@ object Dedup {
     )
   )
 
+  /** n-gram Jaccard threshold 3/10 as an exact rational — the prefilters
+    * below are integer cross-multiplications of this, never doubles.
+    */
+  private val NgTNum = 3L
+  private val NgTDen = 10L
+
+  /** The `q_ngram_jaccard` verify pipeline, with [[SetJoin]]'s verify
+    * discipline ported in (round 12 — the round-11 10× sweep measured the
+    * naive string-array verify drifting 11.8 → 40.1 s with an unchanged
+    * plan, because per-candidate cost is corpus-shaped, not plan-shaped):
+    *
+    *  1. numbered repartition of the byte-small candidate frame before the
+    *     CPU-heavy verify (`SetJoin.similarityJoinWith` precedent: AQE's
+    *     byte-based coalescing packs small-byte/heavy-CPU stages onto a
+    *     handful of tasks; a user-NUMBERED repartition is exempt, and
+    *     keying by d1 lets the first verify join reuse the exchange);
+    *  2. length-ratio prefilter in exact integers: J ≥ t forces
+    *     t ≤ |g1|/|g2| ≤ 1/t, i.e. 3·|g1| ≤ 10·|g2| ∧ 3·|g2| ≤ 10·|g1| —
+    *     evaluated on the `gsz` counts before any array is touched;
+    *  3. xxhash64 cheap tier: |∩h|·(3+10) ≥ 3·(|g1|+|g2|) is EXACTLY
+    *     J ≥ 3/10 restated (via |∪| = |g1|+|g2|−|∩|) when both sides are
+    *     intra-doc collision-free (`hok`); otherwise the pair falls
+    *     through to the exact tier unpruned. Long-array intersection
+    *     replaces most string-array intersections at a fraction of the
+    *     cost; cross-doc collisions only over-admit.
+    *  4. exact string-gram tier — unchanged semantics, but |∪| is now
+    *     computed as |g1|+|g2|−|∩| (the sets are distinct by
+    *     construction), saving the second O(n) array op per survivor.
+    *
+    * Steps 2–3 are output-neutral work savers; the final double-division
+    * filter is byte-identical to the oracle's. The integer forms coincide
+    * with the double `>= 0.3` comparison for every realizable set size
+    * (a disagreement needs |∪| within ~1e-17 relative of 3/10 without
+    * equaling it — a denominator > 10¹⁶, far beyond any document's gram
+    * count), and DedupSpec pins pruned ≡ unpruned on a collision-rich
+    * corpus. `pruned = false` preserves the round-11 naive path for that
+    * equivalence proof.
+    */
+  private[graft] def ngramVerifiedPairs(docs: DataFrame, pruned: Boolean = true): DataFrame = {
+    val sets = gramSets(docs)
+    val s1 = sets.select(
+      col("doc_id").as("d1"), col("gset").as("g1"), col("hg").as("h1"),
+      col("hok").as("hok1"), col("gsz").as("sz1"))
+    val s2 = sets.select(
+      col("doc_id").as("d2"), col("gset").as("g2"), col("hg").as("h2"),
+      col("hok").as("hok2"), col("gsz").as("sz2"))
+    val cand0 = candidatePairs(docs)
+    val cand =
+      if (pruned)
+        cand0.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
+      else cand0
+    val joined = cand.join(s1, "d1").join(s2, "d2")
+    val gated =
+      if (pruned)
+        joined
+          .filter(
+            col("sz1") * NgTNum <= col("sz2") * NgTDen &&
+              col("sz2") * NgTNum <= col("sz1") * NgTDen
+          )
+          .filter(
+            !col("hok1") || !col("hok2") ||
+              size(array_intersect(col("h1"), col("h2"))) * (NgTNum + NgTDen) >=
+              (col("sz1").cast("long") + col("sz2")) * NgTNum
+          )
+      else joined
+    gated
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("sz1").cast("long") + col("sz2") - col("inter"))
+      )
+      .filter(col("jaccard") >= 0.3)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
   /** n-gram Jaccard near-dup: LSH band candidates verified by CHARACTER
     * 4-gram Jaccard (robust to word-boundary edits, unlike the word-shingle
     * verify of [[minhashNearDup]]). Same bucketed candidate generation;
-    * the verification is per-pair array math, no extra shuffle.
+    * the verification is per-pair array math behind the tiered prune of
+    * [[ngramVerifiedPairs]], no extra shuffle.
     */
   val ngramJaccard: Q = Q(
     "q_ngram_jaccard",
-    (s, dir) => {
-      val docs = Tables(s, dir).documents
-      val sets = gramSets(docs)
-      candidatePairs(docs)
-        .join(sets.select(col("doc_id").as("d1"), col("gset").as("g1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("gset").as("g2")), "d2")
-        .withColumn(
-          "jaccard",
-          size(array_intersect(col("g1"), col("g2"))).cast("double") /
-            size(array_union(col("g1"), col("g2")))
-        )
-        .filter(col("jaccard") >= 0.3)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
-    },
+    (s, dir) => ngramVerifiedPairs(Tables(s, dir).documents),
     Some(
       s"""WITH sig AS ($sqlSigRep),
          |bands AS ($sqlBands),

@@ -1103,4 +1103,43 @@ class ExtSpec extends SparkSpec {
     assert(sampled.length == 1)
     assert(sampled(0).getSeq[Int](2) == Seq(0, 3, 6, 9))
   }
+
+  test("q_ngram_jaccard tiered prune is output-identical to the naive verify (collision-rich corpus + fixture)") {
+    import spark.implicits._
+    // Collision-rich synthetic corpus: six text families sharing a base so
+    // the LSH bands collide freely, spanning exact copies (pre-collapse),
+    // near-copies at several edit depths (hash tier must ADMIT), grossly
+    // length-mismatched variants (length-ratio prune must only drop pairs
+    // the exact tier would also drop), sub-4-char texts (empty gram sets,
+    // null-jaccard path), and unrelated texts (hash tier must REJECT).
+    val base = "the quick brown fox jumps over the lazy dog while counting distinct tokens"
+    val rows = (0L until 72L).map { i =>
+      val v = i / 6
+      val t = (i % 6) match {
+        case 0 => base
+        case 1 => base + s" tail marker $v"
+        case 2 => base.replace("quick", s"swift$v")
+        case 3 => "abc" // < 4 chars: empty gram set
+        case 4 => base + " " + Seq.tabulate(40)(j => s"pad${v}x$j").mkString(" ")
+        case _ => s"entirely unrelated content number $v with its own distinct grams and words"
+      }
+      (i, t)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    def run(pruned: Boolean): Seq[(Long, Long, Double)] =
+      Dedup
+        .ngramVerifiedPairs(docs, pruned)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val pruned   = run(pruned = true)
+    val unpruned = run(pruned = false)
+    assert(pruned.nonEmpty, "corpus produced no verified pairs — test corpus too weak")
+    assert(pruned == unpruned, s"tiered prune changed the output:\n pruned=$pruned\n naive =$unpruned")
+    // and on the real fixture, against live candidate structure
+    val fixDocs = Tables(spark, sf).documents
+    val fp = Dedup.ngramVerifiedPairs(fixDocs, pruned = true).collect().map(_.toSeq).toSeq
+    val fu = Dedup.ngramVerifiedPairs(fixDocs, pruned = false).collect().map(_.toSeq).toSeq
+    assert(fp == fu, "tiered prune changed the fixture output")
+  }
 }
