@@ -86,13 +86,24 @@ final class Engine(
     * reads the previous job's parquet artifact, so FIFO ordering IS the
     * dependency order). The body returns the artifact paths it wrote,
     * reported back through [[JobResult.outputFiles]].
+    *
+    * Stage jobs REQUIRE a FIFO engine (maxConcurrent == 1): the whole
+    * contract is that queue order is the dependency order, and a
+    * concurrent pool would start stage k+1 while stage k's artifact is
+    * still being written. Independent (non-chained) payloads on a
+    * concurrent engine belong on [[submit]]'s executable-job surface or
+    * plain Futures — rejecting here keeps the artifact-chaining contract
+    * impossible to misuse rather than latently racy (ADVICE r11).
     */
   def submitStage(body: SparkSession => Seq[String]): Future[JobResult] = {
+    require(
+      maxConcurrent == 1,
+      s"submitStage chains jobs through queue order (stage k+1 reads stage k's artifact); " +
+        s"an Engine with maxConcurrent=$maxConcurrent would run stages concurrently"
+    )
     val f = Future {
       val jobId = jobIds.getAndIncrement()
       val t0    = System.nanoTime()
-      if (maxConcurrent > 1)
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-job-$jobId")
       JobResult(jobId, body(spark), t0, System.nanoTime())
     }(pool)
     pending.add(f)

@@ -249,9 +249,19 @@ class CollocationSpec extends SparkSpec {
     val (t32, n32) = timedRun(32)
     info(f"bpe ladder wall: K=8 $t8%.2fs, K=32 $t32%.2fs")
     assert(n8 == 8 && n32 == 32, "merge list must have exactly K entries")
-    assert(
-      t32 <= 8.0 * math.max(t8, 1.0),
-      f"K=32 wall $t32%.2fs vs K=8 $t8%.2fs — superlinear in K; switch the ladder to per-iteration localCheckpoint"
-    )
+    // retry-once discipline (StressSpec.assertBounded precedent, ADVICE
+    // r11): on a loaded 32-thread box scheduler noise inflates any single
+    // run 3-8x, so only a REPRODUCED breach fails — a 4^K blow-up lands
+    // orders of magnitude past the bound both times, noise does not
+    if (t32 > 8.0 * math.max(t8, 1.0)) {
+      val (r8, _)  = timedRun(8)
+      val (r32, _) = timedRun(32)
+      info(f"bpe ladder retry: K=8 $r8%.2fs, K=32 $r32%.2fs")
+      assert(
+        r32 <= 8.0 * math.max(r8, 1.0),
+        f"K=32 wall $r32%.2fs vs K=8 $r8%.2fs (reproduced; first pair $t32%.2f/$t8%.2f) — " +
+          "superlinear in K; check the ladder's per-iteration localCheckpoint"
+      )
+    }
   }
 }

@@ -40,20 +40,30 @@ class CoverageSpec extends AnyFunSuite {
     )
   }
 
-  /** Leak gate: library source must cite only public knowledge. Dev-harness
-    * paths (and anything else in the pattern list, mirrored in
-    * tools/leaksweep.py) must never appear under src/. The pattern is split
-    * so this file does not trip its own gate.
+  /** Leak gate: library source must cite only public knowledge. BOTH of
+    * tools/leaksweep.py's patterns are mirrored here (ADVICE r11 — the
+    * two gates had drifted: this test only checked the dev-harness path,
+    * so `sbt test` missed the build-dir absolute-path pattern). Patterns
+    * are split so this file does not trip its own gate. The walker is
+    * hardened to match leaksweep.py's tolerance: unreadable directories
+    * are skipped (listFiles null-guard) and files are decoded leniently
+    * (errors='ignore' analog) so a stray binary artifact under src/
+    * reports nothing instead of aborting the test with a decode error.
     */
   test("source tree is free of dev-harness leaks") {
-    val forbidden = Seq("." + "claude")
+    val forbidden = Seq("." + "claude", "/root/repo/" + "target")
     val srcRoot = new java.io.File("src")
     def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) f.listFiles().iterator.flatMap(walk) else Iterator(f)
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator(f)
+    val lenientUtf8 = java.nio.charset.StandardCharsets.UTF_8
+      .newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val hits = walk(srcRoot).flatMap { f =>
-      val s = scala.io.Source.fromFile(f, "UTF-8")
-      val lines = try s.getLines().zipWithIndex.toVector finally s.close()
-      lines.collect {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val text  = lenientUtf8.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      text.linesIterator.zipWithIndex.collect {
         case (line, i) if forbidden.exists(line.contains) => s"${f.getPath}:${i + 1}"
       }
     }.toVector

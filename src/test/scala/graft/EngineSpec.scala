@@ -105,6 +105,14 @@ class EngineSpec extends SparkSpec {
     assert(overlap > 0, s"jobs never overlapped on a 2-wide pool (overlap=${overlap}ns)")
   }
 
+  test("submitStage rejects a concurrent engine (artifact chaining needs FIFO order)") {
+    val engine = new Engine(spark, maxConcurrent = 2)
+    val e = intercept[IllegalArgumentException] {
+      engine.submitStage(_ => Seq.empty)
+    }
+    assert(e.getMessage.contains("FIFO") || e.getMessage.contains("concurrently"))
+  }
+
   test("output directory is clobbered on re-run (reference _move_result_files)") {
     val engine = new Engine(spark, parityMode = true)
     val out = tmpDir("clobber")
