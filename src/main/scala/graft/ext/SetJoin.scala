@@ -61,10 +61,22 @@ object SetJoin {
 
   /** Enumeration fan-out of the salted candidate join (see
     * [[similarityJoin]]): each prefix-token group's pair enumeration is
-    * split SaltB ways, at the cost of SaltB× replication of the narrow
-    * prefix frame on the d2 side.
+    * split saltB ways, at the cost of saltB× replication of the narrow
+    * prefix frame on the d2 side. Derived from the SESSION, not a
+    * compile-time constant (round 12): at local[32] this is the 8 the 10×
+    * gate certified (32/4), but on a thousands-of-cores cluster a fixed 8
+    * would still enumerate each hot-token group's |group|²/8 pairs on just
+    * 8 tasks — `defaultParallelism/4` scales the split with the cluster
+    * while the /4 keeps the replication cost (saltB× the narrow prefix
+    * frame) a constant fraction of total memory per core. Capped at 64:
+    * past that the replication volume grows faster than the residual
+    * skew it removes (a 64-way split already caps any group's per-task
+    * share at ~1.6% of its pairs), and SetJoinSpec pins the
+    * meet-exactly-once invariant at the derived value, 8, and a
+    * non-dividing fan-out.
     */
-  private val SaltB = 8
+  private def saltBFor(docs: DataFrame): Int =
+    math.min(64, math.max(8, docs.sparkSession.sparkContext.defaultParallelism / 4))
 
 
   /** Per-doc shingle sets ordered by the global rare-first canonical
@@ -125,12 +137,13 @@ object SetJoin {
     (sz - call_function("div", sz + 1, lit(TDen / TNum)) + 1).cast("int")
 
   /** All pairs (d1 < d2) with shingle-set Jaccard ≥ 1/2, exactly. One plan
-    * at every corpus size — unconditional [[SaltB]] salting: a size-derived
-    * fan-out was measured at sf0.1 and bought nothing (the small-scale
-    * residual is the spread/hok correctness work, not the salt), so the
-    * plan the 10× gate certified is the plan everywhere.
+    * at every corpus SIZE — unconditional [[saltBFor]] salting: a
+    * size-derived fan-out was measured at sf0.1 and bought nothing (the
+    * small-scale residual is the spread/hok correctness work, not the
+    * salt), so the plan the 10× gate certified is the plan at every data
+    * scale; only the SESSION's core count moves the fan-out.
     */
-  def similarityJoin(docs: DataFrame): DataFrame = similarityJoinWith(docs, SaltB)
+  def similarityJoin(docs: DataFrame): DataFrame = similarityJoinWith(docs, saltBFor(docs))
 
   /** [[similarityJoin]] at an explicit salt fan-out — split out so
     * SetJoinSpec can prove the salted enumeration equals brute force on a

@@ -980,26 +980,47 @@ object Pipeline {
     * mixture planner reads FIRST — every knob in q_mix_schedule /
     * q_epoch_plan starts from these totals.
     *
-    * Scale shape: one documents scan into one aggregate. The three exact
-    * COUNT(DISTINCT ...) columns plan as Spark's Expand (4× row
-    * multiplication of the narrow (source, lang, md5) projection before
-    * the shuffle) — the standard multi-distinct shape, acceptable for a
-    * once-per-release audit; a continuously-refreshed card would swap in
-    * the sketch tier (q_approx_distinct) unchanged. All integers, so the
-    * card itself is hash-checked.
+    * Scale shape: one CACHED narrow (source, lang, md5, n_tok, n_chars)
+    * scan feeding four aggregates — the base counts/sums plus one
+    * SINGLE-distinct leg per exact COUNT(DISTINCT ...) column, each a
+    * 1-row frame broadcast back onto the base. The legs deliberately do
+    * NOT share one multi-distinct aggregate: Spark's
+    * RewriteDistinctAggregates plans that as an Expand whose gid slots
+    * follow session exprId ORDER, so byte-identical plans fingerprinted
+    * differently depending on what ran earlier in the session (COVERAGE
+    * §Round 11, reproduced with SPARK_GRAFT_FP_DUMP both ways) — and the
+    * Expand also 4×-multiplied the projection's rows before the shuffle.
+    * Single-distinct legs plan as plain two-phase aggregates: no Expand,
+    * no gid, one fp regardless of in-session company, and each leg
+    * shuffles only its own column. Acceptable for a once-per-release
+    * audit; a continuously-refreshed card would swap in the sketch tier
+    * (q_approx_distinct) unchanged. All integers, so the card itself is
+    * hash-checked.
     */
   val datasetCard: Q = Q(
     "q_dataset_card",
-    (s, dir) =>
-      Tables(s, dir).documents
-        .agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("source")).as("n_sources"),
-          countDistinct(col("lang")).as("n_langs"),
-          countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"),
-          sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"),
-          sum("n_chars").as("n_chars")
+    (s, dir) => {
+      val proj = graft.core.Cached.frame(
+        Tables(s, dir).documents.select(
+          col("source"),
+          col("lang"),
+          md5(col("text").cast("binary")).as("h"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+          col("n_chars")
         )
+      )
+      val base = proj.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars")
+      )
+      val srcs  = proj.agg(countDistinct(col("source")).as("n_sources"))
+      val langs = proj.agg(countDistinct(col("lang")).as("n_langs"))
+      val texts = proj.agg(countDistinct(col("h")).as("n_distinct_texts"))
+      base
+        .crossJoin(broadcast(srcs))
+        .crossJoin(broadcast(langs))
+        .crossJoin(broadcast(texts))
         .select(
           col("n_docs"),
           col("n_sources"),
@@ -1010,7 +1031,8 @@ object Pipeline {
           col("n_tokens"),
           expr("n_tokens div n_docs").as("mean_tokens"),
           col("n_chars")
-        ),
+        )
+    },
     Some(
       """SELECT n_docs, n_sources, n_langs, n_distinct_texts,
         |  n_docs - n_distinct_texts AS dup_docs,

@@ -103,6 +103,27 @@ class PlanGoldenSpec extends SparkSpec {
       })
     )
 
+  test("q_dataset_card plan fingerprint is independent of in-session company") {
+    // Round-11 instability: the card's three exact distinct counts shared
+    // one multi-distinct aggregate, and RewriteDistinctAggregates assigns
+    // that shape's Expand gid slots in session-exprId order — so running
+    // OTHER queries first (shifting the exprId counter) permuted lang/md5
+    // between gid 1 and 2 and byte-identical code produced two different
+    // fingerprints. The card now plans each distinct count as its own
+    // single-distinct leg (no Expand, no gid); this pin interleaves card
+    // constructions with exprId-consuming company and requires ONE fp.
+    def fp(): String = graft.Bench.planFp(SparkEntry.queries("q_dataset_card")(spark, sf))
+    val first = fp()
+    for (company <- Seq("q_epoch_plan", "q_mix_schedule", "q_clean_funnel")) {
+      // construction + analysis consumes a company-specific run of exprIds
+      SparkEntry.queries(company)(spark, sf).queryExecution.analyzed
+      assert(
+        fp() == first,
+        s"q_dataset_card fp drifted after constructing $company — plan depends on session company"
+      )
+    }
+  }
+
   for (name <- Pinned) test(s"plan golden: $name") {
     // Golden capture must not depend on which OTHER suites ran first:
     // a frame cached by an earlier suite surfaces as InMemoryRelation

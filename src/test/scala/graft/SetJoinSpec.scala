@@ -58,16 +58,24 @@ class SetJoinSpec extends SparkSpec {
     val plan = SetJoin.similarityJoin(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
 
-    // salted enumeration at a fan-out that does NOT divide the default:
-    // every pair must meet exactly once regardless of saltB, so a second
-    // fan-out pins the meet-exactly-once invariant, not one lucky modulus
-    val salted = SetJoin
-      .similarityJoinWith(docs, saltB = 3)
-      .select("d1", "d2", "inter", "uni")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
-    assert(salted == expected, s"salted path diverges: missing=${expected -- salted} extra=${salted -- expected}")
+    // salted enumeration at fan-outs beyond the session-derived one (the
+    // first assertion above already covers it via similarityJoin): every
+    // pair must meet exactly once regardless of saltB, so a non-dividing
+    // fan-out (3) and the derivation's cap (64, larger than the corpus's
+    // per-token groups) pin the meet-exactly-once invariant, not one
+    // lucky modulus
+    for (b <- Seq(3, 64)) {
+      val salted = SetJoin
+        .similarityJoinWith(docs, saltB = b)
+        .select("d1", "d2", "inter", "uni")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(
+        salted == expected,
+        s"salted path diverges at saltB=$b: missing=${expected -- salted} extra=${salted -- expected}"
+      )
+    }
   }
 
   test("prefix filter prunes: candidate tokens per doc stay under the set size") {
