@@ -228,33 +228,79 @@ object Bench {
     // diffs reflect plan changes, not scheduler luck. SPARK_GRAFT_REPS=1
     // restores single-shot timing for quick local iteration.
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val results: Seq[(String, Double, Option[String])] =
-      ordered.map { case (name, fn) =>
-        var best = Double.MaxValue
-        var err: Option[String] = None
-        var r = 0
-        // a rep that errors does NOT abort the query: transient contention/
-        // OOM on the shared bench host must not discard an earlier valid
-        // timing — report the best SUCCESSFUL rep, and -1 only when every
-        // rep failed (the error is still surfaced either way)
-        while (r < reps) {
-          // steady-state hygiene: collect the previous run's garbage outside
-          // the timed region so one query's heap pressure doesn't show up as
-          // a GC pause inside the next query's timing (BENCH_r03: q_rollup
-          // read 7.6 s in sequence vs 0.96 s in isolation)
-          System.gc()
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          }
-          r += 1
+    def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Option[String]) = {
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var r = 0
+      // a rep that errors does NOT abort the query: transient contention/
+      // OOM on the shared bench host must not discard an earlier valid
+      // timing — report the best SUCCESSFUL rep, and -1 only when every
+      // rep failed (the error is still surfaced either way)
+      while (r < reps) {
+        // steady-state hygiene: collect the previous run's garbage outside
+        // the timed region so one query's heap pressure doesn't show up as
+        // a GC pause inside the next query's timing (BENCH_r03: q_rollup
+        // read 7.6 s in sequence vs 0.96 s in isolation)
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        if (best == Double.MaxValue) (name, -1.0, err) else (name, best, err)
+        r += 1
       }
+      if (best == Double.MaxValue) (name, -1.0, err) else (name, best, err)
+    }
+
+    // NOISE-FLOOR SENTINELS (round 12): re-time a fixed set of queries
+    // single-shot at sweep start / middle / end. Their max/min spread IS
+    // the sweep's measured noise floor — in-sweep contention on the shared
+    // 32-thread box reached 2.4× on a same-plan query in round 11, well
+    // above benchdiff's fixed 1.4× flag, so every round paid a manual
+    // isolated re-measure pass for deltas the instrument could have
+    // dismissed itself. Sentinels span the noise-prone shapes (iterative
+    // graph, window, scan+agg, dedup-cache join); single-shot on purpose —
+    // they sample what the sweep's noise does to an unchanging plan, while
+    // the queries' own entries above stay min-of-N. Full sweeps only: a
+    // SPARK_GRAFT_ONLY iteration run has no round-over-round diff to guard.
+    val sentinelNames =
+      if (only.isEmpty)
+        Seq("q1_agg", "q_rolling_7d", "q_pagerank", "q_minhash_neardup").filter(selected.contains)
+      else Seq.empty
+    val sentinelRuns =
+      scala.collection.mutable.LinkedHashMap(sentinelNames.map(_ -> List.empty[Double]): _*)
+    def timeSentinels(): Unit = sentinelNames.foreach { n =>
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        selected(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        sentinelRuns(n) = sentinelRuns(n) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => () } // the query's own timed entry reports errors
+    }
+
+    timeSentinels()
+    val half = ordered.size / 2
+    val results: Seq[(String, Double, Option[String])] = {
+      val first = ordered.take(half).map { case (n, f) => timeQuery(n, f) }
+      timeSentinels()
+      val second = ordered.drop(half).map { case (n, f) => timeQuery(n, f) }
+      timeSentinels()
+      first ++ second
+    }
+
+    // noise floor = worst max/min spread any sentinel saw across its three
+    // checkpoints (1.0 when sentinels are absent/failed): the measured
+    // same-plan ratio the host imposed on THIS sweep. benchdiff.py flags
+    // only deltas beyond it.
+    val noiseFloor = {
+      val spreads = sentinelRuns.values.collect {
+        case ts if ts.size >= 2 && ts.min > 0 => ts.max / ts.min
+      }
+      if (spreads.isEmpty) 1.0 else spreads.max
+    }
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def qsJson(rs: Seq[(String, Double, Option[String])]): String =
@@ -286,8 +332,11 @@ object Bench {
     val artJson = artifacts.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val sentJson = sentinelRuns.toSeq
+      .map { case (k, ts) => "\"" + esc(k) + "\":[" + ts.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"plan_fp":$fps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"noise_floor":${fmt(noiseFloor)},"sentinels":$sentJson,"plan_fp":$fps}"""
     // A SPARK_GRAFT_ONLY iteration run must not clobber the committed
     // full-registry snapshot with a partial map (it did once: a 2-query
     // targeted run overwrote the 169-query artifact the judge reads).
@@ -313,7 +362,7 @@ object Bench {
       }
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(keep)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"note":"slowest ${keep.size} of ${results.size} inline; full map + per-query plan_fp in ${if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(keep)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"noise_floor":${fmt(noiseFloor)},"note":"slowest ${keep.size} of ${results.size} inline; full map + per-query plan_fp in ${if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"}"}"""
     )
     spark.stop()
   }

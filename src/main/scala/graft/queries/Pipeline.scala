@@ -1135,6 +1135,68 @@ object Pipeline {
   private[graft] val PipeMixCap     = 30
   private[graft] val PipePackTokens = 256L
 
+  /** Stage-1 PER-ROW admission predicate (language heuristic + quality
+    * gate) — the ONE definition the batch stage job, the oracle fragment,
+    * and the streaming ingest dual share. Stateless by construction: every
+    * term reads only the row's own text, which is what lets the streaming
+    * dual run in append mode with no state store.
+    */
+  private[graft] def cleanGate: org.apache.spark.sql.Column = {
+    val toks = split(lower(col("text")), " ", -1)
+    val langOk = size(toks) > 0 &&
+      size(filter(toks, x => x.isInCollection(StopWords))).cast("double") / size(toks) >= 0.03
+    val nTok  = size(split(col("text"), " ", -1))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    langOk && nTok.between(5, 10000) && punct.cast("double") / length(col("text")) < 0.1
+  }
+
+  /** Batch stage 1: [[cleanGate]] plus corpus-wide exact dedup (keep the
+    * min doc_id per fingerprint) — the body of the first chained job,
+    * factored out so the streaming dual's agreement test runs the exact
+    * same expressions.
+    */
+  private[graft] def cleanStage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("fp", Fingerprint.of(col("text")))
+      .withColumn("exact_keep", min("doc_id").over(Window.partitionBy("fp")) === col("doc_id"))
+      .filter(cleanGate && col("exact_keep"))
+      .select("doc_id", "source", "lang", "text")
+
+  /** STREAMING dual of pipeline stage 1 — the continuously-running ingest
+    * form: `newDocs` is a streaming documents frame, `seenClean` the
+    * already-accepted s1_clean artifact (static). Admission = the same
+    * per-row [[cleanGate]], then the INCREMENTAL form of the stage's exact
+    * dedup: a stream-static LEFT ANTI join on the text fingerprint drops
+    * any new doc whose normalized text is already accepted. Every stage is
+    * stateless per micro-batch (append mode, no state store) — the same
+    * discipline as [[graft.ext.Dedup.streamingIngestGate]], which this
+    * gate CHAINS INTO: its output is a valid `newDocs` input for the
+    * near-dup flagger, so clean → exact-drop → near-dup-flag runs as one
+    * composed streaming pipeline (StreamingSpec pins batch/stream
+    * agreement for the chain).
+    *
+    * Like the near-dup gate, WITHIN-stream exact duplicates are left to
+    * the consumer: two docs with the same novel fingerprint in the stream
+    * both pass (dedup between them would be a stateful aggregation);
+    * the idempotent sink keyed on fingerprint — or the accepted corpus
+    * absorbing batch k before batch k+1 arrives — owns that, exactly as
+    * production ingest does. The static side carries no broadcast hint on
+    * purpose (the accepted corpus grows without bound; the planner
+    * broadcasts while small).
+    */
+  def streamingCleanIngest(
+      newDocs: org.apache.spark.sql.DataFrame,
+      seenClean: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    newDocs
+      .filter(cleanGate)
+      .withColumn("fp", Fingerprint.of(col("text")))
+      .join(
+        seenClean.select(Fingerprint.of(col("text")).as("fp")).distinct(),
+        Seq("fp"),
+        "left_anti"
+      )
+      .select("doc_id", "source", "lang", "text")
+
   /** The full curation pipeline as CHAINED [[graft.api.Engine]] jobs with
     * parquet intermediate artifacts — the production shape, and the one
     * runtime feature the reference's job server distinguishes itself by
@@ -1175,18 +1237,7 @@ object Pipeline {
     val jobs = scala.collection.mutable.ArrayBuffer.empty[scala.concurrent.Future[graft.api.JobResult]]
     try {
       jobs += eng.submitStage { sp =>
-        val toks = split(lower(col("text")), " ", -1)
-        val langOk = size(toks) > 0 &&
-          size(filter(toks, x => x.isInCollection(StopWords))).cast("double") / size(toks) >= 0.03
-        val nTok  = size(split(col("text"), " ", -1))
-        val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
-        val qualityOk = nTok.between(5, 10000) && punct.cast("double") / length(col("text")) < 0.1
-        Tables(sp, dir).documents
-          .withColumn("fp", Fingerprint.of(col("text")))
-          .withColumn("exact_keep", min("doc_id").over(Window.partitionBy("fp")) === col("doc_id"))
-          .filter(langOk && qualityOk && col("exact_keep"))
-          .select("doc_id", "source", "lang", "text")
-          .write.mode("overwrite").parquet(a1)
+        cleanStage(Tables(sp, dir).documents).write.mode("overwrite").parquet(a1)
         Seq(a1)
       }
       jobs += eng.submitStage { sp =>

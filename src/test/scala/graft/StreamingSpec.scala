@@ -739,4 +739,113 @@ class StreamingSpec extends SparkSpec {
       )
     )
   }
+
+  test("streaming stage-1 clean ingest chains into the near-dup gate and agrees with the batch duals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf   = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the already-accepted corpus: batch stage 1 over the first 400 docs
+    // (the s1_clean artifact a production deployment would hold)
+    val seenClean = graft.queries.Pipeline.cleanStage(docs.filter($"doc_id" < 400)).cache()
+    val newRows = docs
+      .filter($"doc_id" >= 400)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    // batch dual of the incremental admission: the same per-row gate, then
+    // fingerprint-not-already-accepted (within-stream dups admitted by
+    // contract — see streamingCleanIngest's scaladoc)
+    val expectedAdmitted = docs
+      .filter($"doc_id" >= 400)
+      .filter(graft.queries.Pipeline.cleanGate)
+      .join(
+        seenClean.select(graft.queries.Fingerprint.of(col("text")).as("fp")).distinct(),
+        graft.queries.Fingerprint.of(docs("text")) === col("fp"),
+        "left_anti"
+      )
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(expectedAdmitted.nonEmpty, "batch dual admitted nothing — weak fixture split")
+    assert(
+      expectedAdmitted.size < newRows.size,
+      "batch dual admitted everything — the gates never engaged"
+    )
+
+    val input    = MemoryStream[(Long, String, String, String)]
+    val admitted = graft.queries.Pipeline.streamingCleanIngest(
+      input.toDF().toDF("doc_id", "source", "lang", "text"),
+      seenClean
+    )
+    // the CHAIN: admitted docs flow straight into the near-dup flagger —
+    // clean → exact-drop → near-dup-flag as one composed streaming pipeline
+    val flagged = graft.ext.Dedup.streamingIngestGate(admitted, seenClean, 0.2)
+    assert(admitted.isStreaming && flagged.isStreaming)
+    val q1 = admitted.writeStream.format("memory").queryName("s1_admit")
+      .outputMode(OutputMode.Append).start()
+    val q2 = flagged.writeStream.format("memory").queryName("s1_flag")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches so agreement covers the batch boundary
+      val half = newRows.size / 2
+      input.addData(newRows.take(half): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(newRows.drop(half): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val gotAdmitted =
+        spark.sql("SELECT doc_id FROM s1_admit").collect().map(_.getLong(0)).toSet
+      assert(
+        gotAdmitted == expectedAdmitted,
+        s"admitted set diverges: missing=${expectedAdmitted -- gotAdmitted} extra=${gotAdmitted -- expectedAdmitted}"
+      )
+      // batch replay of the chained near-dup flags over the admitted docs:
+      // same band-candidate + exact-Jaccard semantics, batch engine
+      val newSide = docs
+        .filter($"doc_id".isin(expectedAdmitted.toSeq: _*))
+        .select("doc_id", "text")
+      def sets(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        array_distinct(
+          graft.ext.Dedup.shingles3(graft.ext.Dedup.tokens(col("text")))
+        ).as("s")
+      )
+      val nb = graft.ext.Dedup.bands(graft.ext.Dedup.signatures(newSide))
+        .select(col("doc_id").as("new_id"), col("band_id"), col("band_val"))
+      val sb = graft.ext.Dedup
+        .bands(graft.ext.Dedup.signatures(seenClean.select("doc_id", "text")))
+        .select(col("doc_id").as("dup_of"), col("band_id"), col("band_val"))
+      val expectedFlags = nb
+        .join(sb, Seq("band_id", "band_val"))
+        .select("new_id", "dup_of")
+        .distinct()
+        .join(sets(newSide).select(col("doc_id").as("new_id"), col("s").as("s1")), "new_id")
+        .join(
+          sets(seenClean.select("doc_id", "text"))
+            .select(col("doc_id").as("dup_of"), col("s").as("s2")),
+          "dup_of"
+        )
+        .filter(
+          size(array_intersect(col("s1"), col("s2"))).cast("double") /
+            size(array_union(col("s1"), col("s2"))) >= 0.2
+        )
+        .select("new_id", "dup_of")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val gotFlags = spark
+        .sql("SELECT DISTINCT new_id, dup_of FROM s1_flag")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(
+        gotFlags == expectedFlags,
+        s"chained flags diverge: missing=${expectedFlags -- gotFlags} extra=${gotFlags -- expectedFlags}"
+      )
+      info(s"admitted ${gotAdmitted.size}/${newRows.size} new docs; ${gotFlags.size} near-dup flags")
+    } finally { q1.stop(); q2.stop(); seenClean.unpersist(): Unit }
+  }
 }

@@ -4,8 +4,12 @@
 Usage: python3 tools/benchdiff.py <old_bench.json> <new_bench.json> [ratio]
 
 Compares two Bench artifacts that carry per-query `plan_fp` fingerprints
-(BENCH_FULL.json from round 10 on) and splits every timing change at the
-given ratio threshold (default 1.4x) into:
+(BENCH_FULL.json from round 10 on) and splits every timing change beyond
+the flag threshold into plan-changed vs same-plan rows. The threshold is
+the LARGER of the explicit [ratio] argument (default 1.4x) and each side's
+measured `noise_floor` (round 12: the max/min spread of fixed sentinel
+queries re-timed at sweep start/middle/end) — a same-plan delta inside the
+noise the sweep itself measured is not worth a row. Rows split into:
 
   PLAN      - the fingerprint changed: a real plan regression or fix;
               read the two plans (SPARK_GRAFT_FP_DUMP=<dir> dumps the
@@ -30,12 +34,22 @@ def load(path):
     qs = d.get("queries", {})
     # full artifacts store {name: sec}; the printed tail line stores the same
     secs = {k: (v["sec"] if isinstance(v, dict) else v) for k, v in qs.items()}
-    return secs, d.get("plan_fp", {})
+    return secs, d.get("plan_fp", {}), d.get("noise_floor")
 
 
 def main(old_path, new_path, ratio):
-    old, ofp = load(old_path)
-    new, nfp = load(new_path)
+    old, ofp, onf = load(old_path)
+    new, nfp, nnf = load(new_path)
+    floors = [f for f in (onf, nnf) if f and f > 0]
+    measured = max(floors) if floors else None
+    if measured and measured > ratio:
+        print(
+            f"flag threshold raised {ratio:.2f}x -> {measured:.2f}x "
+            f"(measured sentinel noise floor; old={onf}, new={nnf})"
+        )
+        ratio = measured
+    elif measured:
+        print(f"measured noise floor {measured:.2f}x under {ratio:.2f}x flag; keeping {ratio:.2f}x")
     both = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
