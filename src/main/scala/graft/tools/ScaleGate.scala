@@ -60,7 +60,12 @@ object ScaleGate {
   /** Build (or reuse) the corpora under `workDir` and sweep the registry.
     * Progress goes to stderr so a long run is observable.
     */
-  def run(spark: SparkSession, base: String, workDir: String, mult: Int): GateResult = {
+  def run(
+      spark: SparkSession,
+      base: String,
+      workDir: String,
+      mult: Int,
+      docsOnly: Boolean = false): GateResult = {
     val clean = s"$workDir/clean"
     val hot   = s"$workDir/hot"
     // reuse is gated on an explicit marker written only after BOTH corpora
@@ -69,9 +74,19 @@ object ScaleGate {
     // missing tables reported spurious errors
     val done = new java.io.File(s"$workDir/GRAFT_CORPORA_DONE")
     if (!done.exists()) {
-      System.err.println(s"[scale-gate] building ${mult}x corpora from $base under $workDir")
-      StressGen.write(spark, base, clean, mult, hot = false, partsScale = 4)
-      StressGen.write(spark, base, hot, mult, hot = true, partsScale = 4)
+      System.err.println(s"[scale-gate] building ${mult}x corpora from $base under $workDir" +
+        (if (docsOnly) " (documents only)" else ""))
+      if (docsOnly) {
+        // spot-gate mode for the candidate-volume-bound document family:
+        // the gated queries read only documents, so the other tables'
+        // blow-up (10× the disk/build at mult=100) is skipped — a query
+        // that does touch them fails loudly on the missing path
+        StressGen.writeDocsOnly(spark, base, clean, mult, hot = false, partsScale = 8)
+        StressGen.writeDocsOnly(spark, base, hot, mult, hot = true, partsScale = 8)
+      } else {
+        StressGen.write(spark, base, clean, mult, hot = false, partsScale = 4)
+        StressGen.write(spark, base, hot, mult, hot = true, partsScale = 4)
+      }
       done.createNewFile(): Unit
     } else System.err.println(s"[scale-gate] reusing corpora under $workDir")
 
@@ -157,11 +172,12 @@ object ScaleGate {
   }
 
   def main(args: Array[String]): Unit = {
-    val base    = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val workDir = if (args.length > 1) args(1) else "target/scalegate"
-    val mult    = if (args.length > 2) args(2).toInt else 10
-    val spark   = graft.core.SparkEnv.session("graft-scale-gate")
-    val result  = run(spark, base, workDir, mult)
+    val base     = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir  = if (args.length > 1) args(1) else "target/scalegate"
+    val mult     = if (args.length > 2) args(2).toInt else 10
+    val docsOnly = args.length > 3 && args(3) == "docs"
+    val spark    = graft.core.SparkEnv.session("graft-scale-gate")
+    val result   = run(spark, base, workDir, mult, docsOnly)
     val md      = markdown(result, base, mult)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$workDir/SCALE_GATE.md"),
