@@ -332,12 +332,31 @@ object Dedup {
   /** Exact-Jaccard verification of a (d1, d2) candidate set against the
     * cached shingle-set table — the ONE definition both the collapsed and
     * the uncollapsed pair paths share.
+    *
+    * Round-12 verify discipline (the 100× spot gate caught q_contamination
+    * grinding ~40 min with 2 of 32 cores in this very intersect): the
+    * candidate frame is BYTE-small, so AQE's size-based coalescing packs it
+    * onto a handful of partitions and the per-pair array work runs nearly
+    * serial — the identical mechanism SetJoin/ngramJaccard already defuse.
+    * A user-NUMBERED repartition (exempt from AQE coalescing), keyed by d1
+    * so the first verify join reuses the exchange, restores full-width
+    * parallelism; and a length-ratio prefilter (J ≥ t forces t ≤
+    * |s1|/|s2| ≤ 1/t) drops grossly mismatched pairs before any array is
+    * touched. The 1e-9 margin keeps the prune provably conservative
+    * against the final double comparison (double rounding is ≤ ~1e-16
+    * relative; the pruning power loses nothing at 1e-9).
     */
   private def verifiedPairs(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val sets = shingleSets(docs)
+    val tm   = threshold - 1e-9
     cand
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
       .join(sets.select(col("doc_id").as("d1"), col("sset").as("s1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("sset").as("s2")), "d2")
+      .filter(
+        size(col("s1")).cast("double") >= lit(tm) * size(col("s2")) &&
+          size(col("s2")).cast("double") >= lit(tm) * size(col("s1"))
+      )
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("uni", size(array_union(col("s1"), col("s2"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -425,6 +444,10 @@ object Dedup {
       .partitionBy("new_id")
       .orderBy(col("jaccard").desc, col("seen_id"))
     cand
+      // spread before the per-pair array work (verifiedPairs discipline);
+      // keyed by new_id so both the first verify join AND the best-partner
+      // window reuse the exchange
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("new_id"))
       .join(sets.select(col("doc_id").as("new_id"), col("sset").as("s1")), "new_id")
       .join(sets.select(col("doc_id").as("seen_id"), col("sset").as("s2")), "seen_id")
       .withColumn(
@@ -781,6 +804,11 @@ object Dedup {
   def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
     val sets = shingleSets(docs)
     candidatePairs(docs)
+      // numbered-repartition spread before the per-pair array work (the
+      // shared verify discipline — see verifiedPairs); no length prefilter
+      // here: containment's two ratios are reciprocal, so one of them
+      // always clears any tau < 1 on sizes alone
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
       .join(sets.select(col("doc_id").as("d1"), col("sset").as("s1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("sset").as("s2")), "d2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
@@ -996,6 +1024,10 @@ object Dedup {
         .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
       candidatePairs(docs)
+        // spread before the per-pair signature/array work (verifiedPairs
+        // discipline): the candidate frame is byte-small and AQE would
+        // coalesce the exact-Jaccard columns onto a handful of tasks
+        .repartition(s.sparkContext.defaultParallelism, col("d1"))
         .join(
           sig.select(col("doc_id").as("d1") +: (0 until K).map(i => col(s"mh$i").as(s"a$i")): _*),
           "d1"
