@@ -48,16 +48,23 @@ object Bench {
     }
     try {
       import org.apache.spark.sql.functions.{call_function, col}
+      // partial corpora are legitimate (the 100x spot-gate dirs carry only
+      // documents.parquet): warm the tables that exist, skip the rest —
+      // one missing table must not abort the WHOLE warm-up and silently
+      // push the offline cache builds into the first timed query
+      def present(t: String): Boolean = new java.io.File(s"$sfDir/$t.parquet").exists()
       spark.range(1000000).groupBy((col("id") % 100).as("k")).count()
         .write.format("noop").mode("overwrite").save()
-      for (t <- Sql.tableNames) // single source of truth for the fixture set
+      for (t <- Sql.tableNames if present(t)) // single source of truth for the fixture set
         spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .orderBy("doc_id").limit(5)
-        .write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
-        .write.format("noop").mode("overwrite").save()
+      if (present("documents"))
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .orderBy("doc_id").limit(5)
+          .write.format("noop").mode("overwrite").save()
+      if (present("embeddings"))
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
+          .write.format("noop").mode("overwrite").save()
       // Materialize the session-scoped index structures the engine treats
       // as OFFLINE builds, so per-query timings measure the steady-state
       // query path: the IVF cid-partitioned index (production: an index
