@@ -12,8 +12,22 @@ import org.apache.spark.storage.StorageLevel
   * unpersist discipline) has a single point of change.
   */
 object Cached {
+  /** Storage level for every family cache. Default MEMORY_AND_DISK (the
+    * fastest correct choice at bench scale); SPARK_GRAFT_CACHE_LEVEL
+    * overrides it for runs whose cached structures exceed what
+    * DESERIALIZED caching can healthily hold in one JVM — the 100× spot
+    * gate caches dedup structures for two 5M-doc corpora at once, and
+    * deserialized object graphs at that volume GC-thrash the driver
+    * (observed: heartbeat death at 80g heap). MEMORY_AND_DISK_SER holds
+    * compact serialized blocks and evicts cleanly; DISK_ONLY removes the
+    * pressure entirely. This mirrors production reality: at 100 TB these
+    * caches are materialized on-disk indexes, not in-JVM object graphs.
+    */
+  private val level: StorageLevel =
+    sys.env.get("SPARK_GRAFT_CACHE_LEVEL").map(StorageLevel.fromString).getOrElse(StorageLevel.MEMORY_AND_DISK)
+
   def frame(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.persist() else df
+    if (df.storageLevel == StorageLevel.NONE) df.persist(level) else df
 
   /** Memoized `df.count()`, keyed on the analyzed plan's semantic hash —
     * the measure-then-decide probes (LSH plane derivation, IVF centroid
