@@ -42,4 +42,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 local executor threads share this heap; 8g causes GC-bound
   // run-to-run variance on the 128 GiB bench machine
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // ad-hoc knobs for oversized one-off runs (the 100x spot gates pass
+  // longer heartbeat/network timeouts so a long GC pause on a stuffed
+  // heap degrades to a slow run instead of killing the in-process
+  // executor); space-separated -D/-X flags
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -93,12 +93,21 @@ object ScaleGate {
     // optional subset for local iteration, same contract as Bench
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
 
+    // clean-only mode (SPARK_GRAFT_GATE_CLEAN_ONLY=1): record clean walls
+    // without the hot variant. The 100× spot gates need this — the gated
+    // trio's cached dedup structures for ONE 5M-doc corpus fill most of a
+    // single JVM's storage pool, and holding BOTH corpora's caches at once
+    // GC-thrashed the driver to heartbeat death twice (observed at 80g,
+    // deserialized AND serialized). The hot/clean pathology ratio stays
+    // the 10× full sweep's job; the 100× question is the clean wall.
+    val cleanOnly = sys.env.contains("SPARK_GRAFT_GATE_CLEAN_ONLY")
+
     // offline builds (IVF index, z-order layout, dedup caches, bigram LM)
     // for BOTH dirs, so per-query timings measure the steady-state path;
     // their walls are reported separately (build vs probe), never inside a
     // gated query's wall
     val artClean = graft.Bench.warmUp(spark, clean, only)
-    val artHot   = graft.Bench.warmUp(spark, hot, only)
+    val artHot   = if (cleanOnly) Map.empty[String, Double] else graft.Bench.warmUp(spark, hot, only)
 
     val names = only
       .map(o => graft.SparkEntry.queries.keys.filter(o).toSeq)
@@ -108,7 +117,7 @@ object ScaleGate {
       val t =
         try {
           val tc = timed(spark, name, clean)
-          val th = timed(spark, name, hot)
+          val th = if (cleanOnly) 0.0 else timed(spark, name, hot)
           Timing(name, tc, th, None)
         } catch {
           case scala.util.control.NonFatal(e) =>
