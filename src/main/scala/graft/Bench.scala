@@ -177,6 +177,11 @@ object Bench {
       .replaceAll("file:/[^\\s,\\])]*", "<path>")
       .replaceAll("/tmp/[^\\s,\\])]*", "<path>")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(<stats>)")
+      // numbered-repartition counts are session-derived (defaultParallelism),
+      // so the SAME code fingerprints differently across machines with
+      // different SPARK_GRAFT_CPUS — mask the count, keep the keys
+      .replaceAll("(RepartitionByExpression \\[[^\\]]*\\]), \\d+", "$1, <n>")
+      .replaceAll("\\bRepartition \\d+\\b", "Repartition <n>")
     // Debugging aid for fingerprint drift: dump the normalized text so a
     // cross-run `diff` shows WHICH line moved, not just that the hash did.
     sys.env.get("SPARK_GRAFT_FP_DUMP").foreach { dir =>

@@ -23,8 +23,20 @@ object Cached {
     * pressure entirely. This mirrors production reality: at 100 TB these
     * caches are materialized on-disk indexes, not in-JVM object graphs.
     */
-  private val level: StorageLevel =
-    sys.env.get("SPARK_GRAFT_CACHE_LEVEL").map(StorageLevel.fromString).getOrElse(StorageLevel.MEMORY_AND_DISK)
+  private lazy val level: StorageLevel =
+    sys.env.get("SPARK_GRAFT_CACHE_LEVEL") match {
+      case None => StorageLevel.MEMORY_AND_DISK
+      case Some(name) =>
+        try StorageLevel.fromString(name)
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_CACHE_LEVEL='$name' is not a StorageLevel; use one of " +
+                "NONE, DISK_ONLY, DISK_ONLY_2, DISK_ONLY_3, MEMORY_ONLY, MEMORY_ONLY_2, " +
+                "MEMORY_ONLY_SER, MEMORY_ONLY_SER_2, MEMORY_AND_DISK, MEMORY_AND_DISK_2, " +
+                "MEMORY_AND_DISK_SER, MEMORY_AND_DISK_SER_2, OFF_HEAP")
+        }
+    }
 
   def frame(df: DataFrame): DataFrame =
     if (df.storageLevel == StorageLevel.NONE) df.persist(level) else df

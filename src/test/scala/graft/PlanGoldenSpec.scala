@@ -76,6 +76,12 @@ class PlanGoldenSpec extends SparkSpec {
           // any remaining absolute path (tmp layouts, warehouse dirs)
           .replaceAll("file:/[^\\s,\\])]*", "<path>")
           .replaceAll("/tmp/[^\\s,\\])]*", "<path>")
+          // partition counts are SESSION-derived (shuffle.partitions == core
+          // count; user-numbered repartitions pass defaultParallelism), so a
+          // golden recorded at SPARK_GRAFT_CPUS=4 would spuriously diff on
+          // any other machine — the partitioning KEYS stay load-bearing,
+          // the count does not
+          .replaceAll("(partitioning\\(.*), \\d+\\)", "$1, <n>)")
           .replaceAll("\\s+$", "")
       }
       .mkString("\n")

@@ -13,16 +13,26 @@ noise the sweep itself measured is not worth a row. Rows split into:
 
   PLAN      - the fingerprint changed: a real plan regression or fix;
               read the two plans (SPARK_GRAFT_FP_DUMP=<dir> dumps the
-              normalized text) before accepting it.
+              normalized text) before accepting it. PLAN rows are listed
+              regardless of the timing ratio — a fingerprint change is
+              deterministic evidence the plan moved, and the noise floor
+              argues only about timing deltas, not plan identity.
   ENV/DATA  - same fingerprint: the plan is identical, so the delta is
               fixture drift (the driver regenerates /root/testdata between
               rounds) or host noise; re-measure isolated
-              (SPARK_GRAFT_ONLY=<q>) before chasing it.
+              (SPARK_GRAFT_ONLY=<q>) before chasing it. The raised
+              (measured-noise-floor) threshold applies to these rows only.
+
+The `artifacts` maps (offline build walls: pipeline_stages, dedup cache
+builds, …) are diffed with the same ratio logic so a regression moved out
+of a memoized query wall still gets flagged.
 
 Queries present on one side only are listed as ADDED/REMOVED. Fingerprints
 from before the round-10 stabilization (plan_id/path/statistics masking)
 are not comparable across sessions; a diff against such an artifact
-over-reports PLAN rows.
+over-reports PLAN rows. Round 13 added partition-count masking
+(Repartition/RepartitionByExpression literals), so queries with explicit
+numbered repartitions fingerprint differently across that boundary too.
 """
 import json
 import sys
@@ -34,20 +44,27 @@ def load(path):
     qs = d.get("queries", {})
     # full artifacts store {name: sec}; the printed tail line stores the same
     secs = {k: (v["sec"] if isinstance(v, dict) else v) for k, v in qs.items()}
-    return secs, d.get("plan_fp", {}), d.get("noise_floor")
+    arts = {k: v for k, v in d.get("artifacts", {}).items() if isinstance(v, (int, float))}
+    return secs, d.get("plan_fp", {}), d.get("noise_floor"), arts
 
 
 def main(old_path, new_path, ratio):
-    old, ofp, onf = load(old_path)
-    new, nfp, nnf = load(new_path)
+    old, ofp, onf, oart = load(old_path)
+    new, nfp, nnf, nart = load(new_path)
     floors = [f for f in (onf, nnf) if f and f > 0]
     measured = max(floors) if floors else None
+    # The measured floor raises the bar for SAMEPLAN timing rows only: a
+    # fingerprint change is deterministic plan evidence regardless of how
+    # noisy the timings are, so PLAN rows keep the base ratio (and are
+    # listed even with no timing change at all).
+    sameplan_ratio = ratio
     if measured and measured > ratio:
         print(
-            f"flag threshold raised {ratio:.2f}x -> {measured:.2f}x "
-            f"(measured sentinel noise floor; old={onf}, new={nnf})"
+            f"same-plan flag threshold raised {ratio:.2f}x -> {measured:.2f}x "
+            f"(measured sentinel noise floor; old={onf}, new={nnf}); "
+            f"PLAN rows always listed"
         )
-        ratio = measured
+        sameplan_ratio = measured
     elif measured:
         print(f"measured noise floor {measured:.2f}x under {ratio:.2f}x flag; keeping {ratio:.2f}x")
     both = sorted(set(old) & set(new))
@@ -60,18 +77,16 @@ def main(old_path, new_path, ratio):
         if a <= 0 or b <= 0:
             continue
         r = b / a
-        if r >= ratio or r <= 1.0 / ratio:
-            fp_known = q in ofp and q in nfp
-            kind = (
-                "PLAN"
-                if fp_known and ofp[q] != nfp[q]
-                else ("ENV/DATA" if fp_known else "NO-FP")
-            )
-            rows.append((r, q, a, b, kind))
+        fp_known = q in ofp and q in nfp
+        plan_changed = fp_known and ofp[q] != nfp[q]
+        if plan_changed:
+            rows.append((r, q, a, b, "PLAN"))
+        elif r >= sameplan_ratio or r <= 1.0 / sameplan_ratio:
+            rows.append((r, q, a, b, "ENV/DATA" if fp_known else "NO-FP"))
 
     rows.sort(reverse=True)
     if not rows:
-        print(f"no per-query change beyond {ratio:.2f}x across {len(both)} shared queries")
+        print(f"no plan change and no same-plan delta beyond {sameplan_ratio:.2f}x across {len(both)} shared queries")
     for r, q, a, b, kind in rows:
         arrow = "regressed" if r > 1 else "improved"
         print(f"{kind:8s} {q:28s} {a:7.2f}s -> {b:7.2f}s  ({r:5.2f}x {arrow})")
@@ -90,6 +105,28 @@ def main(old_path, new_path, ratio):
     n_plan = sum(1 for x in rows if x[4] == "PLAN")
     n_env = sum(1 for x in rows if x[4] == "ENV/DATA")
     print(f"attribution: {n_plan} plan-changed, {n_env} same-plan (fixture/noise)")
+
+    # Offline artifact walls (memoized/staged builds) move real work out of
+    # query timings; diff them too so a staged regression cannot hide.
+    art_rows = []
+    for k in sorted(set(oart) & set(nart)):
+        a, b = oart[k], nart[k]
+        if a <= 0 or b <= 0:
+            continue
+        r = b / a
+        if r >= sameplan_ratio or r <= 1.0 / sameplan_ratio:
+            art_rows.append((r, k, a, b))
+    art_added = sorted(set(nart) - set(oart))
+    art_removed = sorted(set(oart) - set(nart))
+    if art_rows or art_added or art_removed:
+        print("\nartifact (offline-build) walls:")
+        for r, k, a, b in sorted(art_rows, reverse=True):
+            arrow = "regressed" if r > 1 else "improved"
+            print(f"ARTIFACT {k:28s} {a:7.2f}s -> {b:7.2f}s  ({r:5.2f}x {arrow})")
+        if art_added:
+            print(f"artifacts added ({len(art_added)}): {', '.join(art_added)}")
+        if art_removed:
+            print(f"artifacts removed ({len(art_removed)}): {', '.join(art_removed)}")
     return 0
 
 
