@@ -235,78 +235,96 @@ object Bench {
     // Min-of-N timing (default 3): the 32-thread local bench inflates any
     // single run 3-8× when a co-tenant process lands inside it, and BENCH_r07
     // showed phantom +1.2 s "regressions" on queries whose source and plan
-    // were unchanged. The minimum of N consecutive runs is robust to that
-    // one-sided noise — contention only ever ADDS time — so round-over-round
-    // diffs reflect plan changes, not scheduler luck. SPARK_GRAFT_REPS=1
-    // restores single-shot timing for quick local iteration.
+    // were unchanged. The minimum of N runs is robust to that one-sided
+    // noise — contention only ever ADDS time — so round-over-round diffs
+    // reflect plan changes, not scheduler luck. SPARK_GRAFT_REPS=1 restores
+    // single-shot timing for quick local iteration.
+    //
+    // Round 13: the N reps run as N PASSES over the whole registry, each in
+    // a different deterministic pseudo-random order (hash of name + pass),
+    // instead of N back-to-back runs per query — back-to-back reps share
+    // their sweep position, so a co-tenant burst parked on one query
+    // inflated ALL of its reps at once and min-of-N couldn't see past it
+    // (the mechanism behind r12's 2.17× measured floor). With decorrelated
+    // positions, a burst has to recur at a query's slot in every pass to
+    // survive the min.
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Option[String]) = {
-      var best = Double.MaxValue
-      var err: Option[String] = None
-      var r = 0
-      // a rep that errors does NOT abort the query: transient contention/
-      // OOM on the shared bench host must not discard an earlier valid
-      // timing — report the best SUCCESSFUL rep, and -1 only when every
-      // rep failed (the error is still surfaced either way)
-      while (r < reps) {
-        // steady-state hygiene: collect the previous run's garbage outside
-        // the timed region so one query's heap pressure doesn't show up as
-        // a GC pause inside the next query's timing (BENCH_r03: q_rollup
-        // read 7.6 s in sequence vs 0.96 s in isolation)
-        System.gc()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-        r += 1
+    def passOrder(pass: Int): Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (pass == 0) ordered
+      else ordered.sortBy { case (n, _) => scala.util.hashing.MurmurHash3.stringHash(s"$n#$pass") }
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      // steady-state hygiene: collect the previous run's garbage outside
+      // the timed region so one query's heap pressure doesn't show up as
+      // a GC pause inside the next query's timing (BENCH_r03: q_rollup
+      // read 7.6 s in sequence vs 0.96 s in isolation)
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      if (best == Double.MaxValue) (name, -1.0, err) else (name, best, err)
     }
 
     // NOISE-FLOOR SENTINELS (round 12): re-time a fixed set of queries
-    // single-shot at sweep start / middle / end. Their max/min spread IS
-    // the sweep's measured noise floor — in-sweep contention on the shared
-    // 32-thread box reached 2.4× on a same-plan query in round 11, well
-    // above benchdiff's fixed 1.4× flag, so every round paid a manual
-    // isolated re-measure pass for deltas the instrument could have
-    // dismissed itself. Sentinels span the noise-prone shapes (iterative
-    // graph, window, scan+agg, dedup-cache join); single-shot on purpose —
-    // they sample what the sweep's noise does to an unchanging plan, while
-    // the queries' own entries above stay min-of-N. Full sweeps only: a
+    // single-shot between passes. Their max/min spread IS the sweep's
+    // measured noise floor — in-sweep contention on the shared 32-thread
+    // box reached 2.4× on a same-plan query in round 11, well above
+    // benchdiff's fixed 1.4× flag, so every round paid a manual isolated
+    // re-measure pass for deltas the instrument could have dismissed
+    // itself. Sentinels span the noise-prone shapes (iterative graph,
+    // window, scan+agg, dedup-cache join); single-shot on purpose — they
+    // sample what the sweep's noise does to an unchanging plan, while the
+    // queries' own entries stay min-of-N. Full sweeps only: a
     // SPARK_GRAFT_ONLY iteration run has no round-over-round diff to guard.
+    //
+    // Round 13: the very first sentinel pass runs before anything is
+    // JIT-warm and used to DOMINATE the floor (r12: q1_agg 1.71 s at sweep
+    // start vs 0.89 s later — a cold-start fact, not a contention fact).
+    // That pass is now recorded separately (`sentinel_cold`) and excluded
+    // from the floor, which measures only warm in-sweep spread.
     val sentinelNames =
       if (only.isEmpty)
         Seq("q1_agg", "q_rolling_7d", "q_pagerank", "q_minhash_neardup").filter(selected.contains)
       else Seq.empty
+    val sentinelCold =
+      scala.collection.mutable.LinkedHashMap(sentinelNames.map(_ -> -1.0): _*)
     val sentinelRuns =
       scala.collection.mutable.LinkedHashMap(sentinelNames.map(_ -> List.empty[Double]): _*)
-    def timeSentinels(): Unit = sentinelNames.foreach { n =>
-      System.gc()
-      val t0 = System.nanoTime()
-      try {
-        selected(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        sentinelRuns(n) = sentinelRuns(n) :+ (System.nanoTime() - t0) / 1e9
-      } catch { case scala.util.control.NonFatal(_) => () } // the query's own timed entry reports errors
+    def timeSentinels(cold: Boolean): Unit = sentinelNames.foreach { n =>
+      runOnce(selected(n)) match {
+        case Right(sec) =>
+          if (cold) sentinelCold(n) = sec
+          else sentinelRuns(n) = sentinelRuns(n) :+ sec
+        case Left(_) => () // the query's own timed entry reports errors
+      }
     }
 
-    timeSentinels()
-    val half = ordered.size / 2
-    val results: Seq[(String, Double, Option[String])] = {
-      val first = ordered.take(half).map { case (n, f) => timeQuery(n, f) }
-      timeSentinels()
-      val second = ordered.drop(half).map { case (n, f) => timeQuery(n, f) }
-      timeSentinels()
-      first ++ second
+    val best = scala.collection.mutable.HashMap.empty[String, Double]
+    val errFor = scala.collection.mutable.HashMap.empty[String, String]
+    timeSentinels(cold = true)
+    timeSentinels(cold = false)
+    for (pass <- 0 until reps) {
+      for ((n, f) <- passOrder(pass))
+        // a rep that errors does NOT abort the query: transient contention/
+        // OOM on the shared bench host must not discard another pass's
+        // valid timing — report the best SUCCESSFUL rep, and -1 only when
+        // every pass failed (the error is still surfaced either way)
+        runOnce(f) match {
+          case Right(sec) => best(n) = math.min(best.getOrElse(n, Double.MaxValue), sec)
+          case Left(msg)  => errFor(n) = msg
+        }
+      timeSentinels(cold = false)
     }
+    val results: Seq[(String, Double, Option[String])] =
+      ordered.map { case (n, _) => (n, best.getOrElse(n, -1.0), errFor.get(n)) }
 
-    // noise floor = worst max/min spread any sentinel saw across its three
+    // noise floor = worst max/min spread any sentinel saw across its WARM
     // checkpoints (1.0 when sentinels are absent/failed): the measured
     // same-plan ratio the host imposed on THIS sweep. benchdiff.py flags
-    // only deltas beyond it.
+    // same-plan deltas only beyond it.
     val noiseFloor = {
       val spreads = sentinelRuns.values.collect {
         case ts if ts.size >= 2 && ts.min > 0 => ts.max / ts.min
@@ -347,8 +365,11 @@ object Bench {
     val sentJson = sentinelRuns.toSeq
       .map { case (k, ts) => "\"" + esc(k) + "\":[" + ts.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val coldJson = sentinelCold.toSeq
+      .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"noise_floor":${fmt(noiseFloor)},"sentinels":$sentJson,"plan_fp":$fps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"noise_floor":${fmt(noiseFloor)},"sentinel_cold":$coldJson,"sentinels":$sentJson,"plan_fp":$fps}"""
     // A SPARK_GRAFT_ONLY iteration run must not clobber the committed
     // full-registry snapshot with a partial map (it did once: a 2-query
     // targeted run overwrote the 169-query artifact the judge reads).

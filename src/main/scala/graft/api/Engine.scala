@@ -38,12 +38,29 @@ import graft.ops.{GroupStage, MapStage, ReduceStage, Sinks}
   *
   * `parityMode` selects the golden-parity rank-mod group router
   * ([[graft.ops.GroupStage.rankMod]]) instead of the scalable hash router.
+  *
+  * `rawParity` (round 13) is the BYTE-exact tier: the job reads lines with
+  * their real terminators ([[graft.sources.ParityLines.sortTasks]], which
+  * also models the reference's per-sort-task file CONCATENATION — an
+  * unterminated file's tail merges with the next file's first line in the
+  * same task), groups through the full reference cascade
+  * ([[graft.ops.GroupStage.referenceGroup]]: worker sort-join glue,
+  * manager re-read, heapq-merge, distinct-count route) and writes bytes
+  * verbatim ([[graft.ops.Sinks.outputFilesRaw]]) — so an Engine-submitted
+  * job reproduces the reference's output files byte-for-byte even on
+  * unterminated inputs. Raw-parity jobs are group-only (`identity` map and
+  * reduce): external map/reduce executables are line-pipe-oriented and
+  * re-terminate every line, so behind a pipe the two tiers are
+  * indistinguishable — the stripped `parityMode` tier already covers them.
+  * `numMappers` plays the reference's sort-task-count role (there: the
+  * number of ready workers at grouping time).
   */
 final class Engine(
     spark: SparkSession,
     parityMode: Boolean = false,
     ownsSession: Boolean = false,
-    maxConcurrent: Int = 1)
+    maxConcurrent: Int = 1,
+    rawParity: Boolean = false)
     extends AutoCloseable {
   require(maxConcurrent >= 1, s"maxConcurrent must be >= 1, got $maxConcurrent")
 
@@ -62,11 +79,24 @@ final class Engine(
     if (maxConcurrent > 1)
       // thread-local: names this job's stages into its own FAIR pool
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-job-$jobId")
-    val lines  = spark.sparkContext.textFile(spec.inputDirectory, spec.numMappers)
-    val mapped = MapStage(lines, spec.mapperExecutable)
-    val grouped = GroupStage(mapped, spec.numReducers, parityMode)
-    val reduced = ReduceStage(grouped, spec.reducerExecutable)
-    JobResult(jobId, Sinks.outputFiles(reduced, spec.outputDirectory), t0, System.nanoTime())
+    if (rawParity) {
+      require(
+        spec.mapperExecutable == "identity" && spec.reducerExecutable == "identity",
+        s"rawParity jobs are group-only (mapper/reducer must be 'identity', got " +
+          s"'${spec.mapperExecutable}'/'${spec.reducerExecutable}'): external executables " +
+          "are line-pipe-oriented and re-terminate lines, erasing the bytes this tier exists to keep"
+      )
+      val tasks   = graft.sources.ParityLines.sortTasks(
+        spark.sparkContext, spec.inputDirectory, spec.numMappers)
+      val grouped = GroupStage.referenceGroup(tasks, spec.numReducers)
+      JobResult(jobId, Sinks.outputFilesRaw(grouped, spec.outputDirectory), t0, System.nanoTime())
+    } else {
+      val lines   = spark.sparkContext.textFile(spec.inputDirectory, spec.numMappers)
+      val mapped  = MapStage(lines, spec.mapperExecutable)
+      val grouped = GroupStage(mapped, spec.numReducers, parityMode)
+      val reduced = ReduceStage(grouped, spec.reducerExecutable)
+      JobResult(jobId, Sinks.outputFiles(reduced, spec.outputDirectory), t0, System.nanoTime())
+    }
   }
 
   /** Queued asynchronous submission (reference `new_manager_job`): strict

@@ -250,8 +250,14 @@ object Dedup {
     * chose — [[candidatePairs]] feeds it the collapsed grain; tests feed it
     * the raw grain to prove the collapse output-equivalent.
     */
-  private[graft] def candidatePairsFrom(sigs: DataFrame): DataFrame = {
-    val b = bands(sigs)
+  private[graft] def candidatePairsFrom(sigs: DataFrame): DataFrame =
+    bandSelfJoin(bands(sigs)).distinct()
+
+  /** The raw (pre-distinct) band-bucket pair enumeration over an arbitrary
+    * band-row frame — split out so the saturation re-route can run it over
+    * the NON-saturated buckets only.
+    */
+  private def bandSelfJoin(b: DataFrame): DataFrame =
     b.alias("a")
       .join(
         b.alias("b"),
@@ -260,7 +266,124 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id")
       )
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+
+  /** Band-bucket occupancy histogram over the (collapsed-grain) band
+    * table — the telemetry the 100× gates record (round 13): one row per
+    * log₂ occupancy class with the bucket count, the total within-bucket
+    * pair enumeration Σ n·(n−1)/2 that class feeds the candidate join, and
+    * the class max. The enumeration column is the quantitative form of
+    * "band saturation": on a fixed synthetic vocabulary it rises
+    * superlinearly with corpus size, and this histogram pins the growth to
+    * occupancy instead of arguing it.
+    */
+  def bandOccupancy(docs: DataFrame): DataFrame = {
+    val sigs =
+      if (hasExactDups(docs)) cached(signatures(docs).join(repIds(docs), "doc_id"))
+      else signatures(docs)
+    bands(sigs)
+      .groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("n"))
+      .select(floor(log(2.0, col("n"))).cast("int").as("log2_occupancy"), col("n"))
+      .groupBy("log2_occupancy")
+      .agg(
+        count(lit(1)).as("buckets"),
+        expr("sum(n * (n - 1)) div 2").as("enum_pairs"),
+        max(col("n")).as("max_occupancy")
+      )
+      .orderBy("log2_occupancy")
+  }
+
+  /** Saturation threshold for the ngram verify's bucket re-route: buckets
+    * with more members than this route their enumeration through the exact
+    * prefix principle instead of the |B|² band join. 4096 members means
+    * ≥ 8.4M enumerated pairs from ONE bucket — far beyond anything a
+    * non-pathological corpus produces at the collapsed grain, so the
+    * default keeps every fixture/bench plan on the certified band join;
+    * the scale gates lower it via SPARK_GRAFT_BAND_SAT to engage the
+    * re-route on saturation corpora.
+    */
+  private[graft] def bandSatThreshold: Int =
+    sys.env.get("SPARK_GRAFT_BAND_SAT").map(_.toInt).getOrElse(4096)
+
+  private val satProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]()
+
+  /** Memoized measure-then-decide probe (the [[hasExactDups]] discipline):
+    * does any band bucket exceed `sat` members? One agg over the cached
+    * band grain at construction time; on every fixture corpus the answer
+    * is no and the query plan is EXACTLY the pre-round-13 one.
+    */
+  private def hasSaturatedBuckets(docs: DataFrame, sigs: DataFrame, sat: Int): Boolean =
+    satProbeMemo
+      .computeIfAbsent(
+        (docs.queryExecution.analyzed.semanticHash(), sat),
+        _ =>
+          bands(sigs)
+            .groupBy("band_id", "band_val")
+            .agg(count(lit(1)).as("n"))
+            .agg(coalesce(max("n"), lit(0L)).as("m"))
+            .head()
+            .getLong(0) > sat
+      )
+      .booleanValue()
+
+  /** Candidate pairs for the n-gram verifier with the band-SATURATION
+    * re-route (round 13): buckets whose occupancy exceeds `sat` skip the
+    * |B|² band self-join; their members' pairs are enumerated by the exact
+    * prefix principle over the SAME distinct char-4-gram sets the verify
+    * reads, at the verify threshold 3/10 ([[SetJoin.groupedPrefixCandidates]]).
+    *
+    * Output-identical to [[candidatePairs]] FOR THE NGRAM CONSUMER, by
+    * construction: every within-bucket pair is a band candidate, the
+    * prefix filter only drops pairs that cannot reach gram-Jaccard ≥ 3/10
+    * (the completeness theorem), and those pairs fail the verify filter
+    * anyway. (Zero-gram docs never survive the verify on either route:
+    * their jaccard is 0 or null.) NOT reusable by consumers that verify a
+    * different measure — containment's one-sided ≥ 0.6 admits pairs the
+    * 3/10 Jaccard prefix would prune — which is why the re-route lives
+    * here and not in the shared [[candidatePairs]].
+    */
+  private[graft] def ngramCandidatePairs(docs: DataFrame, sat: Int): DataFrame = {
+    val sigs =
+      if (hasExactDups(docs)) cached(signatures(docs).join(repIds(docs), "doc_id"))
+      else signatures(docs)
+    if (!hasSaturatedBuckets(docs, sigs, sat)) candidatePairsFrom(sigs)
+    else {
+      val b = bands(sigs)
+      val occ = b.groupBy("band_id", "band_val").agg(count(lit(1)).as("n"))
+      // pathological buckets are few by definition — broadcast the keys
+      val satKeys = broadcast(
+        occ.filter(col("n") > sat).select("band_id", "band_val"))
+      val bKeys   = Seq("band_id", "band_val")
+      val candN   = bandSelfJoin(b.join(satKeys, bKeys, "left_anti"))
+      val satDocs = b.join(satKeys, bKeys)
+      // rare-first canonical gram order over the saturated members (any
+      // global order preserves completeness; df over this subset is the
+      // pruning-power choice)
+      val g = gramSets(docs)
+        .join(satDocs.select("doc_id").distinct(), "doc_id")
+        .select(col("doc_id"), explode(col("gset")).as("tok"))
+      val dfs = g.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ordered = g
+        .join(dfs, "tok")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+        .select(
+          col("doc_id"),
+          transform(col("ord"), x => x.getField("tok")).as("toks"),
+          size(col("ord")).as("sz")
+        )
+      val sets = satDocs
+        .join(ordered, "doc_id")
+        .select(
+          concat_ws("#", col("band_id"), col("band_val")).as("gid"),
+          col("doc_id"),
+          col("toks"),
+          col("sz")
+        )
+      val saltB = SetJoin.saltBFor(docs)
+      candN.union(SetJoin.groupedPrefixCandidates(sets, NgTNum, NgTDen, saltB)).distinct()
+    }
   }
 
   /** UNCOLLAPSED verified pairs — the quadratic clique shape, retained for
@@ -347,22 +470,64 @@ object Dedup {
     * relative; the pruning power loses nothing at 1e-9).
     */
   private def verifiedPairs(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs)
-    val tm   = threshold - 1e-9
-    cand
+    val sets  = shingleSets(docs)
+    val hsets = shingleHashes(docs)
+    val tm    = threshold - 1e-9
+    // HASH-FIRST topology (round 13; SetJoin/ngram precedent): the
+    // exchange that routes each candidate row to its d2 side used to carry
+    // the d1 side's full STRING shingle array — at the 5M-doc saturation
+    // gate that exchange's sort spill ENOSPC'd a 78-GB-free node inside
+    // q_contamination. The narrow hash cache rides that exchange instead
+    // (~8 B/shingle vs ~20+), and the string arrays attach only to hash-
+    // tier survivors (≈ true pairs: the bound below restates J ≥ t exactly
+    // under `hok`; collisions and the 1e-9 margin only over-admit).
+    val hashTier = cand
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
+      .join(
+        hsets.select(col("doc_id").as("d1"), col("hs").as("h1"), col("hok").as("hok1"),
+          col("ssz").as("z1")), "d1")
+      .join(
+        hsets.select(col("doc_id").as("d2"), col("hs").as("h2"), col("hok").as("hok2"),
+          col("ssz").as("z2")), "d2")
+      .filter(
+        col("z1").cast("double") >= lit(tm) * col("z2") &&
+          col("z2").cast("double") >= lit(tm) * col("z1")
+      )
+      // J ≥ t ⟺ (1+t)·|∩| ≥ t·(|s1|+|s2|); evaluated at tm < t the bound
+      // only widens, and a non-hok side falls through unpruned
+      .filter(
+        !col("hok1") || !col("hok2") ||
+          size(array_intersect(col("h1"), col("h2"))).cast("double") * lit(1.0 + tm) >=
+          lit(tm) * (col("z1") + col("z2")).cast("double")
+      )
+      .select(col("d1"), col("d2"))
+    hashTier
       .join(sets.select(col("doc_id").as("d1"), col("sset").as("s1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("sset").as("s2")), "d2")
-      .filter(
-        size(col("s1")).cast("double") >= lit(tm) * size(col("s2")) &&
-          size(col("s2")).cast("double") >= lit(tm) * size(col("s1"))
-      )
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("uni", size(array_union(col("s1"), col("s2"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "inter", "uni", "jaccard")
   }
+
+  /** Narrow hash-tier companion of [[shingleSets]]: per doc, the xxhash64
+    * image of the shingle set, the intra-doc collision-free marker, and
+    * the set size — the columns the verify's heavy exchange carries so the
+    * string arrays never ride it (see [[verifiedPairs]]). Cached
+    * separately and WITHOUT the strings: the family cache keeps one copy
+    * of the text-derived arrays, this one only longs.
+    */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    cached(
+      shingleSets(docs).select(
+        col("doc_id"),
+        transform(col("sset"), x => xxhash64(x)).as("hs"),
+        (size(array_distinct(transform(col("sset"), x => xxhash64(x)))) ===
+          size(col("sset"))).as("hok"),
+        size(col("sset")).as("ssz")
+      )
+    )
 
   /** Incremental near-dedup: flag NEW docs that near-duplicate the SEEN
     * corpus — the shape of a production ingest gate, where each day's batch
@@ -708,23 +873,33 @@ object Dedup {
     * corpus. `pruned = false` preserves the round-11 naive path for that
     * equivalence proof.
     */
-  private[graft] def ngramVerifiedPairs(docs: DataFrame, pruned: Boolean = true): DataFrame = {
+  private[graft] def ngramVerifiedPairs(
+      docs: DataFrame,
+      pruned: Boolean = true,
+      sat: Int = bandSatThreshold): DataFrame = {
     val sets = gramSets(docs)
-    val s1 = sets.select(
-      col("doc_id").as("d1"), col("gset").as("g1"), col("hg").as("h1"),
-      col("hok").as("hok1"), col("gsz").as("sz1"))
-    val s2 = sets.select(
-      col("doc_id").as("d2"), col("gset").as("g2"), col("hg").as("h2"),
-      col("hok").as("hok2"), col("gsz").as("sz2"))
-    val cand0 = candidatePairs(docs)
-    val cand =
-      if (pruned)
-        cand0.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
-      else cand0
-    val joined = cand.join(s1, "d1").join(s2, "d2")
+    // saturation-aware candidate tier (round 13): identical output, but
+    // over-occupied band buckets enumerate through the exact prefix filter
+    val cand0 = if (pruned) ngramCandidatePairs(docs, sat) else candidatePairs(docs)
     val gated =
-      if (pruned)
-        joined
+      if (pruned) {
+        // HASH-FIRST topology (round 13, SetJoin.verifiedForSalts
+        // precedent): the exchange that routes candidate rows to their d2
+        // side used to carry the d1 side's string gram array AND hash
+        // array per row — the disk term the single-node ENOSPCs died in.
+        // Attach only the long-hash columns before that exchange; the
+        // string arrays join after the hash tier has pruned candidates to
+        // ~true-pair volume.
+        val h1 = sets.select(
+          col("doc_id").as("d1"), col("hg").as("h1"), col("hok").as("hok1"),
+          col("gsz").as("sz1"))
+        val h2 = sets.select(
+          col("doc_id").as("d2"), col("hg").as("h2"), col("hok").as("hok2"),
+          col("gsz").as("sz2"))
+        cand0
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
+          .join(h1, "d1")
+          .join(h2, "d2")
           .filter(
             col("sz1") * NgTNum <= col("sz2") * NgTDen &&
               col("sz2") * NgTNum <= col("sz1") * NgTDen
@@ -734,7 +909,16 @@ object Dedup {
               size(array_intersect(col("h1"), col("h2"))) * (NgTNum + NgTDen) >=
               (col("sz1").cast("long") + col("sz2")) * NgTNum
           )
-      else joined
+          .select(col("d1"), col("d2"), col("sz1"), col("sz2"))
+          .join(sets.select(col("doc_id").as("d1"), col("gset").as("g1")), "d1")
+          .join(sets.select(col("doc_id").as("d2"), col("gset").as("g2")), "d2")
+      } else {
+        val s1 = sets.select(
+          col("doc_id").as("d1"), col("gset").as("g1"), col("gsz").as("sz1"))
+        val s2 = sets.select(
+          col("doc_id").as("d2"), col("gset").as("g2"), col("gsz").as("sz2"))
+        cand0.join(s1, "d1").join(s2, "d2")
+      }
     gated
       .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .withColumn(

@@ -75,8 +75,242 @@ object SetJoin {
     * meet-exactly-once invariant at the derived value, 8, and a
     * non-dividing fan-out.
     */
-  private def saltBFor(docs: DataFrame): Int =
+  private[graft] def saltBFor(docs: DataFrame): Int =
     math.min(64, math.max(8, docs.sparkSession.sparkContext.defaultParallelism / 4))
+
+  /** WITHIN-GROUP prefix-filter candidate enumeration at an arbitrary
+    * rational threshold `tNum/tDen` — [[similarityJoinWith]]'s candidate
+    * machinery generalized over a grouping key, so other families can
+    * re-route a saturated hash bucket's |B|² enumeration through the exact
+    * prefix principle (round-13 consumer: `Dedup.ngramVerifiedPairs`'s
+    * band-saturation re-route). Input schema: (gid, doc_id, toks, sz) with
+    * `toks` already in a per-CORPUS canonical rare-first order (ANY global
+    * order preserves completeness — the theorem in the object scaladoc —
+    * rare-first is the performance choice). Output: distinct (d1, d2),
+    * d1 < d2, within the same gid, passing the prefix length + positional
+    * bounds — a COMPLETE candidate set for J ≥ tNum/tDen within each
+    * group. The same salting discipline applies: each group's enumeration
+    * splits `saltB` ways, pairs meet exactly once at salt = hash(d1).
+    */
+  private[graft] def groupedPrefixCandidates(
+      sets: DataFrame,
+      tNum: Long,
+      tDen: Long,
+      saltB: Int): DataFrame = {
+    val par = sets.sparkSession.sparkContext.defaultParallelism
+    // |d| − ⌈t·|d|⌉ + 1 in exact integers: ⌈t·sz⌉ = (sz·tNum + tDen − 1) div tDen
+    val plen =
+      (col("sz") - call_function("div", col("sz").cast("long") * tNum + lit(tDen - 1), lit(tDen)) +
+        lit(1)).cast("int")
+    val pref = sets.select(
+      col("gid"),
+      col("doc_id"),
+      col("sz"),
+      posexplode(slice(col("toks"), lit(1), plen)).as(Seq("pos", "tok"))
+    )
+    val prefA = pref
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltB)))
+      .repartition(par, col("gid"), col("tok"), col("salt"))
+    val prefB = pref
+      .withColumn("salt", explode(array((0 until saltB).map(lit): _*)))
+      .repartition(par, col("gid"), col("tok"), col("salt"))
+    prefA
+      .alias("a")
+      .join(
+        prefB.alias("b"),
+        col("a.gid") === col("b.gid") && col("a.tok") === col("b.tok") &&
+          col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * tNum <= col("b.sz") * tDen &&
+          col("b.sz") * tNum <= col("a.sz") * tDen &&
+          lit(1) + least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1) >=
+          expr(
+            s"(${tNum}L * (CAST(a.sz AS BIGINT) + b.sz) + ${tNum + tDen - 1}L) div ${tNum + tDen}L"
+          )
+      )
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Predicted volume of the candidate-enumeration shuffle, computed from
+    * the prefix frame BEFORE any pair is enumerated (round 13; the 100×
+    * gate hit ENOSPC at minute ~80 of healthy enumeration — the one
+    * failure mode the engine could not see coming, because the quadratic
+    * term lives in the join OUTPUT, invisible to input-byte statistics).
+    *
+    *   - `prefRows`: Σ per-doc prefix length — the linear term (the salted
+    *     d2-side replicates it saltB×).
+    *   - `enumPairs`: Σ_tok cnt·(cnt−1)/2 over prefix-token groups — every
+    *     candidate the equi-join can emit meets at exactly one (tok, salt)
+    *     with d1 < d2, so this is an upper bound on enumerated rows (the
+    *     length/positional prunes only subtract). One cheap aggregate on
+    *     the already-cached ordered-set grain.
+    *   - `bytes`: predicted shuffle write of the enumeration stage —
+    *     candidates entering the distinct at ~[[CandRowBytes]]/row plus the
+    *     saltB× prefix replication at ~[[PrefRowBytes]]/row. The constants
+    *     are UnsafeRow sizes after shuffle compression, validated against
+    *     measured shuffle-write bytes by `tools.SetJoinGate` (target: within
+    *     ~2×); they predict ORDER, not exact bytes.
+    */
+  final case class CandidateEstimate(
+      prefRows: Long,
+      enumPairs: Long,
+      avgSz: Double,
+      survival: Double,
+      bytes: Long) {
+    /** Predicted surviving candidate pairs — the quantity the sampling
+      * estimates directly (validated at the 150k-doc gate: predicted 169M
+      * vs 170.2M counted, 0.6% error).
+      */
+    def survivingPairs: Long = (enumPairs * survival).toLong
+  }
+
+  /** (d1: long, d2: long) UnsafeRow = 24 B; shuffle LZ4 on near-random ids
+    * buys little — call it 20.
+    */
+  private val CandRowBytes = 20L
+
+  /** (doc_id, sz, pos, tok-string ~3 words, salt) ≈ 64 B raw, text
+    * compresses ~2× — call it 32.
+    */
+  private val PrefRowBytes = 32L
+
+  /** One element of the xxhash64 array a surviving candidate row carries
+    * through the verify's d2 exchange: 8 B of incompressible hash + array
+    * slot overhead.
+    */
+  private val HashTokBytes = 9L
+
+  /** Fixed columns of a surviving verify row (two ids, two sizes, hok
+    * flags, UnsafeRow headers).
+    */
+  private val VerifyRowOverhead = 40L
+
+
+  private val estimateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), CandidateEstimate]()
+
+
+  /** Memoized per (ordered-set plan, saltB): the estimate is read on every
+    * [[similarityJoin]] construction (bench reps, verify, gates) but its
+    * jobs run once per session and corpus. Three cheap measurements, all
+    * BEFORE any full-corpus pair is enumerated:
+    *
+    *   1. exact prefix-token stats — Σ cnt, Σ cnt·(cnt−1)/2 over prefix
+    *     groups (the enumeration upper bound) and the mean set size (the
+    *     verify exchange's per-row payload);
+    *   2. a deterministic ~10% DOC sample (pmod(xxhash64(doc_id), 10) = 0)
+    *     through the REAL candidate conditions — tok equi-join, d1 < d2,
+    *     length ratio, positional bound, distinct — giving the survival
+    *     rate of the prefix prunes. Pair volume scales as the sample rate
+    *     SQUARED, so the sample join costs ~1% of the real enumeration,
+    *     and hot groups (where the volume lives) keep thousands of sampled
+    *     members — exactly where the rate estimate must be tight;
+    *   3. predicted bytes = surviving pairs × (fixed row + hash-array
+    *     payload) — the verify's d2 exchange, the stage both observed
+    *     ENOSPCs died in — plus the enumeration/distinct pair shuffle and
+    *     the saltB× prefix replication.
+    */
+  private[graft] def candidateEstimate(docs: DataFrame, saltBArg: Int = 0): CandidateEstimate = {
+    val saltB = if (saltBArg > 0) saltBArg else saltBFor(docs)
+    val base =
+      if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
+    val os = orderedSets(base)
+    estimateMemo.computeIfAbsent(
+      (os.queryExecution.analyzed.semanticHash(), saltB),
+      _ => {
+        val row = prefixFrame(os)
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("rows"), expr("sum(cnt * (cnt - 1)) div 2").as("pairs"))
+          .first()
+        val est =
+          if (row.isNullAt(0)) CandidateEstimate(0L, 0L, 0.0, 1.0, 0L)
+          else {
+            val prefRows = row.getLong(0)
+            val pairs    = row.getLong(1)
+            val avgSz =
+              os.agg(avg(col("sz"))).first().getDouble(0)
+            val sample = os.filter(pmod(xxhash64(col("doc_id")), lit(10)) === 0)
+            val sPref  = prefixFrame(sample)
+            val sEnum = sPref
+              .groupBy("tok")
+              .agg(count(lit(1)).as("cnt"))
+              .agg(expr("sum(cnt * (cnt - 1)) div 2").as("pairs"))
+              .first()
+            val sampleEnum = if (sEnum.isNullAt(0)) 0L else sEnum.getLong(0)
+            val survival =
+              if (sampleEnum == 0L) 1.0
+              else {
+                val sSurv = sPref
+                  .alias("a")
+                  .join(
+                    sPref.alias("b"),
+                    col("a.tok") === col("b.tok") &&
+                      col("a.doc_id") < col("b.doc_id") &&
+                      col("a.sz") * TNum <= col("b.sz") * TDen &&
+                      col("b.sz") * TNum <= col("a.sz") * TDen &&
+                      lit(1) + least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1) >=
+                      expr(
+                        s"(${TNum}L * (CAST(a.sz AS BIGINT) + b.sz) + ${TNum + TDen - 1}L) div ${TNum + TDen}L"
+                      )
+                  )
+                  .select(col("a.doc_id"), col("b.doc_id"))
+                  .distinct()
+                  .count()
+                math.min(1.0, sSurv.toDouble / sampleEnum)
+              }
+            val surviving = (pairs * survival).toLong
+            // the prunes are JOIN conditions, so only SURVIVORS reach any
+            // exchange: twice as bare pairs (distinct + the d1 spread),
+            // once carrying the hash-array payload (the d2 verify route,
+            // whose SMJ sort also SPILLS ~this volume — the r12/r13
+            // ENOSPCs died in that spill, so the footprint model keeps raw
+            // bytes; LZ4 savings on the shuffle files are the safety
+            // margin, not the estimate)
+            val raw = surviving * 2 * CandRowBytes +
+              surviving * (VerifyRowOverhead + (avgSz * HashTokBytes).toLong) +
+              prefRows * saltB * PrefRowBytes
+            CandidateEstimate(prefRows, pairs, avgSz, survival, raw)
+          }
+        System.err.println(
+          f"[setjoin] candidate estimate: prefix_rows=${est.prefRows} enum_pairs=${est.enumPairs} " +
+            f"avg_sz=${est.avgSz}%.1f sampled_survival=${est.survival}%.3f " +
+            f"surviving_pairs=${est.survivingPairs} " +
+            f"predicted_bytes=${est.bytes} (~${est.bytes / 1048576.0}%.0f MiB) saltB=$saltB"
+        )
+        est
+      }
+    )
+  }
+
+  /** Optional enumeration-shuffle budget in bytes (suffixes k/m/g accepted):
+    * when [[candidateEstimate]] predicts more, [[similarityJoin]] switches
+    * to bounded-wave enumeration sized so each wave stays under it. Unset ⇒
+    * single wave (the plan the 10× gate certified). This is the knob a
+    * single-node run sets to its free scratch disk; on a real cluster the
+    * shuffle distributes across executor disks and the budget is the
+    * per-node aggregate.
+    */
+  private[graft] def shuffleBudget: Option[Long] =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_BUDGET").map { s =>
+      try parseBytes(s)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SHUFFLE_BUDGET='$s' is not a byte count; use e.g. 40g, 512m, 1000000")
+      }
+    }
+
+  private[graft] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else (t, 1L)
+    (num.toDouble * mult).toLong
+  }
 
 
   /** Per-doc shingle sets ordered by the global rare-first canonical
@@ -141,9 +375,30 @@ object SetJoin {
     * size-derived fan-out was measured at sf0.1 and bought nothing (the
     * small-scale residual is the spread/hok correctness work, not the
     * salt), so the plan the 10× gate certified is the plan at every data
-    * scale; only the SESSION's core count moves the fan-out.
+    * scale; only the SESSION's core count moves the fan-out. When a
+    * [[shuffleBudget]] is configured and [[candidateEstimate]] predicts the
+    * enumeration shuffle exceeds it, the join switches to bounded-wave
+    * enumeration ([[similarityJoinWaved]]) — output-identical, footprint
+    * bounded per wave.
     */
-  def similarityJoin(docs: DataFrame): DataFrame = similarityJoinWith(docs, saltBFor(docs))
+  def similarityJoin(docs: DataFrame): DataFrame = {
+    val saltB = saltBFor(docs)
+    val est   = candidateEstimate(docs, saltB)
+    shuffleBudget match {
+      case Some(budget) if est.bytes > budget =>
+        val waves = math.min(1024L, (est.bytes + budget - 1) / budget).toInt
+        // waves partition the SALT space, so a finer split than saltB needs
+        // a wider fan-out — exactness holds at any saltB (each pair still
+        // meets exactly once at hash(d1) mod saltB); 1024 caps the prefix
+        // replication at a sane multiple
+        val saltW = math.max(saltB, waves)
+        System.err.println(
+          s"[setjoin] predicted ${est.bytes} B exceeds budget $budget B — " +
+            s"enumerating in $waves bounded waves over a $saltW-salt space")
+        similarityJoinWaved(docs, saltW, waves)
+      case _ => similarityJoinWith(docs, saltB)
+    }
+  }
 
   /** [[similarityJoin]] at an explicit salt fan-out — split out so
     * SetJoinSpec can prove the salted enumeration equals brute force on a
@@ -152,14 +407,80 @@ object SetJoin {
   private[graft] def similarityJoinWith(docs: DataFrame, saltB: Int): DataFrame = {
     val base =
       if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
-    val os  = orderedSets(base)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val pref = os.select(
+    val os = orderedSets(base)
+    verifiedForSalts(os, saltB, 0 until saltB).orderBy("d1", "d2")
+  }
+
+  /** Bounded-wave enumeration: the salt space is partitioned into `waves`
+    * residue classes and each class's candidate enumeration + verify runs
+    * as its OWN action, materialized to scratch parquet, before the next
+    * wave starts — so the peak enumeration-shuffle footprint on disk is
+    * ~1/waves of the single-wave plan's. Exactness is unchanged: each
+    * (d1, d2) pair meets at exactly one salt (= hash(d1) mod saltB), that
+    * salt lies in exactly one wave, so the union over waves is the
+    * single-wave candidate set with every pair exactly once —
+    * SetJoinSpec pins waved ≡ single-wave output. The `System.gc()`
+    * between waves nudges Spark's ContextCleaner to delete the finished
+    * wave's shuffle files (cleanup is GC-driven); on a real cluster the
+    * same wave loop bounds each executor's scratch share.
+    *
+    * The materialized union is memoized per (ordered-set plan, saltB,
+    * waves) so repeated constructions (bench reps) re-read the parquet
+    * instead of re-enumerating.
+    */
+  private[graft] def similarityJoinWaved(docs: DataFrame, saltB: Int, wavesArg: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val base =
+      if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
+    val os    = orderedSets(base)
+    val waves = math.min(math.max(1, wavesArg), saltB)
+    val key   = (os.queryExecution.analyzed.semanticHash(), saltB, waves)
+    val dir = wavedMemo.computeIfAbsent(
+      key,
+      _ => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft-setjoin-waves-" +
+          s"${(key._1 & 0x7fffffff).toHexString}-$saltB-$waves"
+        for (w <- 0 until waves) {
+          val salts = (0 until saltB).filter(_ % waves == w)
+          val t0    = System.nanoTime()
+          verifiedForSalts(os, saltB, salts)
+            .write.mode("overwrite").parquet(s"$out/w$w")
+          System.err.println(
+            f"[setjoin] wave ${w + 1}/$waves (${salts.size} salts) done in " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          System.gc()
+        }
+        out
+      }
+    )
+    spark.read
+      .parquet((0 until waves).map(w => s"$dir/w$w"): _*)
+      .orderBy("d1", "d2")
+  }
+
+  private val wavedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), String]()
+
+  /** Prefix frame: one row per (doc, prefix position, token) — the grain
+    * both the enumeration join and the volume estimator read.
+    */
+  private def prefixFrame(os: DataFrame): DataFrame =
+    os.select(
       col("doc_id"),
       col("sz"),
       posexplode(slice(col("stoks"), lit(1), prefixLen(col("sz"))))
         .as(Seq("pos", "tok"))
     )
+
+  /** The verified-pairs pipeline for a SUBSET of the salt space (unsorted;
+    * callers order). With the full salt set this is the single-wave plan
+    * unchanged; a proper subset restricts the d1 side to its own salts and
+    * replicates the d2 side across only those salts, enumerating exactly
+    * the pairs whose meeting salt falls in the subset.
+    */
+  private def verifiedForSalts(os: DataFrame, saltB: Int, salts: Seq[Int]): DataFrame = {
+    val par  = os.sparkSession.sparkContext.defaultParallelism
+    val pref = prefixFrame(os)
     // SALTED enumeration (Vernica 2010's block split, the round-11 fix for
     // quadratic-OUTPUT skew): on a saturated token space a handful of hot
     // prefix tokens hold most rows, so a plain tok-equi-join concentrates
@@ -176,11 +497,12 @@ object SetJoin {
     // 500k docs); benefit: the quadratic stage engages every core. The
     // explicit numbered repartitions keep AQE's byte-based coalescing
     // (same root cause, small input bytes) from re-serializing the sort.
-    val prefA = pref
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltB)))
+    val prefA0 = pref.withColumn("salt", pmod(hash(col("doc_id")), lit(saltB)))
+    val prefA = (if (salts.size == saltB) prefA0
+                 else prefA0.filter(col("salt").isin(salts.map(Integer.valueOf): _*)))
       .repartition(par, col("tok"), col("salt"))
     val prefB = pref
-      .withColumn("salt", explode(array((0 until saltB).map(lit): _*)))
+      .withColumn("salt", explode(array(salts.map(lit): _*)))
       .repartition(par, col("tok"), col("salt"))
     // Two output-neutral PPJoin prunes ride the candidate join itself (the
     // exact verify below only discards, so both are pure work savers — and
@@ -212,24 +534,31 @@ object SetJoin {
       )
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val s1 = os.select(
-      col("doc_id").as("d1"), col("stoks").as("s1"), col("htoks").as("h1"),
-      col("hok").as("hok1"), col("sz").as("sza"))
-    val s2 = os.select(
-      col("doc_id").as("d2"), col("stoks").as("s2"), col("htoks").as("h2"),
-      col("hok").as("hok2"), col("sz").as("szb"))
-    cands
+    val h1 = os.select(
+      col("doc_id").as("d1"), col("htoks").as("h1"), col("hok").as("hok1"), col("sz").as("sza"))
+    val h2 = os.select(
+      col("doc_id").as("d2"), col("htoks").as("h2"), col("hok").as("hok2"), col("sz").as("szb"))
+    val s1 = os.select(col("doc_id").as("d1"), col("stoks").as("s1"))
+    val s2 = os.select(col("doc_id").as("d2"), col("stoks").as("s2"))
+    val hashTier = cands
       // explicit numPartitions spread before the CPU-heavy verify: the
       // candidate frame is BYTE-small, so AQE's size-based coalescing packs
       // it into a handful of partitions and the per-row array-intersect
       // then runs nearly serial (measured: 4 tasks busy, 28 cores idle on
       // the 10× corpus). A user-NUMBERED repartition is exempt from AQE
       // coalescing, and keying it by d1 lets the first verify join reuse
-      // the exchange; after that join the rows carry the arrays, so byte-
-      // based coalescing no longer under-parallelizes downstream stages.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
-      .join(s1, "d1")
-      .join(s2, "d2")
+      // the exchange.
+      .repartition(par, col("d1"))
+      // HASH-FIRST topology (round 13): the mult=30/100 single-node gates
+      // died of ENOSPC in the exchange that routes candidate rows to their
+      // d2 side — each row was carrying the d1 side's FULL payload (string
+      // shingle array ~2 KB + hash array). Attaching only the long-hash
+      // columns here cuts that exchange's per-row payload ~3×, and the
+      // string arrays join AFTER the hash tier has pruned candidates down
+      // to ~true-pair volume (the hash bound restates J ≥ t exactly under
+      // `hok`; cross-doc collisions only over-admit a vanishing fraction).
+      .join(h1, "d1")
+      .join(h2, "d2")
       // tier-1 verify on the long-hash arrays: |∩| >= ceil(t/(1+t)(sa+sb))
       // is EXACTLY J >= t restated WHEN both sides are intra-doc
       // collision-free (hok); otherwise the hash intersection could
@@ -239,6 +568,10 @@ object SetJoin {
           size(array_intersect(col("h1"), col("h2"))) * (TNum + TDen) >=
           expr(s"${TNum}L * (CAST(sza AS BIGINT) + szb)")
       )
+      .select(col("d1"), col("d2"), col("sza"), col("szb"))
+    hashTier
+      .join(s1, "d1")
+      .join(s2, "d2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("uni", col("sza").cast("long") + col("szb") - col("inter"))
       .filter(col("inter") * TDen >= col("uni") * TNum)
@@ -249,7 +582,6 @@ object SetJoin {
         col("uni"),
         (col("inter").cast("double") / col("uni")).as("jac")
       )
-      .orderBy("d1", "d2")
   }
 
   /** Brute-force first-principles oracle: all rep pairs, exact Jaccard on

@@ -125,4 +125,77 @@ object GroupStage {
 
   def apply(lines: RDD[String], numReducers: Int, parityMode: Boolean): RDD[String] =
     if (parityMode) rankMod(lines, numReducers) else hash(lines, numReducers)
+
+  /** The reference's FULL group-stage cascade, byte-exact (round 13; input
+    * is [[graft.sources.ParityLines.sortTasks]]'s per-task line streams):
+    *
+    *   1. worker sort task: sort the task's lines (which CARRY their real
+    *      newlines), then `"".join` and write — so an unterminated line
+    *      GLUES onto its sort-successor inside the joined bytes
+    *      (`/root/reference/mapreduce/worker/__main__.py:180-186`);
+    *   2. the manager re-reads each sorted file line-by-line — the glued
+    *      bytes re-split on '\n' only (`manager/__main__.py:570-572` open +
+    *      iterate);
+    *   3. `heapq.merge` across the per-task streams (tie-break: earlier
+    *      stream), then the distinct-line counter routes line i of the
+    *      merged walk to `count % numReducers` (`manager/__main__.py:
+    *      585-593`).
+    *
+    * When every re-split stream is still sorted — ALWAYS true for
+    * newline-terminated corpora, and for unterminated tails that sort last
+    * in their task — heapq.merge's emission order IS the global sort, the
+    * distinct walk IS sorted-distinct rank, and the whole cascade equals
+    * [[rankModRaw]] over the flattened streams: that distributed path runs.
+    * A glued line can break stream sortedness (e.g. lines {"b", "b\n",
+    * "ba\n"} join to "bb\nba\n" — "bb\n" > "ba\n"); heapq.merge's output is
+    * then NOT the global sort, so the cascade falls back to an exact
+    * driver-side simulation — the parity tier is golden-fixture scale by
+    * definition (see [[graft.sources.ParityLines]]'s scaladoc for why the
+    * scalable tier keeps stripped splittable reads).
+    */
+  def referenceGroup(taskStreams: RDD[(Int, Seq[String])], numReducers: Int): RDD[String] = {
+    val streams = taskStreams.mapValues { lines =>
+      graft.sources.ParityLines.splitKeepingNewlines(lines.sorted.mkString(""))
+    }
+    val anomalies = streams
+      .filter { case (_, s) => s.lazyZip(s.drop(1)).exists(_ > _) }
+      .count()
+    if (anomalies == 0L) rankModRaw(streams.flatMap(_._2), numReducers)
+    else {
+      val sc        = taskStreams.sparkContext
+      val collected = streams.collect().sortBy(_._1).map(_._2).toSeq
+      val buckets   = Array.fill(numReducers)(Vector.newBuilder[String])
+      var count     = -1
+      var prev: String = null
+      heapqMerge(collected).foreach { line =>
+        if (line != prev) { prev = line; count += 1 }
+        buckets(count % numReducers) += line
+      }
+      val routed = buckets.map(_.result())
+      // parallelize(0 until n, n) places element i in partition i, so the
+      // bucket id stays the partition id exactly like the fast path
+      sc.parallelize(0 until numReducers, numReducers).flatMap(i => routed(i))
+    }
+  }
+
+  /** `heapq.merge` semantics: k sorted-ish streams, always pop the smallest
+    * head, ties broken toward the earlier stream (Python enqueues
+    * (value, stream-order) tuples). With unsorted streams (the glue
+    * anomaly) the output is NOT globally sorted but is exactly what the
+    * reference's manager walks.
+    */
+  private[graft] def heapqMerge(streams: Seq[Seq[String]]): Iterator[String] = {
+    val iters = streams.map(_.iterator).toArray
+    implicit val ord: Ordering[(String, Int)] = Ordering.Tuple2[String, Int].reverse
+    val pq = scala.collection.mutable.PriorityQueue.empty[(String, Int)]
+    for (i <- iters.indices if iters(i).hasNext) pq.enqueue((iters(i).next(), i))
+    new Iterator[String] {
+      def hasNext: Boolean = pq.nonEmpty
+      def next(): String = {
+        val (line, i) = pq.dequeue()
+        if (iters(i).hasNext) pq.enqueue((iters(i).next(), i))
+        line
+      }
+    }
+  }
 }

@@ -48,4 +48,32 @@ object Sinks {
     deleteRecursively(tmp)
     moved.toSeq
   }
+
+  /** Byte-verbatim sink for the raw-parity tier: lines already CARRY their
+    * real terminators (from [[graft.sources.ParityLines]] /
+    * [[GroupStage.referenceGroup]]), so each partition's bytes are written
+    * EXACTLY — no appended newline, reproducing the reference's output
+    * files including a missing final newline (`saveAsTextFile` terminates
+    * every record, which is the one byte it cannot represent). Partition i
+    * writes `outputfileNN` directly; the write runs executor-side like the
+    * text sink's (on a shared filesystem in cluster mode — parity jobs are
+    * golden-fixture scale on a local session by definition).
+    */
+  def outputFilesRaw(grouped: RDD[String], outputDirectory: String): Seq[String] = {
+    val out = Paths.get(outputDirectory)
+    deleteRecursively(out)
+    Files.createDirectories(out)
+    val dirStr = out.toAbsolutePath.toString
+    grouped
+      .mapPartitionsWithIndex { case (i, it) =>
+        val target = Paths.get(dirStr, f"outputfile${i + 1}%02d")
+        val w = Files.newBufferedWriter(target, java.nio.charset.StandardCharsets.UTF_8)
+        try it.foreach(w.write)
+        finally w.close()
+        Iterator.single(target.toString)
+      }
+      .collect()
+      .toSeq
+      .sorted
+  }
 }

@@ -55,4 +55,28 @@ object ParityLines {
     sc.wholeTextFiles(path, minPartitions).flatMap { case (_, content) =>
       splitKeepingNewlines(content)
     }
+
+  /** The reference's SORT-TASK grain, byte-exact (round 13, closing the
+    * multi-file-per-task gap ADVICE r12 flagged): the manager sorts the
+    * input file list by path and deals files round-robin over `numTasks`
+    * task lists (`/root/reference/mapreduce/manager/__main__.py:403-415`
+    * `partition[index % num_worker].append(file)`), and each sort task
+    * CONCATENATES its files' raw bytes before splitting into lines
+    * (`worker/__main__.py:174-177` `input_merge += file.read()`) — so a
+    * file that ends mid-line merges its tail with the NEXT file's first
+    * line within the same task. Returns one element per task:
+    * (taskIndex, lines-with-real-newlines after the concat).
+    *
+    * The file-name collect is the same driver-side metadata pass the
+    * reference's manager performs (its glob + sort); contents stay
+    * executor-side.
+    */
+  def sortTasks(sc: SparkContext, path: String, numTasks: Int): RDD[(Int, Seq[String])] = {
+    val files = sc.wholeTextFiles(path, numTasks)
+    val order = files.keys.collect().sorted.zipWithIndex.toMap
+    files
+      .map { case (f, content) => (order(f) % numTasks, (order(f), content)) }
+      .groupByKey(numTasks)
+      .mapValues(fs => splitKeepingNewlines(fs.toSeq.sortBy(_._1).map(_._2).mkString("")))
+  }
 }

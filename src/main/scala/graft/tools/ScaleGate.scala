@@ -48,7 +48,12 @@ object ScaleGate {
       // first probing query's wall, confounding e.g. q_kcore's gate with
       // the knn_graph build)
       artifactsClean: Map[String, Double] = Map.empty,
-      artifactsHot: Map[String, Double] = Map.empty)
+      artifactsHot: Map[String, Double] = Map.empty,
+      // (log2 occupancy class, buckets, enum pairs, max occupancy) of the
+      // clean corpus's LSH band buckets — docs-only gates record this so
+      // superlinear candidate-volume growth is pinned to measured bucket
+      // occupancy instead of argued (round 13)
+      bandOccupancy: Seq[(Int, Long, Long, Long)] = Nil)
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
     System.gc()
@@ -68,46 +73,56 @@ object ScaleGate {
       docsOnly: Boolean = false): GateResult = {
     val clean = s"$workDir/clean"
     val hot   = s"$workDir/hot"
-    // reuse is gated on an explicit marker written only after BOTH corpora
-    // finish — sentinel-on-first-artifact (hot/lineitem _SUCCESS) treated a
-    // build interrupted mid-way as complete and every query touching the
-    // missing tables reported spurious errors
-    val done = new java.io.File(s"$workDir/GRAFT_CORPORA_DONE")
-    if (!done.exists()) {
-      System.err.println(s"[scale-gate] building ${mult}x corpora from $base under $workDir" +
-        (if (docsOnly) " (documents only)" else ""))
-      if (docsOnly) {
+
+    // Corpus-VARIANT selection (round 13): the 100× spot gates cannot hold
+    // two 5M-doc corpora's cached dedup structures in one JVM (r12:
+    // GC-thrash to heartbeat death, twice, deserialized AND serialized at
+    // 80 g) — but clean-ONLY runs leave the hot/clean ratio unmeasured at
+    // 100×. SPARK_GRAFT_GATE_VARIANT = clean | hot | both (default both;
+    // the legacy SPARK_GRAFT_GATE_CLEAN_ONLY still means clean) runs ONE
+    // corpus per JVM: a clean-variant run and a hot-variant run in separate
+    // JVMs yield the 100× ratio without ever co-residenting the caches.
+    // Per-variant walls land in the same artifacts; breach checking needs a
+    // matched in-JVM pair, so single-variant runs record walls only.
+    val variant = sys.env
+      .get("SPARK_GRAFT_GATE_VARIANT")
+      .getOrElse(if (sys.env.contains("SPARK_GRAFT_GATE_CLEAN_ONLY")) "clean" else "both")
+    require(
+      Set("clean", "hot", "both")(variant),
+      s"SPARK_GRAFT_GATE_VARIANT='$variant' must be clean, hot or both")
+    val wantClean = variant != "hot"
+    val wantHot   = variant != "clean"
+
+    // reuse is gated on an explicit per-corpus marker written only after
+    // that corpus finishes — sentinel-on-first-artifact (hot/lineitem
+    // _SUCCESS) treated a build interrupted mid-way as complete and every
+    // query touching the missing tables reported spurious errors
+    def ensure(dir: String, hotVariant: Boolean): Unit = {
+      val done = new java.io.File(s"$dir/GRAFT_CORPUS_DONE")
+      if (done.exists()) { System.err.println(s"[scale-gate] reusing corpus $dir"); return }
+      System.err.println(s"[scale-gate] building ${mult}x ${if (hotVariant) "hot" else "clean"} " +
+        s"corpus from $base" + (if (docsOnly) " (documents only)" else ""))
+      if (docsOnly)
         // spot-gate mode for the candidate-volume-bound document family:
         // the gated queries read only documents, so the other tables'
         // blow-up (10× the disk/build at mult=100) is skipped — a query
         // that does touch them fails loudly on the missing path
-        StressGen.writeDocsOnly(spark, base, clean, mult, hot = false, partsScale = 8)
-        StressGen.writeDocsOnly(spark, base, hot, mult, hot = true, partsScale = 8)
-      } else {
-        StressGen.write(spark, base, clean, mult, hot = false, partsScale = 4)
-        StressGen.write(spark, base, hot, mult, hot = true, partsScale = 4)
-      }
+        StressGen.writeDocsOnly(spark, base, dir, mult, hot = hotVariant, partsScale = 8)
+      else StressGen.write(spark, base, dir, mult, hot = hotVariant, partsScale = 4)
       done.createNewFile(): Unit
-    } else System.err.println(s"[scale-gate] reusing corpora under $workDir")
+    }
+    if (wantClean) ensure(clean, hotVariant = false)
+    if (wantHot) ensure(hot, hotVariant = true)
 
     // optional subset for local iteration, same contract as Bench
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
 
-    // clean-only mode (SPARK_GRAFT_GATE_CLEAN_ONLY=1): record clean walls
-    // without the hot variant. The 100× spot gates need this — the gated
-    // trio's cached dedup structures for ONE 5M-doc corpus fill most of a
-    // single JVM's storage pool, and holding BOTH corpora's caches at once
-    // GC-thrashed the driver to heartbeat death twice (observed at 80g,
-    // deserialized AND serialized). The hot/clean pathology ratio stays
-    // the 10× full sweep's job; the 100× question is the clean wall.
-    val cleanOnly = sys.env.contains("SPARK_GRAFT_GATE_CLEAN_ONLY")
-
     // offline builds (IVF index, z-order layout, dedup caches, bigram LM)
-    // for BOTH dirs, so per-query timings measure the steady-state path;
+    // per selected dir, so per-query timings measure the steady-state path;
     // their walls are reported separately (build vs probe), never inside a
     // gated query's wall
-    val artClean = graft.Bench.warmUp(spark, clean, only)
-    val artHot   = if (cleanOnly) Map.empty[String, Double] else graft.Bench.warmUp(spark, hot, only)
+    val artClean = if (wantClean) graft.Bench.warmUp(spark, clean, only) else Map.empty[String, Double]
+    val artHot   = if (wantHot) graft.Bench.warmUp(spark, hot, only) else Map.empty[String, Double]
 
     val names = only
       .map(o => graft.SparkEntry.queries.keys.filter(o).toSeq)
@@ -116,8 +131,8 @@ object ScaleGate {
     val timings = names.zipWithIndex.map { case (name, i) =>
       val t =
         try {
-          val tc = timed(spark, name, clean)
-          val th = if (cleanOnly) 0.0 else timed(spark, name, hot)
+          val tc = if (wantClean) timed(spark, name, clean) else 0.0
+          val th = if (wantHot) timed(spark, name, hot) else 0.0
           Timing(name, tc, th, None)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -131,9 +146,10 @@ object ScaleGate {
     }
 
     // re-measure suspicious ratios as matched pairs; only a reproduced
-    // breach counts (same discipline as StressSpec.assertBounded)
+    // breach counts (same discipline as StressSpec.assertBounded). A
+    // single-variant run has no in-JVM pair to check — walls only.
     val rechecked = timings.map { t =>
-      if (t.err.isEmpty && t.ratio > Ceiling) {
+      if (variant == "both" && t.err.isEmpty && t.ratio > Ceiling) {
         System.err.println(s"[scale-gate] re-measuring ${t.name} (first ratio ${t.ratio})")
         try {
           val t2 = Timing(t.name, timed(spark, t.name, clean), timed(spark, t.name, hot), None)
@@ -148,12 +164,26 @@ object ScaleGate {
       } else t
     }
 
+    // docs-only gates target the candidate-volume-bound dedup family —
+    // record the clean corpus's band-occupancy histogram alongside the
+    // walls (the saturation telemetry the walls are explained by)
+    val occ =
+      if (docsOnly)
+        graft.ext.Dedup
+          .bandOccupancy(graft.core.Tables(spark, if (wantClean) clean else hot).documents)
+          .collect()
+          .toSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      else Nil
+
     GateResult(
       rechecked,
-      rechecked.filter(t => t.err.isEmpty && t.ratio > Ceiling),
+      if (variant == "both") rechecked.filter(t => t.err.isEmpty && t.ratio > Ceiling)
+      else Nil,
       rechecked.filter(_.err.isDefined),
       artClean,
-      artHot
+      artHot,
+      occ
     )
   }
 
@@ -169,6 +199,13 @@ object ScaleGate {
       sb ++= "| artifact | clean build s | hot build s |\n|---|---|---|\n"
       for (k <- (r.artifactsClean.keySet ++ r.artifactsHot.keySet).toSeq.sorted)
         sb ++= f"| $k | ${r.artifactsClean.getOrElse(k, -1.0)}%.2f | ${r.artifactsHot.getOrElse(k, -1.0)}%.2f |\n"
+      sb ++= "\n"
+    }
+    if (r.bandOccupancy.nonEmpty) {
+      sb ++= "Clean-corpus LSH band occupancy (log2 classes):\n\n"
+      sb ++= "| 2^k ≤ occupancy | buckets | enum pairs | max occupancy |\n|---|---|---|---|\n"
+      for ((cls, buckets, pairs, mx) <- r.bandOccupancy)
+        sb ++= s"| 2^$cls | $buckets | $pairs | $mx |\n"
       sb ++= "\n"
     }
     sb ++= "| query | clean s | hot s | hot/clean |\n|---|---|---|---|\n"
@@ -193,11 +230,17 @@ object ScaleGate {
       md.getBytes("UTF-8")
     )
     val ok = result.breaches.isEmpty && result.failed.isEmpty
+    val occJson =
+      if (result.bandOccupancy.isEmpty) ""
+      else
+        result.bandOccupancy
+          .map { case (c, b, p, m) => s"""{"log2":$c,"buckets":$b,"enum_pairs":$p,"max":$m}""" }
+          .mkString(""","band_occupancy":[""", ",", "]")
     println(
       s"""{"queries":${result.timings.size},"breaches":${result.breaches.size},""" +
         s""""errors":${result.failed.size},"ok":$ok,""" +
         f""""artifact_build_clean_sec":${result.artifactsClean.values.sum}%.1f,""" +
-        f""""artifact_build_hot_sec":${result.artifactsHot.values.sum}%.1f,""" +
+        f""""artifact_build_hot_sec":${result.artifactsHot.values.sum}%.1f$occJson,""" +
         s""""table":"$workDir/SCALE_GATE.md"}"""
     )
     spark.stop()

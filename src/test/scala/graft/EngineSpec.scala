@@ -51,6 +51,70 @@ class EngineSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("rawParity job reproduces the reference route byte-for-byte on unterminated input") {
+    // The GroupStageSpec unterminated fixture, promoted to the E2E API
+    // path (round-13 verdict task 3). Hand-replay of the FULL reference
+    // cascade at numMappers=2 (sort tasks: [file01], [file02]):
+    //   task0 lines sorted:  bar\n foo\n zap\n            (unchanged)
+    //   task1 worker sort:   bar\n, foo, qux\n  → join →  "bar\t1\nfoo\t1qux\t1\n"
+    //     — the unterminated foo GLUES onto qux inside the worker's
+    //       "".join (worker __main__.py:184-186); the manager re-reads
+    //       TWO lines: "bar\t1\n", "foo\t1qux\t1\n"
+    //   heapq.merge: bar\n(t0) bar\n(t1) foo\t1\n(t0) foo\t1qux\t1\n(t1) zap\n(t0)
+    //   distinct walk: bar→0 (both copies), foo\n→1, fooqux→2, zap→3
+    //   % 2 → file01: bar bar fooqux ; file02: foo\n zap\n
+    val dir = Files.createTempDirectory("rawparity-in")
+    def put(name: String, bytes: String): Unit = {
+      Files.write(dir.resolve(name), bytes.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    put("file01", "bar\t1\nfoo\t1\nzap\t1\n")
+    put("file02", "bar\t1\nqux\t1\nfoo\t1") // no trailing newline
+    val engine = new Engine(spark, rawParity = true)
+    val out    = tmpDir("rawparity")
+    try {
+      val res   = engine.runJob(JobSpec(dir.toString, out, "identity", "identity", 2, 2))
+      def bytes(f: String) =
+        new String(Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+      assert(res.outputFiles.size == 2)
+      assert(bytes(res.outputFiles(0)) == "bar\t1\nbar\t1\nfoo\t1qux\t1\n")
+      assert(bytes(res.outputFiles(1)) == "foo\t1\nzap\t1\n")
+
+      // non-identity executables are rejected loudly — the pipe tier
+      // re-terminates lines, silently defeating byte parity
+      intercept[IllegalArgumentException] {
+        engine.runJob(JobSpec(dir.toString, out, "wc_map", "wc_reduce", 2, 2))
+      }
+    } finally graft.ops.Sinks.deleteRecursively(dir)
+  }
+
+  test("rawParity models per-task file concatenation (multi-file sort task)") {
+    // ADVICE r12 (medium): with MORE files than sort tasks, the reference
+    // concatenates raw bytes per task BEFORE readlines — an unterminated
+    // file's tail merges with the next file's first line. numMappers=1 puts
+    // both files in ONE task: "foo\t1" + "bar\t1\n..." → line "foo\t1bar\t1\n".
+    // Replay: task lines = aaa\n foo1bar1\n zzz\n (sorted already);
+    // distinct walk: aaa→0 foo1bar1→1 zzz→0 (numReducers=2... count 2 % 2 = 0)
+    val dir = Files.createTempDirectory("rawparity-concat")
+    def put(name: String, bytes: String): Unit = {
+      Files.write(dir.resolve(name), bytes.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    put("file01", "aaa\t1\nfoo\t1")         // unterminated, NOT last line of its task
+    put("file02", "bar\t1\nzzz\t1\n")
+    val engine = new Engine(spark, rawParity = true)
+    val out    = tmpDir("rawparity-concat")
+    try {
+      val res = engine.runJob(JobSpec(dir.toString, out, "identity", "identity", 1, 2))
+      def bytes(f: String) =
+        new String(Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+      // concat = "aaa\t1\nfoo\t1bar\t1\nzzz\t1\n" → lines aaa\n, foo1bar1\n, zzz\n
+      // sorted: aaa < foo\t1bar... < zzz; distinct ranks 0,1,2 → %2 = 0,1,0
+      assert(bytes(res.outputFiles(0)) == "aaa\t1\nzzz\t1\n")
+      assert(bytes(res.outputFiles(1)) == "foo\t1bar\t1\n")
+    } finally graft.ops.Sinks.deleteRecursively(dir)
+  }
+
   test("hash router mode produces the same multiset of results") {
     val engine = new Engine(spark, parityMode = false)
     val out = tmpDir("wchash")

@@ -1141,5 +1141,24 @@ class ExtSpec extends SparkSpec {
     val fp = Dedup.ngramVerifiedPairs(fixDocs, pruned = true).collect().map(_.toSeq).toSeq
     val fu = Dedup.ngramVerifiedPairs(fixDocs, pruned = false).collect().map(_.toSeq).toSeq
     assert(fp == fu, "tiered prune changed the fixture output")
+
+    // band-saturation re-route (round 13): with the threshold forced BELOW
+    // this corpus's bucket occupancy, over-occupied buckets enumerate via
+    // the exact prefix filter instead of the |B|² band join — the output
+    // must be identical (every within-bucket pair is a candidate; the
+    // prefix bound only drops pairs the 3/10 verify drops anyway)
+    val occ = Dedup.bandOccupancy(docs).collect()
+    val maxOcc = occ.map(_.getLong(3)).max
+    assert(maxOcc > 4, s"corpus not saturated enough to exercise the re-route (max occupancy $maxOcc)")
+    assert(occ.map(_.getLong(2)).sum > 0, "occupancy histogram lost the enumeration column")
+    val rerouted = Dedup
+      .ngramVerifiedPairs(docs, pruned = true, sat = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(
+      rerouted == pruned,
+      s"saturation re-route changed the output:\n rerouted=$rerouted\n band-join=$pruned"
+    )
   }
 }

@@ -68,6 +68,36 @@ class GroupStageSpec extends SparkSpec {
     assert(parts(1) == List("b\t1", "d\t1"))
   }
 
+  test("referenceGroup replays the heapq.merge walk when the sort-join glue breaks stream order") {
+    // The one shape where the reference's cascade is NOT a global sort:
+    // task lines {"b", "b\n", "ba\n"} worker-sort to [b, b\n, ba\n], the
+    // "".join glues the unterminated "b" onto "b\n" → bytes "bb\nba\n",
+    // and the manager re-reads ["bb\n", "ba\n"] — an UNSORTED stream.
+    // heapq.merge then emits stream-order for that file, not sorted order.
+    // Replay with a second (sorted) task ["ab\n", "bc\n"]:
+    //   merge: ab\n | bb\n | ba\n | bc\n  (pop smallest head; after bb\n
+    //   the s0 head is ba\n, which loses to nothing — emitted next)
+    //   distinct walk: ab→0 bb→1 ba→2 bc→3; %2 → b0=[ab, ba], b1=[bb, bc]
+    val t0 = Seq("b\n", "ba\n", "b")  // readlines() of "b\nba\nb"
+    val t1 = Seq("ab\n", "bc\n")
+    val streams = spark.sparkContext.parallelize(Seq((0, t0), (1, t1)), 2)
+    val parts = GroupStage
+      .referenceGroup(streams, 2)
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.toList)) }
+      .collect()
+      .toMap
+    assert(parts(0) == List("ab\n", "ba\n"))
+    assert(parts(1) == List("bb\n", "bc\n"))
+    // a plain global-sort router would route bb\n with ab\n — the cascade
+    // semantics (emission order, not sorted order) are load-bearing here
+    val flat = GroupStage
+      .rankModRaw(spark.sparkContext.parallelize(Seq("bb\n", "ba\n") ++ t1, 2), 2)
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.toList)) }
+      .collect()
+      .toMap
+    assert(flat != parts)
+  }
+
   test("newline-preserving rank-mod matches the reference byte-for-byte on an unterminated fixture") {
     // Fixture: two "map output" files, the second ending MID-LINE — the
     // shape textFile cannot represent (it strips terminators). The
