@@ -358,10 +358,62 @@ object Bench {
     // Per-artifact offline-build wall time, separated from the per-query
     // probe timings (see warmUp's scaladoc): `value`/`queries` are
     // steady-state probe costs ONLY; the one-time index/cache builds are
-    // accounted here and never double-counted into a query.
-    val artJson = artifacts.toSeq.sortBy(_._1)
+    // accounted here and never double-counted into a query. Round 14 also
+    // merges walls recorded DURING the sweep (graft.core.BuildWalls — the
+    // bounded-wave enumeration memos, whose later reps just re-read
+    // parquet; min-of-N would otherwise silently drop the build cost).
+    val artJson = (artifacts ++ graft.core.BuildWalls.snapshot).toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+
+    // FIXTURE FINGERPRINT (round 14): 32 same-plan queries drifted up to
+    // 2.8× in r13 and the cause — the driver regenerating /root/testdata —
+    // had to be established forensically. Stamping per-table row counts and
+    // bytes into the artifact lets benchdiff split same-plan deltas into
+    // DATA (fixture changed, deterministic) vs HOST (noise) without an
+    // investigation. Parquet footer metadata makes the counts cheap; runs
+    // after all timed reps so it cannot perturb a timing.
+    def duBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(duBytes).sum
+    val fixture = Sql.tableNames.flatMap { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      if (!f.exists()) None
+      else {
+        val rows =
+          try spark.read.parquet(f.getAbsolutePath).count()
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        Some((t, rows, duBytes(f)))
+      }
+    }
+    val fixtureJson = fixture
+      .map { case (t, r, b) => "\"" + esc(t) + "\":{\"rows\":" + r + ",\"bytes\":" + b + "}" }
+      .mkString("{", ",", "}")
+
+    // Graph-shape stamp (round 14, q_pagerank attribution): the pagerank/
+    // HITS family's cost is edge-count- and degree-shaped, not row-shaped,
+    // so a same-plan drift on them needs these two numbers to be
+    // attributable at a glance. One distinct + one aggregate over the
+    // bipartite pair grain GraphQueries reads.
+    val graphJson =
+      if (!fixture.exists(_._1 == "lineitem")) "{}"
+      else
+        try {
+          import org.apache.spark.sql.functions.{col, count, lit, max, coalesce}
+          val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+            .distinct()
+          val e = pairs.count()
+          val md = pairs
+            .select((col("sk") * 2).as("n"))
+            .union(pairs.select((col("pk") * 2 + 1).as("n")))
+            .groupBy("n")
+            .agg(count(lit(1)).as("d"))
+            .agg(coalesce(max(col("d")), lit(0L)))
+            .first()
+            .getLong(0)
+          s"""{"edges":${2 * e},"max_degree":$md}"""
+        } catch { case scala.util.control.NonFatal(_) => "{}" }
     val sentJson = sentinelRuns.toSeq
       .map { case (k, ts) => "\"" + esc(k) + "\":[" + ts.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
@@ -369,7 +421,7 @@ object Bench {
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"noise_floor":${fmt(noiseFloor)},"sentinel_cold":$coldJson,"sentinels":$sentJson,"plan_fp":$fps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"noise_floor":${fmt(noiseFloor)},"sentinel_cold":$coldJson,"sentinels":$sentJson,"fixture":$fixtureJson,"graph":$graphJson,"plan_fp":$fps}"""
     // A SPARK_GRAFT_ONLY iteration run must not clobber the committed
     // full-registry snapshot with a partial map (it did once: a 2-query
     // targeted run overwrote the 169-query artifact the judge reads).

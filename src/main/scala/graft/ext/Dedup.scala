@@ -168,9 +168,15 @@ object Dedup {
     * a fixture dir rewritten mid-session must not reuse the session.
     */
   private val dupProbeMemo =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
 
-  private[graft] def hasExactDups(docs: DataFrame): Boolean =
+  /** Memoized max exact-copy multiplicity — the boolean routes the pair
+    * family between the plain and pre-collapsed paths; the MAGNITUDE
+    * (round 14) sizes the member-expansion spread in q_contamination (a
+    * 300k-copy group's quadratic expansion must not land on one task; an
+    * 8-copy group must not pay a salted plan for it).
+    */
+  private[graft] def maxCopies(docs: DataFrame): Long =
     dupProbeMemo
       .computeIfAbsent(
         docs.queryExecution.analyzed.semanticHash(),
@@ -178,9 +184,11 @@ object Dedup {
           exactGroups(docs)
             .agg(coalesce(max("copies"), lit(0L)).as("m"))
             .head()
-            .getLong(0) > 1L
+            .getLong(0)
       )
-      .booleanValue()
+      .longValue()
+
+  private[graft] def hasExactDups(docs: DataFrame): Boolean = maxCopies(docs) > 1L
 
   /** Representative doc ids (min doc_id per distinct text). */
   private[graft] def repIds(docs: DataFrame): DataFrame =
@@ -248,17 +256,29 @@ object Dedup {
 
   /** The band self-join itself, over whatever signature table the caller
     * chose — [[candidatePairs]] feeds it the collapsed grain; tests feed it
-    * the raw grain to prove the collapse output-equivalent.
+    * the raw grain to prove the collapse output-equivalent. `d1Wave`
+    * (round 14) restricts the D1 side to one hash(doc_id) residue class
+    * BEFORE any pair exists — the band family's bounded-wave partition:
+    * every emitted pair has d1 = a.doc_id, so each pair lands in exactly
+    * the wave owning its d1 and the union over waves is the full set.
     */
-  private[graft] def candidatePairsFrom(sigs: DataFrame): DataFrame =
-    bandSelfJoin(bands(sigs)).distinct()
+  private[graft] def candidatePairsFrom(
+      sigs: DataFrame,
+      d1Wave: Option[(Int, Int)] = None): DataFrame =
+    bandSelfJoin(bands(sigs), d1Wave).distinct()
 
   /** The raw (pre-distinct) band-bucket pair enumeration over an arbitrary
     * band-row frame — split out so the saturation re-route can run it over
-    * the NON-saturated buckets only.
+    * the NON-saturated buckets only. The wave filter sits on the A side
+    * (the d1 producer), so a waved run's enumeration join INPUT is already
+    * 1/waves — the filter never waits for pairs to exist.
     */
-  private def bandSelfJoin(b: DataFrame): DataFrame =
-    b.alias("a")
+  private def bandSelfJoin(b: DataFrame, d1Wave: Option[(Int, Int)] = None): DataFrame = {
+    val a = d1Wave match {
+      case Some((n, w)) => b.filter(pmod(hash(col("doc_id")), lit(n)) === w)
+      case None         => b
+    }
+    a.alias("a")
       .join(
         b.alias("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -266,6 +286,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id")
       )
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  }
 
   /** Band-bucket occupancy histogram over the (collapsed-grain) band
     * table — the telemetry the 100× gates record (round 13): one row per
@@ -343,11 +364,14 @@ object Dedup {
     * 3/10 Jaccard prefix would prune — which is why the re-route lives
     * here and not in the shared [[candidatePairs]].
     */
-  private[graft] def ngramCandidatePairs(docs: DataFrame, sat: Int): DataFrame = {
+  private[graft] def ngramCandidatePairs(
+      docs: DataFrame,
+      sat: Int,
+      d1Wave: Option[(Int, Int)] = None): DataFrame = {
     val sigs =
       if (hasExactDups(docs)) cached(signatures(docs).join(repIds(docs), "doc_id"))
       else signatures(docs)
-    if (!hasSaturatedBuckets(docs, sigs, sat)) candidatePairsFrom(sigs)
+    if (!hasSaturatedBuckets(docs, sigs, sat)) candidatePairsFrom(sigs, d1Wave)
     else {
       val b = bands(sigs)
       val occ = b.groupBy("band_id", "band_val").agg(count(lit(1)).as("n"))
@@ -355,7 +379,7 @@ object Dedup {
       val satKeys = broadcast(
         occ.filter(col("n") > sat).select("band_id", "band_val"))
       val bKeys   = Seq("band_id", "band_val")
-      val candN   = bandSelfJoin(b.join(satKeys, bKeys, "left_anti"))
+      val candN   = bandSelfJoin(b.join(satKeys, bKeys, "left_anti"), d1Wave)
       val satDocs = b.join(satKeys, bKeys)
       // rare-first canonical gram order over the saturated members (any
       // global order preserves completeness; df over this subset is the
@@ -382,7 +406,9 @@ object Dedup {
           col("sz")
         )
       val saltB = SetJoin.saltBFor(docs)
-      candN.union(SetJoin.groupedPrefixCandidates(sets, NgTNum, NgTDen, saltB)).distinct()
+      candN
+        .union(SetJoin.groupedPrefixCandidates(sets, NgTNum, NgTDen, saltB, d1Wave))
+        .distinct()
     }
   }
 
@@ -441,6 +467,120 @@ object Dedup {
         )
     )
 
+  /** Predicted footprint of a band-candidate verify, computed BEFORE any
+    * pair is enumerated — [[SetJoin.CandidateEstimate]]'s analog for the
+    * band family (round 14; the 5M-doc telemetry predicted >100 GB of
+    * verify traffic against 78 GB free, and unlike set-join the family
+    * could SEE the ceiling but not bound it).
+    *
+    *   - `enumPairs`: Σ n·(n−1)/2 over band buckets at the collapsed grain
+    *     — one aggregate over the cached band table, an upper bound on the
+    *     rows entering the candidate distinct (for the saturation-re-routed
+    *     buckets the prefix principle enumerates FEWER, so the bound only
+    *     over-predicts — the safe side for a wave decision);
+    *   - `survival`: distinct-candidates / raw-enumeration measured on a
+    *     deterministic ~10% doc sample through the REAL band self-join +
+    *     distinct (pair volume scales as the sample rate squared, so the
+    *     sample join costs ~1% of the real enumeration);
+    *   - `bytes`: the three exchanges every verify pays — raw pairs into
+    *     the candidate distinct, distinct pairs through the numbered d1
+    *     spread, and the d2-routing exchange carrying the xxhash64 payload
+    *     (whose SMJ sort also spills ~that volume; raw bytes kept, LZ4 is
+    *     the margin — the exact model SetJoinGate validated at three
+    *     scales, ratios 0.93/1.18/1.25).
+    */
+  final case class VerifyEstimate(
+      enumPairs: Long,
+      survival: Double,
+      avgPayload: Double,
+      bytes: Long) {
+    def distinctPairs: Long = (enumPairs * survival).toLong
+  }
+
+  private val verifyEstMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), VerifyEstimate]()
+
+  /** Memoized per (documents plan, payload grain). `grain` picks the
+    * verify payload the d2 exchange carries: "gram" (char-4-gram hashes,
+    * [[ngramVerifiedPairs]]) or "shingle" (3-word-shingle hashes,
+    * [[verifiedPairs]] consumers). Runs Spark jobs at construction — only
+    * called when a [[SetJoin.shuffleBudget]] is set (gates), never on the
+    * plain bench/correctness path.
+    */
+  private[graft] def bandVerifyEstimate(docs: DataFrame, grain: String): VerifyEstimate = {
+    val sigs =
+      if (hasExactDups(docs)) cached(signatures(docs).join(repIds(docs), "doc_id"))
+      else signatures(docs)
+    verifyEstMemo.computeIfAbsent(
+      (docs.queryExecution.analyzed.semanticHash(), grain),
+      _ => {
+        def enumOf(b: DataFrame): Long =
+          b.groupBy("band_id", "band_val")
+            .agg(count(lit(1)).as("n"))
+            .agg(coalesce(expr("sum(n * (n - 1)) div 2"), lit(0L)).as("p"))
+            .first()
+            .getLong(0)
+        val enumPairs = enumOf(bands(sigs))
+        val sB        = bands(sigs.filter(pmod(xxhash64(col("doc_id")), lit(10)) === 0))
+        val sEnum     = enumOf(sB)
+        val survival =
+          if (sEnum == 0L) 1.0
+          else math.min(1.0, bandSelfJoin(sB).distinct().count().toDouble / sEnum)
+        val avgPayload = {
+          val c = if (grain == "gram") gramSets(docs).agg(avg(col("gsz")))
+                  else shingleHashes(docs).agg(avg(col("ssz")))
+          Option(c.first().get(0)).fold(0.0)(_.asInstanceOf[Double])
+        }
+        val surviving = (enumPairs * survival).toLong
+        val bytes = enumPairs * SetJoin.CandRowBytes +
+          surviving * SetJoin.CandRowBytes +
+          surviving * (SetJoin.VerifyRowOverhead + (avgPayload * SetJoin.HashTokBytes).toLong)
+        val est = VerifyEstimate(enumPairs, survival, avgPayload, bytes)
+        System.err.println(
+          f"[dedup] $grain verify estimate: enum_pairs=$enumPairs " +
+            f"sampled_survival=$survival%.3f distinct_pairs=${est.distinctPairs} " +
+            f"avg_payload=$avgPayload%.1f predicted_bytes=$bytes (~${bytes / 1048576.0}%.0f MiB)"
+        )
+        est
+      }
+    )
+  }
+
+  /** Wave count for a budgeted verify: ⌈bytes/budget⌉ capped like
+    * set-join's; None when the predicted footprint fits in one wave.
+    */
+  private def verifyWaves(est: VerifyEstimate, budget: Long): Option[Int] =
+    if (est.bytes > budget) Some(math.min(1024L, (est.bytes + budget - 1) / budget).toInt)
+    else None
+
+  /** Predicted volume of a CROSS-corpus candidate enumeration (seen×new,
+    * train×test — the grain the self-join estimators above do not cover):
+    * Σ_key |left|·|right| over the join-key groups, each key's counts from
+    * one aggregate per side — no pair is enumerated. Logged so every verify
+    * consumer states its footprint before enumerating; returns the
+    * predicted bytes. Only called when a budget is set (construction-time
+    * Spark jobs).
+    */
+  private[graft] def logCrossVerifyEstimate(
+      name: String,
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      perRowBytes: Double): Long = {
+    val lc = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nl"))
+    val rc = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nr"))
+    val pairs = lc
+      .join(rc, keys)
+      .agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("p"))
+      .first()
+      .getLong(0)
+    val bytes = (pairs * perRowBytes).toLong
+    System.err.println(
+      f"[dedup] $name cross-verify estimate: enum_pairs=$pairs " +
+        f"predicted_bytes=$bytes (~${bytes / 1048576.0}%.0f MiB)")
+    bytes
+  }
+
   /** Candidates verified with exact Jaccard over distinct 3-shingle sets.
     * Candidate generation and verification share the cached [[shingleSets]]
     * table — one `documents` scan for the whole query. Pairs are at the
@@ -448,9 +588,74 @@ object Dedup {
     * exact copies never re-verify, so a 100k-copy group costs nothing here
     * instead of 5·10⁹ Jaccard evaluations; its multiplicity lives in
     * [[exactGroups]] and the member star of [[nearDupEdges]].
+    *
+    * Round 14: with a [[SetJoin.shuffleBudget]] configured and the
+    * [[bandVerifyEstimate]] above it, the candidate enumeration + verify
+    * runs as bounded hash(d1)-residue waves ([[nearDuplicatesWaved]]) —
+    * output-identical, per-wave footprint under the budget. Unset ⇒ the
+    * unchanged single-wave plan every fixture/bench run takes.
     */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
-    verifiedPairs(candidatePairs(docs), docs, threshold)
+    SetJoin.shuffleBudget match {
+      case Some(budget) =>
+        val est = bandVerifyEstimate(docs, "shingle")
+        verifyWaves(est, budget) match {
+          case Some(waves) =>
+            System.err.println(
+              s"[dedup] predicted ${est.bytes} B exceeds budget $budget B — " +
+                s"verifying shingle candidates in $waves bounded waves")
+            nearDuplicatesWaved(docs, threshold, waves, est.bytes / waves)
+          case None => verifiedPairs(candidatePairs(docs), docs, threshold)
+        }
+      case None => verifiedPairs(candidatePairs(docs), docs, threshold)
+    }
+
+  /** Bounded-wave shingle verify: wave w owns the candidate pairs whose d1
+    * falls in hash(d1) residue class w — the wave filter sits on the band
+    * join's A side, so each wave's enumeration, distinct, and verify
+    * exchanges all carry ~1/waves of the volume; each wave is its own
+    * materialized action with shuffle files GC-cleaned before the next
+    * (the [[SetJoin.similarityJoinWaved]] machinery, applied to the band
+    * candidate grain). Union over waves ≡ the single-wave output because
+    * every pair has exactly one d1. Memoized per (docs plan, threshold,
+    * waves) so repeated constructions re-read the parquet.
+    */
+  private[graft] def nearDuplicatesWaved(
+      docs: DataFrame,
+      threshold: Double,
+      waves: Int,
+      perWaveBytes: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val key   = (docs.queryExecution.analyzed.semanticHash(), threshold, waves)
+    val sigs =
+      if (hasExactDups(docs)) cached(signatures(docs).join(repIds(docs), "doc_id"))
+      else signatures(docs)
+    val dir = nearDupWavedMemo.computeIfAbsent(
+      key,
+      _ => {
+        val out = graft.core.WaveScratch.dirFor(
+          spark, "neardup", f"${key._1}%08x-${(threshold * 1000).toInt}-$waves")
+        val tAll = System.nanoTime()
+        for (w <- 0 until waves) {
+          graft.core.WaveScratch.ensureFreeSpace(
+            perWaveBytes, s"near-dup verify wave ${w + 1}/$waves")
+          val t0 = System.nanoTime()
+          verifiedPairs(candidatePairsFrom(sigs, Some((waves, w))), docs, threshold)
+            .write.mode("overwrite").parquet(s"$out/w$w")
+          System.err.println(
+            f"[dedup] shingle-verify wave ${w + 1}/$waves done in " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          System.gc()
+        }
+        graft.core.BuildWalls.record("neardup_verify_waves", (System.nanoTime() - tAll) / 1e9)
+        out
+      }
+    )
+    spark.read.parquet((0 until waves).map(w => s"$dir/w$w"): _*)
+  }
+
+  private val nearDupWavedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Int), String]()
 
   /** Exact-Jaccard verification of a (d1, d2) candidate set against the
     * cached shingle-set table — the ONE definition both the collapsed and
@@ -594,6 +799,20 @@ object Dedup {
       )
     )
     val bt = cached(bands(signaturesFromSets(feats, Seq("__is_new")), Seq("__is_new")))
+    // budget-gated footprint statement (round 14): the seen×new candidate
+    // grain has its own volume model — Σ_bucket |new|·|seen| — logged
+    // before any pair is enumerated, like every other verify consumer
+    if (SetJoin.shuffleBudget.isDefined) {
+      val avgSz =
+        Option(feats.agg(avg(size(col("sset")))).first().get(0)).fold(0.0)(_.asInstanceOf[Double])
+      logCrossVerifyEstimate(
+        "incremental_neardup",
+        bt.filter(col("__is_new")),
+        bt.filter(!col("__is_new")),
+        Seq("band_id", "band_val"),
+        SetJoin.VerifyRowOverhead + avgSz * 20.0
+      ): Unit
+    }
     val cand = bt
       .filter(col("__is_new"))
       .select(col("doc_id").as("new_id"), col("band_id"), col("band_val"))
@@ -877,10 +1096,82 @@ object Dedup {
       docs: DataFrame,
       pruned: Boolean = true,
       sat: Int = bandSatThreshold): DataFrame = {
+    // Round 14: budget-aware routing — the pruned path switches to bounded
+    // hash(d1)-residue waves when the estimator predicts the verify
+    // footprint above SPARK_GRAFT_SHUFFLE_BUDGET (the 5M-doc telemetry
+    // showed the family SEEING its >100 GB ceiling but not bounding it).
+    // Unset budget (every fixture/bench/correctness run) ⇒ the unchanged
+    // single-wave plan.
+    val waved =
+      if (pruned) SetJoin.shuffleBudget.flatMap { budget =>
+        val est = bandVerifyEstimate(docs, "gram")
+        verifyWaves(est, budget).map { waves =>
+          System.err.println(
+            s"[dedup] predicted ${est.bytes} B exceeds budget $budget B — " +
+              s"verifying gram candidates in $waves bounded waves")
+          (waves, est.bytes / waves)
+        }
+      }
+      else None
+    waved match {
+      case Some((waves, perWave)) =>
+        ngramVerifiedPairsWaved(docs, sat, waves, perWave)
+      case None =>
+        // saturation-aware candidate tier (round 13): identical output, but
+        // over-occupied band buckets enumerate through the exact prefix
+        // filter
+        val cand0 = if (pruned) ngramCandidatePairs(docs, sat) else candidatePairs(docs)
+        ngramVerify(docs, cand0, pruned).orderBy("d1", "d2")
+    }
+  }
+
+  /** Bounded-wave gram verify — [[nearDuplicatesWaved]]'s shape over the
+    * [[ngramVerify]] tiers: wave w verifies the candidates whose d1 falls
+    * in hash(d1) residue class w (the filter rides the band join's A side
+    * and the prefix re-route's A side, so every wave exchange carries
+    * ~1/waves), each wave its own materialized action. Union ≡ single
+    * wave; ExtSpec pins it.
+    */
+  private[graft] def ngramVerifiedPairsWaved(
+      docs: DataFrame,
+      sat: Int,
+      waves: Int,
+      perWaveBytes: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val key   = (docs.queryExecution.analyzed.semanticHash(), sat, waves)
+    val dir = ngramWavedMemo.computeIfAbsent(
+      key,
+      _ => {
+        val out = graft.core.WaveScratch.dirFor(spark, "ngram", f"${key._1}%08x-$sat-$waves")
+        val tAll = System.nanoTime()
+        for (w <- 0 until waves) {
+          graft.core.WaveScratch.ensureFreeSpace(
+            perWaveBytes, s"gram verify wave ${w + 1}/$waves")
+          val t0 = System.nanoTime()
+          ngramVerify(docs, ngramCandidatePairs(docs, sat, Some((waves, w))), pruned = true)
+            .write.mode("overwrite").parquet(s"$out/w$w")
+          System.err.println(
+            f"[dedup] gram-verify wave ${w + 1}/$waves done in " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          System.gc()
+        }
+        graft.core.BuildWalls.record("ngram_verify_waves", (System.nanoTime() - tAll) / 1e9)
+        out
+      }
+    )
+    spark.read.parquet((0 until waves).map(w => s"$dir/w$w"): _*).orderBy("d1", "d2")
+  }
+
+  private val ngramWavedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), String]()
+
+  /** The tiered gram verify over an arbitrary candidate frame — the
+    * [[ngramVerifiedPairs]] body shared verbatim by the single-wave path
+    * (which appends the orderBy) and the wave loop (which materializes
+    * each wave unsorted and sorts the union).
+    */
+  private def ngramVerify(docs: DataFrame, cand0: DataFrame, pruned: Boolean): DataFrame = {
     val sets = gramSets(docs)
-    // saturation-aware candidate tier (round 13): identical output, but
-    // over-occupied band buckets enumerate through the exact prefix filter
-    val cand0 = if (pruned) ngramCandidatePairs(docs, sat) else candidatePairs(docs)
     val gated =
       if (pruned) {
         // HASH-FIRST topology (round 13, SetJoin.verifiedForSalts
@@ -927,7 +1218,6 @@ object Dedup {
       )
       .filter(col("jaccard") >= 0.3)
       .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
   }
 
   /** n-gram Jaccard near-dup: LSH band candidates verified by CHARACTER

@@ -96,7 +96,8 @@ object SetJoin {
       sets: DataFrame,
       tNum: Long,
       tDen: Long,
-      saltB: Int): DataFrame = {
+      saltB: Int,
+      d1Wave: Option[(Int, Int)] = None): DataFrame = {
     val par = sets.sparkSession.sparkContext.defaultParallelism
     // |d| − ⌈t·|d|⌉ + 1 in exact integers: ⌈t·sz⌉ = (sz·tNum + tDen − 1) div tDen
     val plen =
@@ -108,7 +109,15 @@ object SetJoin {
       col("sz"),
       posexplode(slice(col("toks"), lit(1), plen)).as(Seq("pos", "tok"))
     )
-    val prefA = pref
+    // bounded-wave restriction (round 14, the band family's wave loop):
+    // every emitted pair has d1 = a.doc_id, so filtering the A side to one
+    // hash(doc_id) residue class partitions the pair set exactly — each
+    // pair lands in the single wave owning its d1
+    val prefA0 = d1Wave match {
+      case Some((n, w)) => pref.filter(pmod(hash(col("doc_id")), lit(n)) === w)
+      case None         => pref
+    }
+    val prefA = prefA0
       .withColumn("salt", pmod(hash(col("doc_id")), lit(saltB)))
       .repartition(par, col("gid"), col("tok"), col("salt"))
     val prefB = pref
@@ -166,9 +175,11 @@ object SetJoin {
   }
 
   /** (d1: long, d2: long) UnsafeRow = 24 B; shuffle LZ4 on near-random ids
-    * buys little — call it 20.
+    * buys little — call it 20. `private[ext]`: the band family's verify
+    * estimator ([[Dedup]]) models the same exchanges with the same
+    * constants, validated by the same SetJoinGate calibration.
     */
-  private val CandRowBytes = 20L
+  private[ext] val CandRowBytes = 20L
 
   /** (doc_id, sz, pos, tok-string ~3 words, salt) ≈ 64 B raw, text
     * compresses ~2× — call it 32.
@@ -179,12 +190,12 @@ object SetJoin {
     * through the verify's d2 exchange: 8 B of incompressible hash + array
     * slot overhead.
     */
-  private val HashTokBytes = 9L
+  private[ext] val HashTokBytes = 9L
 
   /** Fixed columns of a surviving verify row (two ids, two sizes, hok
     * flags, UnsafeRow headers).
     */
-  private val VerifyRowOverhead = 40L
+  private[ext] val VerifyRowOverhead = 40L
 
 
   private val estimateMemo =
@@ -294,12 +305,19 @@ object SetJoin {
     */
   private[graft] def shuffleBudget: Option[Long] =
     sys.env.get("SPARK_GRAFT_SHUFFLE_BUDGET").map { s =>
-      try parseBytes(s)
-      catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"SPARK_GRAFT_SHUFFLE_BUDGET='$s' is not a byte count; use e.g. 40g, 512m, 1000000")
-      }
+      val b =
+        try parseBytes(s)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_SHUFFLE_BUDGET='$s' is not a byte count; use e.g. 40g, 512m, 1000000")
+        }
+      // a zero budget would divide the wave computation by zero; a negative
+      // one silently selects the single-wave path — both are config errors
+      require(
+        b > 0,
+        s"SPARK_GRAFT_SHUFFLE_BUDGET='$s' parses to $b bytes; the budget must be positive")
+      b
     }
 
   private[graft] def parseBytes(s: String): Long = {
@@ -383,20 +401,27 @@ object SetJoin {
     */
   def similarityJoin(docs: DataFrame): DataFrame = {
     val saltB = saltBFor(docs)
-    val est   = candidateEstimate(docs, saltB)
+    // estimate only when a budget could act on it: the estimate's Spark
+    // jobs (prefix aggregate + 10% sample join) are cheap next to a gate
+    // run but NOT next to a plan-golden construction or a bench rep, and
+    // with no budget set the result cannot change the plan (the gates call
+    // candidateEstimate explicitly for their records)
     shuffleBudget match {
-      case Some(budget) if est.bytes > budget =>
-        val waves = math.min(1024L, (est.bytes + budget - 1) / budget).toInt
-        // waves partition the SALT space, so a finer split than saltB needs
-        // a wider fan-out — exactness holds at any saltB (each pair still
-        // meets exactly once at hash(d1) mod saltB); 1024 caps the prefix
-        // replication at a sane multiple
-        val saltW = math.max(saltB, waves)
-        System.err.println(
-          s"[setjoin] predicted ${est.bytes} B exceeds budget $budget B — " +
-            s"enumerating in $waves bounded waves over a $saltW-salt space")
-        similarityJoinWaved(docs, saltW, waves)
-      case _ => similarityJoinWith(docs, saltB)
+      case Some(budget) =>
+        val est = candidateEstimate(docs, saltB)
+        if (est.bytes > budget) {
+          val waves = math.min(1024L, (est.bytes + budget - 1) / budget).toInt
+          // waves partition the SALT space, so a finer split than saltB
+          // needs a wider fan-out — exactness holds at any saltB (each pair
+          // still meets exactly once at hash(d1) mod saltB); 1024 caps the
+          // prefix replication at a sane multiple
+          val saltW = math.max(saltB, waves)
+          System.err.println(
+            s"[setjoin] predicted ${est.bytes} B exceeds budget $budget B — " +
+              s"enumerating in $waves bounded waves over a $saltW-salt space")
+          similarityJoinWaved(docs, saltW, waves, est.bytes / waves)
+        } else similarityJoinWith(docs, saltB)
+      case None => similarityJoinWith(docs, saltB)
     }
   }
 
@@ -428,7 +453,11 @@ object SetJoin {
     * waves) so repeated constructions (bench reps) re-read the parquet
     * instead of re-enumerating.
     */
-  private[graft] def similarityJoinWaved(docs: DataFrame, saltB: Int, wavesArg: Int): DataFrame = {
+  private[graft] def similarityJoinWaved(
+      docs: DataFrame,
+      saltB: Int,
+      wavesArg: Int,
+      perWaveBytes: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     val base =
       if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
@@ -438,9 +467,17 @@ object SetJoin {
     val dir = wavedMemo.computeIfAbsent(
       key,
       _ => {
-        val out = s"${sys.props("java.io.tmpdir")}/graft-setjoin-waves-" +
-          s"${(key._1 & 0x7fffffff).toHexString}-$saltB-$waves"
+        // session-unique, full-hash path + exit-time deletion + stale sweep
+        // (graft.core.WaveScratch): leaked wave parquet would re-create the
+        // very ENOSPC hazard the budget exists to avoid
+        val out = graft.core.WaveScratch.dirFor(
+          spark, "setjoin", f"${key._1}%08x-$saltB-$waves")
+        val tAll = System.nanoTime()
         for (w <- 0 until waves) {
+          // the estimate knows each wave's footprint — refuse BEFORE the
+          // wave instead of ENOSPCing inside it
+          graft.core.WaveScratch.ensureFreeSpace(
+            perWaveBytes, s"set-join wave ${w + 1}/$waves")
           val salts = (0 until saltB).filter(_ % waves == w)
           val t0    = System.nanoTime()
           verifiedForSalts(os, saltB, salts)
@@ -450,6 +487,9 @@ object SetJoin {
               f"${(System.nanoTime() - t0) / 1e9}%.1f s")
           System.gc()
         }
+        // min-of-N bench reps re-read the memoized parquet; the enumeration
+        // wall is reported as an artifact entry so it cannot vanish
+        graft.core.BuildWalls.record("setjoin_waves", (System.nanoTime() - tAll) / 1e9)
         out
       }
     )

@@ -413,19 +413,68 @@ object Pipeline {
     * oracle runs the fully UNCOLLAPSED pipeline (`sqlSig` over all docs),
     * so the expansion itself is hash-checked against first principles.
     */
-  val contamination: Q = Q(
-    "q_contamination",
-    (s, dir) => {
-      val docs = Tables(s, dir).documents
-      // member grain (doc_id, rep) + split label — one documents scan via
-      // the cached exact-group table the dedup family shares
-      val mem = Dedup
-        .members(docs)
-        .withColumn("split", splitOfBucket(bucketOf(col("doc_id"))))
-      val mTest = mem.filter(col("split") === "test").select(col("rep"), col("doc_id"))
-      val mLeak =
-        mem.filter(col("split") =!= "test").select(col("rep"), col("doc_id"), col("split"))
-      val rp = Dedup.nearDuplicates(docs, 0.2).select("d1", "d2", "jaccard")
+  /** The q_contamination body over any documents frame — split out so the
+    * spread-equivalence proof (salted ≡ plain on a constructed dup-heavy
+    * corpus) can drive `spreadAt` directly.
+    *
+    * SPREAD DISCIPLINE (round 14): the three member-expansion joins key on
+    * `rep`, so a K-copy exact group put its ENTIRE quadratic expansion —
+    * test members × leak members, the within-group contamination rows that
+    * ARE the answer — on the one task owning that rep's hash (the 1.5M-doc
+    * hot gate's jstack: one task 27+ CPU-min inside
+    * BypassMergeSortShuffleWriter, fed by the 300k-copy hot-text group).
+    * The numbered-repartition spread cannot help: it rebalances candidate
+    * ROWS, not one row's join fan-out. Salting bounds any one GROUP's
+    * per-task emission share instead: the fanning member side carries
+    * `salt = hash(member_id) mod S`, the other side is replicated across
+    * all S salts, the join keys on (rep, salt) — each (test, leak) pair
+    * still meets exactly once (at the salted member's own residue), and a
+    * hot group's emission spreads over S tasks. Engaged only above
+    * `spreadAt` max copies ([[Dedup.maxCopies]], one memoized probe): an
+    * 8-copy corpus (sf0.1) keeps the pre-round-14 plan, a 300k-copy one
+    * pays S× replication of the narrow id frames — trivial next to the
+    * emission it parallelizes.
+    */
+  /** Predicted WITHIN-GROUP expansion volume of [[contaminationReport]] —
+    * Σ over exact-dup groups of (test members × non-test members), i.e.
+    * the quadratic part of the ANSWER itself (a 300k-copy group crossing
+    * the 90/10 split boundary owes ~30k·270k ≈ 8·10⁹ contamination rows by
+    * the query's own semantics — no engine can emit fewer). One aggregate over
+    * the cached member table; the gates read it to size (or refuse) a run
+    * BEFORE the expansion joins start, the same predict-don't-discover
+    * discipline as the verify estimators. Returns (rows, ~bytes at the
+    * 36 B/row report grain).
+    */
+  private[graft] def contaminationExpansionEstimate(
+      docs: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val mem = Dedup
+      .members(docs)
+      .withColumn("split", splitOfBucket(bucketOf(col("doc_id"))))
+    val rows = mem
+      .groupBy("rep")
+      .agg(
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("split") =!= "test", 1L).otherwise(0L)).as("nl")
+      )
+      .agg(coalesce(sum(col("nt") * col("nl")), lit(0L)).as("p"))
+      .first()
+      .getLong(0)
+    (rows, rows * 36L)
+  }
+
+  private[graft] def contaminationReport(
+      docs: org.apache.spark.sql.DataFrame,
+      spreadAt: Long = 4096L): org.apache.spark.sql.DataFrame = {
+    // member grain (doc_id, rep) + split label — one documents scan via
+    // the cached exact-group table the dedup family shares
+    val mem = Dedup
+      .members(docs)
+      .withColumn("split", splitOfBucket(bucketOf(col("doc_id"))))
+    val mTest = mem.filter(col("split") === "test").select(col("rep"), col("doc_id"))
+    val mLeak =
+      mem.filter(col("split") =!= "test").select(col("rep"), col("doc_id"), col("split"))
+    val rp = Dedup.nearDuplicates(docs, 0.2).select("d1", "d2", "jaccard")
+    if (Dedup.maxCopies(docs) <= spreadAt) {
       val crossA = rp
         .join(mTest.select(col("rep").as("d1"), col("doc_id").as("test_id")), "d1")
         .join(
@@ -449,7 +498,50 @@ object Pipeline {
         )
         .select(col("test_id"), col("leak_id"), col("leak_split"), lit(1.0).as("jaccard"))
       crossA.union(crossB).union(within).orderBy("test_id", "leak_id")
-    },
+    } else {
+      val s     = docs.sparkSession.sparkContext.defaultParallelism
+      val salts = array((0 until s).map(lit): _*)
+      // salted member tables: the member's own id picks its residue
+      def saltBy(idCol: String): org.apache.spark.sql.Column =
+        pmod(hash(col(idCol)), lit(s))
+      val mTestS = mTest
+        .select(col("rep"), col("doc_id").as("test_id"))
+        .withColumn("salt", saltBy("test_id"))
+      val mLeakS = mLeak
+        .select(col("rep"), col("doc_id").as("leak_id"), col("split").as("leak_split"))
+        .withColumn("salt", saltBy("leak_id"))
+      // replicated member tables for the second (already-member-bound)
+      // joins, where the LEFT side's salt is its bound member's hash
+      val mTestX = mTest
+        .select(col("rep"), col("doc_id").as("test_id"))
+        .withColumn("salt", explode(salts))
+      val mLeakX = mLeak
+        .select(col("rep"), col("doc_id").as("leak_id"), col("split").as("leak_split"))
+        .withColumn("salt", explode(salts))
+      val rpX = rp.withColumn("salt", explode(salts))
+      val crossA = rpX
+        .join(mTestS.withColumnRenamed("rep", "d1"), Seq("d1", "salt"))
+        .drop("salt")
+        .withColumn("salt", saltBy("test_id"))
+        .join(mLeakX.withColumnRenamed("rep", "d2"), Seq("d2", "salt"))
+        .select("test_id", "leak_id", "leak_split", "jaccard")
+      val crossB = rpX
+        .join(mLeakS.withColumnRenamed("rep", "d1"), Seq("d1", "salt"))
+        .drop("salt")
+        .withColumn("salt", saltBy("leak_id"))
+        .join(mTestX.withColumnRenamed("rep", "d2"), Seq("d2", "salt"))
+        .select("test_id", "leak_id", "leak_split", "jaccard")
+      val within = mTestS
+        .join(Dedup.eligibleReps(docs), "rep")
+        .join(mLeakX, Seq("rep", "salt"))
+        .select(col("test_id"), col("leak_id"), col("leak_split"), lit(1.0).as("jaccard"))
+      crossA.union(crossB).union(within).orderBy("test_id", "leak_id")
+    }
+  }
+
+  val contamination: Q = Q(
+    "q_contamination",
+    (s, dir) => contaminationReport(Tables(s, dir).documents),
     Some(
       s"""WITH sig AS (${Dedup.sqlSig}),
          |bands AS (${Dedup.sqlBands}),
@@ -834,6 +926,12 @@ object Pipeline {
       )
       val leak  = grams.filter(col("split") =!= "test").select("gram").distinct()
       val test  = grams.filter(col("split") === "test").select("doc_id", "gram")
+      // budget-gated footprint statement (round 14): the train×test gram
+      // grain is a semi join (fan-out 1 by construction — the estimate is
+      // the probe-side row count), logged before enumeration like every
+      // other verify consumer; ~56 B = doc_id + gram string + row overhead
+      if (graft.ext.SetJoin.shuffleBudget.isDefined)
+        Dedup.logCrossVerifyEstimate("decontam_ngram", test, leak, Seq("gram"), 56.0): Unit
       val total = test.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val matched = test
         .join(leak, Seq("gram"), "left_semi")

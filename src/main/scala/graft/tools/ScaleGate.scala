@@ -50,10 +50,13 @@ object ScaleGate {
       artifactsClean: Map[String, Double] = Map.empty,
       artifactsHot: Map[String, Double] = Map.empty,
       // (log2 occupancy class, buckets, enum pairs, max occupancy) of the
-      // clean corpus's LSH band buckets — docs-only gates record this so
-      // superlinear candidate-volume growth is pinned to measured bucket
-      // occupancy instead of argued (round 13)
-      bandOccupancy: Seq[(Int, Long, Long, Long)] = Nil)
+      // LSH band buckets of the corpus named by `occupancyVariant` — the
+      // variant the run actually timed (a hot-only gate records the HOT
+      // corpus's histogram; round 13 mislabeled it clean unconditionally).
+      // Docs-only gates record this so superlinear candidate-volume growth
+      // is pinned to measured bucket occupancy instead of argued
+      bandOccupancy: Seq[(Int, Long, Long, Long)] = Nil,
+      occupancyVariant: String = "clean")
 
   private def timed(spark: SparkSession, name: String, dir: String): Double = {
     System.gc()
@@ -165,8 +168,11 @@ object ScaleGate {
     }
 
     // docs-only gates target the candidate-volume-bound dedup family —
-    // record the clean corpus's band-occupancy histogram alongside the
-    // walls (the saturation telemetry the walls are explained by)
+    // record the band-occupancy histogram of the corpus actually timed
+    // alongside the walls (the saturation telemetry the walls are
+    // explained by); the variant is recorded so a hot-only run's histogram
+    // is never misread as clean-corpus telemetry
+    val occVariant = if (wantClean) "clean" else "hot"
     val occ =
       if (docsOnly)
         graft.ext.Dedup
@@ -183,7 +189,8 @@ object ScaleGate {
       rechecked.filter(_.err.isDefined),
       artClean,
       artHot,
-      occ
+      occ,
+      occVariant
     )
   }
 
@@ -202,7 +209,7 @@ object ScaleGate {
       sb ++= "\n"
     }
     if (r.bandOccupancy.nonEmpty) {
-      sb ++= "Clean-corpus LSH band occupancy (log2 classes):\n\n"
+      sb ++= s"${r.occupancyVariant.capitalize}-corpus LSH band occupancy (log2 classes):\n\n"
       sb ++= "| 2^k ≤ occupancy | buckets | enum pairs | max occupancy |\n|---|---|---|---|\n"
       for ((cls, buckets, pairs, mx) <- r.bandOccupancy)
         sb ++= s"| 2^$cls | $buckets | $pairs | $mx |\n"
@@ -235,7 +242,10 @@ object ScaleGate {
       else
         result.bandOccupancy
           .map { case (c, b, p, m) => s"""{"log2":$c,"buckets":$b,"enum_pairs":$p,"max":$m}""" }
-          .mkString(""","band_occupancy":[""", ",", "]")
+          .mkString(
+            s""","occupancy_variant":"${result.occupancyVariant}","band_occupancy":[""",
+            ",",
+            "]")
     println(
       s"""{"queries":${result.timings.size},"breaches":${result.breaches.size},""" +
         s""""errors":${result.failed.size},"ok":$ok,""" +

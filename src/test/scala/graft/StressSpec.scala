@@ -251,6 +251,20 @@ class StressSpec extends SparkSpec {
       .toSet
     assert(want.exists(_._4 == 1.0), "corpus must contain a cross-split exact copy — pathology missing")
     assert(got == want, s"expanded=${got.size} rows, brute-force=${want.size} rows; diff=${(got diff want).take(5)} / ${(want diff got).take(5)}")
+
+    // SALTED member-expansion spread (round 14): above the spreadAt
+    // threshold the three expansion joins key on (rep, salt) so no one
+    // exact group's quadratic emission lands on a single task — forcing
+    // spreadAt below this corpus's 3-copy groups must reproduce the plain
+    // plan's rows exactly (each pair meets at exactly one salt)
+    val spread = graft.queries.Pipeline
+      .contaminationReport(docs, spreadAt = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(
+      spread == want,
+      s"salted spread diverges: missing=${(want diff spread).take(5)} extra=${(spread diff want).take(5)}")
   }
 
   test("counted source-overlap matrix equals brute-force uncollapsed pair counting under cross-source dups") {

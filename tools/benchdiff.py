@@ -17,11 +17,17 @@ noise the sweep itself measured is not worth a row. Rows split into:
               regardless of the timing ratio — a fingerprint change is
               deterministic evidence the plan moved, and the noise floor
               argues only about timing deltas, not plan identity.
-  ENV/DATA  - same fingerprint: the plan is identical, so the delta is
-              fixture drift (the driver regenerates /root/testdata between
-              rounds) or host noise; re-measure isolated
-              (SPARK_GRAFT_ONLY=<q>) before chasing it. The raised
-              (measured-noise-floor) threshold applies to these rows only.
+  DATA      - same fingerprint, but the two artifacts' `fixture` stamps
+              (per-table row counts + bytes, round 14) differ: the plan is
+              identical and the DATA changed — the delta is fixture drift,
+              deterministically attributed, no isolated re-measure needed.
+  HOST      - same fingerprint AND identical fixture stamps: the delta can
+              only be host noise; re-measure isolated (SPARK_GRAFT_ONLY=<q>)
+              before chasing it.
+  ENV/DATA  - same fingerprint but at least one side predates the fixture
+              stamp: fixture drift and host noise cannot be separated.
+              The raised (measured-noise-floor) threshold applies to all
+              three same-plan kinds.
 
 The `artifacts` maps (offline build walls: pipeline_stages, dedup cache
 builds, …) are diffed with the same ratio logic so a regression moved out
@@ -45,12 +51,27 @@ def load(path):
     # full artifacts store {name: sec}; the printed tail line stores the same
     secs = {k: (v["sec"] if isinstance(v, dict) else v) for k, v in qs.items()}
     arts = {k: v for k, v in d.get("artifacts", {}).items() if isinstance(v, (int, float))}
-    return secs, d.get("plan_fp", {}), d.get("noise_floor"), arts
+    return secs, d.get("plan_fp", {}), d.get("noise_floor"), arts, d.get("fixture")
 
 
 def main(old_path, new_path, ratio):
-    old, ofp, onf, oart = load(old_path)
-    new, nfp, nnf, nart = load(new_path)
+    old, ofp, onf, oart, ofix = load(old_path)
+    new, nfp, nnf, nart, nfix = load(new_path)
+    # same-plan attribution label: DATA when the fixture stamps prove the
+    # testdata changed, HOST when they prove it did not, ENV/DATA when a
+    # side predates the stamp and the two cannot be separated
+    if ofix is not None and nfix is not None:
+        sameplan_kind = "HOST" if ofix == nfix else "DATA"
+        if sameplan_kind == "DATA":
+            changed = sorted(
+                t for t in set(ofix) | set(nfix) if ofix.get(t) != nfix.get(t)
+            )
+            print(f"fixture changed: {', '.join(changed)} "
+                  f"(same-plan deltas attributed DATA, not noise)")
+        else:
+            print("fixture identical on both sides (same-plan deltas are HOST noise)")
+    else:
+        sameplan_kind = "ENV/DATA"
     floors = [f for f in (onf, nnf) if f and f > 0]
     measured = max(floors) if floors else None
     # The measured floor raises the bar for SAMEPLAN timing rows only: a
@@ -82,7 +103,7 @@ def main(old_path, new_path, ratio):
         if plan_changed:
             rows.append((r, q, a, b, "PLAN"))
         elif r >= sameplan_ratio or r <= 1.0 / sameplan_ratio:
-            rows.append((r, q, a, b, "ENV/DATA" if fp_known else "NO-FP"))
+            rows.append((r, q, a, b, sameplan_kind if fp_known else "NO-FP"))
 
     rows.sort(reverse=True)
     if not rows:
@@ -103,8 +124,9 @@ def main(old_path, new_path, ratio):
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     n_plan = sum(1 for x in rows if x[4] == "PLAN")
-    n_env = sum(1 for x in rows if x[4] == "ENV/DATA")
-    print(f"attribution: {n_plan} plan-changed, {n_env} same-plan (fixture/noise)")
+    n_same = sum(1 for x in rows if x[4] in ("ENV/DATA", "DATA", "HOST"))
+    print(f"attribution: {n_plan} plan-changed, {n_same} same-plan "
+          f"(labelled {sameplan_kind})")
 
     # Offline artifact walls (memoized/staged builds) move real work out of
     # query timings; diff them too so a staged regression cannot hide.
