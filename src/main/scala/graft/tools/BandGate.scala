@@ -128,9 +128,11 @@ object BandGate {
 
     // the expansion output rides ONE global sort at the end of
     // q_contamination — waves bound the verify, not the answer — so the
-    // run is refused when even an optimistic 5× shuffle compression of the
-    // predicted answer exceeds free scratch
-    val contamFits = expBytes / 5 < free
+    // run is refused when the predicted answer's sort footprint exceeds
+    // free scratch even at an optimistic 2× shuffle compression (the rows
+    // are hash-distributed id pairs, LZ4 buys little; the reduce-side sort
+    // spills roughly the map output AGAIN, which the margin absorbs)
+    val contamFits = expBytes / 2 < free
     val rG = fmtQ("q_ngram_jaccard", estG.bytes, run = true, skipReason = "")
     val rC = fmtQ(
       "q_contamination",
