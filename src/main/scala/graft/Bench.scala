@@ -302,6 +302,19 @@ object Bench {
       }
     }
 
+    // HOST-LOAD MARKER (round 15): the r14 sweep's measured sentinel floor
+    // rose 1.32 → 1.90 because gate campaigns were co-resident, and the
+    // attribution took forensics. One number at sweep start and end makes
+    // a high floor attributable at a glance. 1-minute loadavg; -1 when
+    // /proc is unavailable.
+    def loadavg(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0)
+        .toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loadStart = loadavg()
+
     val best = scala.collection.mutable.HashMap.empty[String, Double]
     val errFor = scala.collection.mutable.HashMap.empty[String, String]
     timeSentinels(cold = true)
@@ -348,11 +361,35 @@ object Bench {
     // queries, budgeted to fit the tail window intact.
     // Plan fingerprints, AFTER all timed reps (fn invocation runs the
     // driver loop of eager queries — must never land inside a timing).
-    val fps = ordered.map { case (name, fn) =>
-      val fp =
-        try planFp(fn(spark, sfDir))
-        catch { case scala.util.control.NonFatal(_) => "-" }
+    // The same single fn invocation also yields the query's fixture-table
+    // INPUTS (from the analyzed plan's file-relation root paths, BEFORE
+    // cache substitution): benchdiff uses them to attribute a same-plan
+    // delta to fixture drift only when the changed table actually feeds
+    // the query. Eager driver-loop queries whose final plan reads a
+    // checkpoint report an empty list — benchdiff treats unknown inputs
+    // conservatively (keeps the DATA label).
+    val fpAndTables = ordered.map { case (name, fn) =>
+      val (fp, tables) =
+        try {
+          val df = fn(spark, sfDir)
+          val paths = df.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          val ts = Sql.tableNames.filter(t => paths.exists(_.endsWith(s"/$t.parquet")))
+          (planFp(df), ts)
+        } catch { case scala.util.control.NonFatal(_) => ("-", Seq.empty[String]) }
+      (name, fp, tables)
+    }
+    val fps = fpAndTables.map { case (name, fp, _) =>
       "\"" + esc(name) + "\":\"" + fp + "\""
+    }.mkString("{", ",", "}")
+    val planTablesJson = fpAndTables.map { case (name, _, ts) =>
+      "\"" + esc(name) + "\":[" + ts.map("\"" + esc(_) + "\"").mkString(",") + "]"
     }.mkString("{", ",", "}")
 
     // Per-artifact offline-build wall time, separated from the per-query
@@ -420,8 +457,9 @@ object Bench {
     val coldJson = sentinelCold.toSeq
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val loadEnd = loadavg()
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"noise_floor":${fmt(noiseFloor)},"sentinel_cold":$coldJson,"sentinels":$sentJson,"fixture":$fixtureJson,"graph":$graphJson,"plan_fp":$fps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir","reps":$reps,"artifacts":$artJson,"noise_floor":${fmt(noiseFloor)},"load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"sentinel_cold":$coldJson,"sentinels":$sentJson,"fixture":$fixtureJson,"graph":$graphJson,"plan_tables":$planTablesJson,"plan_fp":$fps}"""
     // A SPARK_GRAFT_ONLY iteration run must not clobber the committed
     // full-registry snapshot with a partial map (it did once: a 2-query
     // targeted run overwrote the 169-query artifact the judge reads).

@@ -13,7 +13,21 @@ object BuildWalls {
   private val walls =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
-  def record(name: String, sec: Double): Unit = { walls.put(name, sec): Unit }
+  /** A session that builds waves for MORE than one plan under the same
+    * name (multi-fixture gate, retry after a corpus rewrite) must not
+    * silently overwrite the earlier wall: the first build keeps the bare
+    * name (so round-over-round artifact diffs keep matching), later ones
+    * get `name#2`, `name#3`, … — every wall this session paid stays in
+    * the merged artifact.
+    */
+  def record(name: String, sec: Double): Unit = {
+    var i = 1
+    var k = name
+    while (walls.putIfAbsent(k, sec) != null) {
+      i += 1
+      k = s"$name#$i"
+    }
+  }
 
   def snapshot: Map[String, Double] = {
     val b = Map.newBuilder[String, Double]

@@ -54,24 +54,46 @@ object WaveScratch {
     sweepStale()
   }
 
+  /** Never follows symlinks: a link is deleted as a LINK (the target is
+    * untouched). `listFiles()` on a symlinked directory would happily
+    * traverse the target — in world-writable /tmp that turns a planted
+    * `graft-waves-*` symlink into a delete-anything primitive running with
+    * this process's privileges, so every recursion step re-checks.
+    */
   private def deleteRecursively(f: File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
     f.delete(): Unit
   }
 
-  /** Remove wave dirs left by DEAD sessions: not this session's, and not
-    * modified within the TTL.
+  /** Remove wave dirs left by DEAD sessions: not this session's, not
+    * modified within the TTL, and — because /tmp is shared and
+    * world-writable — only entries that are REAL directories (no
+    * symlinks: `lastModified` on a link resolves to the target, letting
+    * an attacker-planted old link direct the sweep at an arbitrary tree)
+    * owned by THIS process's user (another user's crashed session is
+    * their sweep to run, and a dir we do not own is exactly the planted
+    * shape).
     */
   private def sweepStale(): Unit = {
-    val now  = System.currentTimeMillis()
+    val now = System.currentTimeMillis()
+    val me = sys.props.getOrElse("user.name", "")
+    def owned(d: File): Boolean =
+      try java.nio.file.Files
+        .getOwner(d.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+        .getName == me
+      catch { case scala.util.control.NonFatal(_) => false }
     val dirs = Option(tmpRoot.listFiles()).getOrElse(Array.empty)
     for (
       d <- dirs
-      if d.isDirectory &&
+      if !java.nio.file.Files.isSymbolicLink(d.toPath) &&
+        d.isDirectory &&
         (d.getName.startsWith(Prefix) || d.getName.startsWith(LegacyPrefix)) &&
         !registered.contains(d.getAbsolutePath) &&
-        now - d.lastModified() > TtlMillis
+        now - d.lastModified() > TtlMillis &&
+        owned(d)
     ) {
       System.err.println(s"[wave-scratch] sweeping stale wave dir ${d.getAbsolutePath}")
       deleteRecursively(d)

@@ -633,8 +633,14 @@ object Dedup {
     val dir = nearDupWavedMemo.computeIfAbsent(
       key,
       _ => {
+        // full threshold BITS in the dir key: the memo keys on the exact
+        // Double, so a truncated decimal here would let two thresholds
+        // equal at 3 decimals share one directory while holding distinct
+        // memo entries — the masked-key collision WaveScratch forbids
         val out = graft.core.WaveScratch.dirFor(
-          spark, "neardup", f"${key._1}%08x-${(threshold * 1000).toInt}-$waves")
+          spark,
+          "neardup",
+          f"${key._1}%08x-${java.lang.Double.doubleToLongBits(threshold).toHexString}-$waves")
         val tAll = System.nanoTime()
         for (w <- 0 until waves) {
           graft.core.WaveScratch.ensureFreeSpace(

@@ -66,12 +66,16 @@ object BandGate {
   private def timed(spark: SparkSession, name: String, dir: String): (Double, Meter) = {
     val m = new Meter
     spark.sparkContext.addSparkListener(m)
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    drain(m)
-    spark.sparkContext.removeSparkListener(m)
-    (wall, m)
+    // try/finally: this gate runs real 300x corpora where OOM/ENOSPC is an
+    // EXPECTED failure mode — a listener leaked onto the shared context
+    // would tax every subsequent measurement with its accumulation
+    try {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drain(m)
+      (wall, m)
+    } finally spark.sparkContext.removeSparkListener(m)
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,24 +111,53 @@ object BandGate {
     val free   = new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace
 
     val budget = graft.ext.SetJoin.shuffleBudget
+    // CRASH-ROBUST RECORDS (round 15): each query's record is appended to
+    // workDir/records.jsonl the moment it completes — an OOM/ENOSPC abort
+    // on the SECOND query must not erase the first's measurement (the
+    // round-14 mult=100 hot line survived only as stderr). The final
+    // stdout line still carries the merged record for the driver.
+    val recordsPath = java.nio.file.Paths.get(s"$workDir/records.jsonl")
+    def persist(rec: String): Unit =
+      try {
+        java.nio.file.Files.createDirectories(recordsPath.getParent)
+        java.nio.file.Files.write(
+          recordsPath,
+          (s"""{"mult":$mult,"variant":"$variant",$rec}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND
+        ): Unit
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[band-gate] could not persist record: $e")
+      }
     def fmtQ(
         name: String,
         predicted: Long,
         run: Boolean,
-        skipReason: String): String =
-      if (!run)
-        s"""\"$name\":{"predicted_bytes":$predicted,"skipped":"$skipReason"}"""
-      else {
-        val (wall, m) = timed(spark, name, corpus)
-        val measured  = m.total
-        val ratio     = if (measured > 0) predicted.toDouble / measured else -1.0
-        System.err.println(
-          f"[band-gate] $name wall=$wall%.1fs shuffle=${m.shuffle.get()} spill=${m.spill.get()} " +
-            f"max_task=${m.maxTaskNs.get() / 1e9}%.1fs ratio=$ratio%.2f")
-        f"""\"$name\":{"predicted_bytes":$predicted,"wall_sec":$wall%.1f,""" +
-          f""""measured_shuffle_bytes":${m.shuffle.get()},"measured_spill_bytes":${m.spill.get()},""" +
-          f""""predicted_over_measured":$ratio%.2f,"max_task_sec":${m.maxTaskNs.get() / 1e9}%.1f}"""
-      }
+        skipReason: String): String = {
+      val rec =
+        if (!run)
+          s"""\"$name\":{"predicted_bytes":$predicted,"skipped":"$skipReason"}"""
+        else {
+          val (wall, m) = timed(spark, name, corpus)
+          val measured  = m.total
+          val ratio     = if (measured > 0) predicted.toDouble / measured else -1.0
+          System.err.println(
+            f"[band-gate] $name wall=$wall%.1fs shuffle=${m.shuffle.get()} spill=${m.spill.get()} " +
+              f"max_task=${m.maxTaskNs.get() / 1e9}%.1fs ratio=$ratio%.2f")
+          f"""\"$name\":{"predicted_bytes":$predicted,"wall_sec":$wall%.1f,""" +
+            f""""measured_shuffle_bytes":${m.shuffle.get()},"measured_spill_bytes":${m.spill.get()},""" +
+            f""""predicted_over_measured":$ratio%.2f,"max_task_sec":${m.maxTaskNs.get() / 1e9}%.1f}"""
+        }
+      persist(rec)
+      rec
+    }
+    // the estimates are a record in their own right — persist them before
+    // any measured query can abort the process
+    persist(
+      s""""estimates":{"gram":${estG.bytes},"shingle":${estS.bytes},""" +
+        s""""expansion_rows":$expRows,"expansion_bytes":$expBytes,"free":$free}""")
 
     // the expansion output rides ONE global sort at the end of
     // q_contamination — waves bound the verify, not the answer — so the

@@ -68,23 +68,30 @@ object SetJoinGate {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    val t0 = System.nanoTime()
-    SetJoin.similarityJoin(docs).write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    // listener events are queued; the private listenerBus.waitUntilEmpty is
-    // not accessible outside org.apache.spark, so poll the accumulators
-    // until they hold still for a grace period (a fixed sleep undercounted
-    // on a loaded box and inflated the predicted/measured ratio this gate
-    // exists to calibrate), capped at 30 s
-    val deadline = System.nanoTime() + 30L * 1000000000L
-    var last     = -1L
-    var stable   = 0
-    while (stable < 4 && System.nanoTime() < deadline) {
-      Thread.sleep(500)
-      val cur = shuffleBytes.get() + spillBytes.get()
-      if (cur == last) stable += 1 else { stable = 0; last = cur }
-    }
-    spark.sparkContext.removeSparkListener(listener)
+    // try/finally: this gate's corpora are sized so OOM/ENOSPC is an
+    // expected failure mode — a leaked listener would tax every
+    // measurement a retry in the same session takes
+    val wall =
+      try {
+        val t0 = System.nanoTime()
+        SetJoin.similarityJoin(docs).write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        // listener events are queued; the private listenerBus.waitUntilEmpty
+        // is not accessible outside org.apache.spark, so poll the
+        // accumulators until they hold still for a grace period (a fixed
+        // sleep undercounted on a loaded box and inflated the
+        // predicted/measured ratio this gate exists to calibrate), capped
+        // at 30 s
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        var last     = -1L
+        var stable   = 0
+        while (stable < 4 && System.nanoTime() < deadline) {
+          Thread.sleep(500)
+          val cur = shuffleBytes.get() + spillBytes.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        w
+      } finally spark.sparkContext.removeSparkListener(listener)
 
     val measured = shuffleBytes.get() + spillBytes.get()
     val ratio    = if (measured > 0) est.bytes.toDouble / measured else -1.0

@@ -17,13 +17,18 @@ noise the sweep itself measured is not worth a row. Rows split into:
               regardless of the timing ratio — a fingerprint change is
               deterministic evidence the plan moved, and the noise floor
               argues only about timing deltas, not plan identity.
-  DATA      - same fingerprint, but the two artifacts' `fixture` stamps
-              (per-table row counts + bytes, round 14) differ: the plan is
-              identical and the DATA changed — the delta is fixture drift,
-              deterministically attributed, no isolated re-measure needed.
-  HOST      - same fingerprint AND identical fixture stamps: the delta can
-              only be host noise; re-measure isolated (SPARK_GRAFT_ONLY=<q>)
-              before chasing it.
+  DATA      - same fingerprint, the two artifacts' `fixture` stamps
+              (per-table row counts + bytes, round 14) differ, AND the query
+              reads a changed table (round 15, from the `plan_tables` map —
+              a query whose inputs are disjoint from the changed tables
+              cannot be explained by fixture drift and is labelled HOST
+              instead): the delta is fixture drift, deterministically
+              attributed, no isolated re-measure needed. Queries with
+              unknown inputs keep the conservative DATA label.
+  HOST      - same fingerprint AND (identical fixture stamps, or the
+              query's inputs are disjoint from every changed table): the
+              delta can only be host noise; re-measure isolated
+              (SPARK_GRAFT_ONLY=<q>) before chasing it.
   ENV/DATA  - same fingerprint but at least one side predates the fixture
               stamp: fixture drift and host noise cannot be separated.
               The raised (measured-noise-floor) threshold applies to all
@@ -51,27 +56,43 @@ def load(path):
     # full artifacts store {name: sec}; the printed tail line stores the same
     secs = {k: (v["sec"] if isinstance(v, dict) else v) for k, v in qs.items()}
     arts = {k: v for k, v in d.get("artifacts", {}).items() if isinstance(v, (int, float))}
-    return secs, d.get("plan_fp", {}), d.get("noise_floor"), arts, d.get("fixture")
+    return (secs, d.get("plan_fp", {}), d.get("noise_floor"), arts, d.get("fixture"),
+            d.get("plan_tables", {}))
 
 
 def main(old_path, new_path, ratio):
-    old, ofp, onf, oart, ofix = load(old_path)
-    new, nfp, nnf, nart, nfix = load(new_path)
+    old, ofp, onf, oart, ofix, otab = load(old_path)
+    new, nfp, nnf, nart, nfix, ntab = load(new_path)
     # same-plan attribution label: DATA when the fixture stamps prove the
     # testdata changed, HOST when they prove it did not, ENV/DATA when a
     # side predates the stamp and the two cannot be separated
+    changed_tables = set()
     if ofix is not None and nfix is not None:
         sameplan_kind = "HOST" if ofix == nfix else "DATA"
         if sameplan_kind == "DATA":
-            changed = sorted(
+            changed_tables = {
                 t for t in set(ofix) | set(nfix) if ofix.get(t) != nfix.get(t)
-            )
-            print(f"fixture changed: {', '.join(changed)} "
-                  f"(same-plan deltas attributed DATA, not noise)")
+            }
+            print(f"fixture changed: {', '.join(sorted(changed_tables))} "
+                  f"(same-plan deltas on queries READING those tables attributed DATA)")
         else:
             print("fixture identical on both sides (same-plan deltas are HOST noise)")
     else:
         sameplan_kind = "ENV/DATA"
+
+    def kind_for(q):
+        """Per-query same-plan label: a fixture change only explains a delta
+        on a query that actually READS a changed table (round 15 — a global
+        DATA label mis-attributed genuine host noise on unrelated queries to
+        fixture drift). Unknown inputs (pre-round-15 artifact, or an eager
+        driver-loop query whose final plan reads a checkpoint) keep the
+        conservative global label."""
+        if sameplan_kind != "DATA":
+            return sameplan_kind
+        tq = ntab.get(q) if ntab.get(q) else otab.get(q)
+        if not tq:
+            return "DATA"
+        return "DATA" if set(tq) & changed_tables else "HOST"
     floors = [f for f in (onf, nnf) if f and f > 0]
     measured = max(floors) if floors else None
     # The measured floor raises the bar for SAMEPLAN timing rows only: a
@@ -103,7 +124,7 @@ def main(old_path, new_path, ratio):
         if plan_changed:
             rows.append((r, q, a, b, "PLAN"))
         elif r >= sameplan_ratio or r <= 1.0 / sameplan_ratio:
-            rows.append((r, q, a, b, sameplan_kind if fp_known else "NO-FP"))
+            rows.append((r, q, a, b, kind_for(q) if fp_known else "NO-FP"))
 
     rows.sort(reverse=True)
     if not rows:
@@ -124,9 +145,10 @@ def main(old_path, new_path, ratio):
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     n_plan = sum(1 for x in rows if x[4] == "PLAN")
-    n_same = sum(1 for x in rows if x[4] in ("ENV/DATA", "DATA", "HOST"))
-    print(f"attribution: {n_plan} plan-changed, {n_same} same-plan "
-          f"(labelled {sameplan_kind})")
+    n_data = sum(1 for x in rows if x[4] in ("ENV/DATA", "DATA"))
+    n_host = sum(1 for x in rows if x[4] == "HOST")
+    print(f"attribution: {n_plan} plan-changed, {n_data} data, {n_host} host-noise "
+          f"(global fixture verdict: {sameplan_kind})")
 
     # Offline artifact walls (memoized/staged builds) move real work out of
     # query timings; diff them too so a staged regression cannot hide.
