@@ -1,0 +1,126 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Measured-feedback wave scheduler for the bounded-wave loops (round 15).
+  *
+  * The pre-enumeration byte models are deliberately conservative — measured
+  * over-prediction runs 2.6–12.8× in the no-spill regime — and every bought
+  * wave pays a real fixed term (candidate-frame build, payload read, job
+  * overhead): the post-refactor 150k set-join gate ran 6 waves / 1615 s
+  * where the honest footprint needed ~1 (192.7 s). This scheduler keeps the
+  * model's wave count as the SAFE INITIAL PLAN, then re-plans after each
+  * batch from what the waves actually wrote: per-unit footprint = measured
+  * shuffle-write + spill bytes of the batch ÷ units in it, and the next
+  * batch takes as many remaining units as fit the budget at that measured
+  * rate. Batch sizes only grow (the plan is the floor — `waves_run` never
+  * exceeds `waves_planned`), the budget is never exceeded on measured
+  * bytes, and a free-disk precheck still guards every batch. Output is
+  * batching-invariant by construction (each unit's pair set is disjoint and
+  * the union over any batching is the full set) — SetJoinSpec pins
+  * re-planned ≡ fixed-wave.
+  */
+object AdaptiveWaves {
+
+  private final class Meter extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        bytes.addAndGet(m.diskBytesSpilled): Unit
+      }
+    }
+  }
+
+  /** (planned, run) wave counts of the last campaign per context tag —
+    * the gates' `waves_planned` vs `waves_run` record.
+    */
+  private val lastRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  def snapshot: Map[String, (Int, Int)] = {
+    val b = Map.newBuilder[String, (Int, Int)]
+    lastRuns.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+
+  /** Run `body` over all of `units` (disjoint residue/salt classes) in
+    * adaptively-sized batches.
+    *
+    *   - `wavesPlanned`: the byte model's wave count — the initial batch is
+    *     `⌈units/wavesPlanned⌉` units and later batches never shrink below
+    *     it, so the campaign never runs MORE waves than planned.
+    *   - `predictedPerWave`: the model's per-wave bytes, used for the first
+    *     batch's free-disk precheck (later batches use measured bytes).
+    *   - `budget`: per-wave byte budget; None ⇒ no re-planning (fixed
+    *     batches — the spec-equivalence entry point with no environment).
+    *
+    * Returns (wavesPlanned, wavesRun).
+    */
+  def run(
+      spark: SparkSession,
+      tag: String,
+      units: Seq[Int],
+      wavesPlanned: Int,
+      predictedPerWave: Long,
+      budget: Option[Long])(body: Seq[Int] => Unit): (Int, Int) = {
+    val n         = units.size
+    val baseBatch = math.max(1, (n + wavesPlanned - 1) / wavesPlanned)
+    var i         = 0
+    var wave      = 0
+    var batch     = baseBatch
+    // measured per-unit footprint so far (max across batches: the safe
+    // side — a lucky early batch must not over-commit a later one)
+    var perUnit = -1.0
+    while (i < n) {
+      val take = math.min(batch, n - i)
+      val need =
+        if (perUnit > 0) (perUnit * take).toLong
+        else predictedPerWave
+      WaveScratch.ensureFreeSpace(need, s"$tag wave ${wave + 1} ($take units)")
+      val m = new Meter
+      spark.sparkContext.addSparkListener(m)
+      try {
+        val t0 = System.nanoTime()
+        body(units.slice(i, i + take))
+        // best-effort drain: poll until the byte counter holds still (the
+        // SetJoinGate discipline), briefly — an undercount here only makes
+        // the NEXT batch conservative, never wrong
+        val deadline = System.nanoTime() + 10L * 1000000000L
+        var last     = -1L
+        var stable   = 0
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(300)
+          val cur = m.bytes.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        val sec      = (System.nanoTime() - t0) / 1e9
+        val measured = m.bytes.get()
+        perUnit = math.max(perUnit, measured.toDouble / math.max(1, take))
+        System.err.println(
+          f"[$tag] wave ${wave + 1} ($take units, ${i + take}/$n) done in $sec%.1f s — " +
+            f"measured $measured B (${perUnit / 1048576}%.1f MiB/unit)")
+      } finally spark.sparkContext.removeSparkListener(m)
+      i += take
+      wave += 1
+      // re-plan the NEXT batch from measured bytes: as many units as fit
+      // the budget at the measured rate, never below the planned batch
+      // (cap at the original plan), never above what remains
+      batch = budget match {
+        case Some(b) if perUnit > 0 =>
+          math.max(baseBatch, math.min(n - i, (b / math.max(1.0, perUnit)).toInt))
+        case _ => baseBatch
+      }
+      // nudge the ContextCleaner to drop the finished wave's shuffle files
+      // (cleanup is GC-driven)
+      System.gc()
+    }
+    lastRuns.put(tag, (wavesPlanned, wave)): Unit
+    System.err.println(s"[$tag] campaign complete: waves_planned=$wavesPlanned waves_run=$wave")
+    (wavesPlanned, wave)
+  }
+}

@@ -264,7 +264,7 @@ object Dedup {
     */
   private[graft] def candidatePairsFrom(
       sigs: DataFrame,
-      d1Wave: Option[(Int, Int)] = None): DataFrame =
+      d1Wave: Option[(Int, Seq[Int])] = None): DataFrame =
     bandSelfJoin(bands(sigs), d1Wave).distinct()
 
   /** The raw (pre-distinct) band-bucket pair enumeration over an arbitrary
@@ -273,10 +273,10 @@ object Dedup {
     * (the d1 producer), so a waved run's enumeration join INPUT is already
     * 1/waves — the filter never waits for pairs to exist.
     */
-  private def bandSelfJoin(b: DataFrame, d1Wave: Option[(Int, Int)] = None): DataFrame = {
+  private def bandSelfJoin(b: DataFrame, d1Wave: Option[(Int, Seq[Int])] = None): DataFrame = {
     val a = d1Wave match {
-      case Some((n, w)) => b.filter(pmod(hash(col("doc_id")), lit(n)) === w)
-      case None         => b
+      case Some((n, ws)) => b.filter(pmod(hash(col("doc_id")), lit(n)).isin(ws: _*))
+      case None          => b
     }
     a.alias("a")
       .join(
@@ -367,7 +367,7 @@ object Dedup {
   private[graft] def ngramCandidatePairs(
       docs: DataFrame,
       sat: Int,
-      d1Wave: Option[(Int, Int)] = None): DataFrame = {
+      d1Wave: Option[(Int, Seq[Int])] = None): DataFrame = {
     val sigs =
       if (hasExactDups(docs)) cached(signatures(docs).join(repIds(docs), "doc_id"))
       else signatures(docs)
@@ -604,27 +604,34 @@ object Dedup {
             System.err.println(
               s"[dedup] predicted ${est.bytes} B exceeds budget $budget B — " +
                 s"verifying shingle candidates in $waves bounded waves")
-            nearDuplicatesWaved(docs, threshold, waves, est.bytes / waves)
+            nearDuplicatesWaved(docs, threshold, waves, est.bytes / waves, Some(budget))
           case None => verifiedPairs(candidatePairs(docs), docs, threshold)
         }
       case None => verifiedPairs(candidatePairs(docs), docs, threshold)
     }
 
-  /** Bounded-wave shingle verify: wave w owns the candidate pairs whose d1
-    * falls in hash(d1) residue class w — the wave filter sits on the band
-    * join's A side, so each wave's enumeration, distinct, and verify
-    * exchanges all carry ~1/waves of the volume; each wave is its own
-    * materialized action with shuffle files GC-cleaned before the next
-    * (the [[SetJoin.similarityJoinWaved]] machinery, applied to the band
-    * candidate grain). Union over waves ≡ the single-wave output because
-    * every pair has exactly one d1. Memoized per (docs plan, threshold,
-    * waves) so repeated constructions re-read the parquet.
+  /** Bounded-wave shingle verify: each batch of hash(d1) residue classes
+    * owns the candidate pairs whose d1 falls in it — the wave filter sits
+    * on the band join's A side, so each wave's enumeration, distinct, and
+    * verify exchanges all carry only its batch's share of the volume; each
+    * wave is its own materialized action with shuffle files GC-cleaned
+    * before the next (the [[SetJoin.similarityJoinWaved]] machinery,
+    * applied to the band candidate grain). Union over waves ≡ the
+    * single-wave output because every pair has exactly one d1. Memoized per
+    * (docs plan, threshold, waves) so repeated constructions re-read the
+    * parquet. Round 15: the verify payload (shingle hash + string arrays)
+    * is materialized once per campaign as a doc_id-bucketed table so each
+    * wave's verify joins read it exchange-free ([[graft.core
+    * .BucketedPayload]]), and the wave count re-plans from measured bytes
+    * ([[graft.core.AdaptiveWaves]]; `budget` None ⇒ fixed batches, the
+    * spec entry point).
     */
   private[graft] def nearDuplicatesWaved(
       docs: DataFrame,
       threshold: Double,
       waves: Int,
-      perWaveBytes: Long = 0L): DataFrame = {
+      perWaveBytes: Long = 0L,
+      budget: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     val key   = (docs.queryExecution.analyzed.semanticHash(), threshold, waves)
     val sigs =
@@ -641,23 +648,27 @@ object Dedup {
           spark,
           "neardup",
           f"${key._1}%08x-${java.lang.Double.doubleToLongBits(threshold).toHexString}-$waves")
+        val payKey = f"${key._1}%08x"
+        val nb     = spark.sparkContext.defaultParallelism
+        val hpay =
+          graft.core.BucketedPayload.ensure(spark, "shhash", payKey, "doc_id", nb)(
+            shingleHashes(docs))
+        val spay =
+          graft.core.BucketedPayload.ensure(spark, "shset", payKey, "doc_id", nb)(
+            shingleSets(docs))
         val tAll = System.nanoTime()
-        for (w <- 0 until waves) {
-          graft.core.WaveScratch.ensureFreeSpace(
-            perWaveBytes, s"near-dup verify wave ${w + 1}/$waves")
-          val t0 = System.nanoTime()
-          verifiedPairs(candidatePairsFrom(sigs, Some((waves, w))), docs, threshold)
-            .write.mode("overwrite").parquet(s"$out/w$w")
-          System.err.println(
-            f"[dedup] shingle-verify wave ${w + 1}/$waves done in " +
-              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-          System.gc()
+        graft.core.AdaptiveWaves.run(
+          spark, "neardup", 0 until waves, waves, perWaveBytes, budget) { ws =>
+          verifiedPairs(
+            candidatePairsFrom(sigs, Some((waves, ws))), docs, threshold,
+            Some((hpay, spay)))
+            .write.mode("append").parquet(out)
         }
         graft.core.BuildWalls.record("neardup_verify_waves", (System.nanoTime() - tAll) / 1e9)
         out
       }
     )
-    spark.read.parquet((0 until waves).map(w => s"$dir/w$w"): _*)
+    spark.read.parquet(dir)
   }
 
   private val nearDupWavedMemo =
@@ -680,9 +691,18 @@ object Dedup {
     * against the final double comparison (double rounding is ≤ ~1e-16
     * relative; the pruning power loses nothing at 1e-9).
     */
-  private def verifiedPairs(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val sets  = shingleSets(docs)
-    val hsets = shingleHashes(docs)
+  private def verifiedPairs(
+      cand: DataFrame,
+      docs: DataFrame,
+      threshold: Double,
+      payload: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // `payload` (round 15): (hash-tier, string-tier) frames to read the
+    // verify columns from instead of the session caches — the wave loop
+    // passes once-per-campaign doc_id-bucketed tables so each wave's four
+    // verify joins scan them exchange-free instead of re-shuffling the
+    // full payload per wave (the round-14 per-wave fixed term)
+    val sets  = payload.fold(shingleSets(docs))(_._2)
+    val hsets = payload.fold(shingleHashes(docs))(_._1)
     val tm    = threshold - 1e-9
     // HASH-FIRST topology (round 13; SetJoin/ngram precedent): the
     // exchange that routes each candidate row to its d2 side used to carry
@@ -1115,13 +1135,13 @@ object Dedup {
           System.err.println(
             s"[dedup] predicted ${est.bytes} B exceeds budget $budget B — " +
               s"verifying gram candidates in $waves bounded waves")
-          (waves, est.bytes / waves)
+          (waves, est.bytes / waves, budget)
         }
       }
       else None
     waved match {
-      case Some((waves, perWave)) =>
-        ngramVerifiedPairsWaved(docs, sat, waves, perWave)
+      case Some((waves, perWave, budget)) =>
+        ngramVerifiedPairsWaved(docs, sat, waves, perWave, Some(budget))
       case None =>
         // saturation-aware candidate tier (round 13): identical output, but
         // over-occupied band buckets enumerate through the exact prefix
@@ -1142,30 +1162,36 @@ object Dedup {
       docs: DataFrame,
       sat: Int,
       waves: Int,
-      perWaveBytes: Long = 0L): DataFrame = {
+      perWaveBytes: Long = 0L,
+      budget: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     val key   = (docs.queryExecution.analyzed.semanticHash(), sat, waves)
     val dir = ngramWavedMemo.computeIfAbsent(
       key,
       _ => {
         val out = graft.core.WaveScratch.dirFor(spark, "ngram", f"${key._1}%08x-$sat-$waves")
+        // once-per-campaign doc_id-bucketed gram payload: each wave's
+        // verify joins scan it exchange-free (round 15 — the per-wave d2
+        // re-exchange was the dominant fixed term at 5M docs)
+        val gpay = graft.core.BucketedPayload.ensure(
+          spark,
+          "gram",
+          f"${key._1}%08x",
+          "doc_id",
+          spark.sparkContext.defaultParallelism)(gramSets(docs))
         val tAll = System.nanoTime()
-        for (w <- 0 until waves) {
-          graft.core.WaveScratch.ensureFreeSpace(
-            perWaveBytes, s"gram verify wave ${w + 1}/$waves")
-          val t0 = System.nanoTime()
-          ngramVerify(docs, ngramCandidatePairs(docs, sat, Some((waves, w))), pruned = true)
-            .write.mode("overwrite").parquet(s"$out/w$w")
-          System.err.println(
-            f"[dedup] gram-verify wave ${w + 1}/$waves done in " +
-              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-          System.gc()
+        graft.core.AdaptiveWaves.run(
+          spark, "ngram", 0 until waves, waves, perWaveBytes, budget) { ws =>
+          ngramVerify(
+            docs, ngramCandidatePairs(docs, sat, Some((waves, ws))), pruned = true,
+            payload = Some(gpay))
+            .write.mode("append").parquet(out)
         }
         graft.core.BuildWalls.record("ngram_verify_waves", (System.nanoTime() - tAll) / 1e9)
         out
       }
     )
-    spark.read.parquet((0 until waves).map(w => s"$dir/w$w"): _*).orderBy("d1", "d2")
+    spark.read.parquet(dir).orderBy("d1", "d2")
   }
 
   private val ngramWavedMemo =
@@ -1176,8 +1202,15 @@ object Dedup {
     * (which appends the orderBy) and the wave loop (which materializes
     * each wave unsorted and sorts the union).
     */
-  private def ngramVerify(docs: DataFrame, cand0: DataFrame, pruned: Boolean): DataFrame = {
-    val sets = gramSets(docs)
+  private def ngramVerify(
+      docs: DataFrame,
+      cand0: DataFrame,
+      pruned: Boolean,
+      payload: Option[DataFrame] = None): DataFrame = {
+    // `payload`: a gramSets-schema frame to read the verify columns from
+    // instead of the session cache — the wave loop passes the
+    // once-per-campaign doc_id-bucketed table (see nearDuplicatesWaved)
+    val sets = payload.getOrElse(gramSets(docs))
     val gated =
       if (pruned) {
         // HASH-FIRST topology (round 13, SetJoin.verifiedForSalts

@@ -97,7 +97,7 @@ object SetJoin {
       tNum: Long,
       tDen: Long,
       saltB: Int,
-      d1Wave: Option[(Int, Int)] = None): DataFrame = {
+      d1Wave: Option[(Int, Seq[Int])] = None): DataFrame = {
     val par = sets.sparkSession.sparkContext.defaultParallelism
     // |d| − ⌈t·|d|⌉ + 1 in exact integers: ⌈t·sz⌉ = (sz·tNum + tDen − 1) div tDen
     val plen =
@@ -109,13 +109,13 @@ object SetJoin {
       col("sz"),
       posexplode(slice(col("toks"), lit(1), plen)).as(Seq("pos", "tok"))
     )
-    // bounded-wave restriction (round 14, the band family's wave loop):
-    // every emitted pair has d1 = a.doc_id, so filtering the A side to one
-    // hash(doc_id) residue class partitions the pair set exactly — each
-    // pair lands in the single wave owning its d1
+    // bounded-wave restriction (round 14; round 15 batches): every emitted
+    // pair has d1 = a.doc_id, so filtering the A side to a SET of
+    // hash(doc_id) residue classes partitions the pair set exactly — each
+    // pair lands in the single batch owning its d1
     val prefA0 = d1Wave match {
-      case Some((n, w)) => pref.filter(pmod(hash(col("doc_id")), lit(n)) === w)
-      case None         => pref
+      case Some((n, ws)) => pref.filter(pmod(hash(col("doc_id")), lit(n)).isin(ws: _*))
+      case None          => pref
     }
     val prefA = prefA0
       .withColumn("salt", pmod(hash(col("doc_id")), lit(saltB)))
@@ -419,7 +419,7 @@ object SetJoin {
           System.err.println(
             s"[setjoin] predicted ${est.bytes} B exceeds budget $budget B — " +
               s"enumerating in $waves bounded waves over a $saltW-salt space")
-          similarityJoinWaved(docs, saltW, waves, est.bytes / waves)
+          similarityJoinWaved(docs, saltW, waves, est.bytes / waves, Some(budget))
         } else similarityJoinWith(docs, saltB)
       case None => similarityJoinWith(docs, saltB)
     }
@@ -436,28 +436,41 @@ object SetJoin {
     verifiedForSalts(os, saltB, 0 until saltB).orderBy("d1", "d2")
   }
 
-  /** Bounded-wave enumeration: the salt space is partitioned into `waves`
-    * residue classes and each class's candidate enumeration + verify runs
-    * as its OWN action, materialized to scratch parquet, before the next
-    * wave starts — so the peak enumeration-shuffle footprint on disk is
-    * ~1/waves of the single-wave plan's. Exactness is unchanged: each
-    * (d1, d2) pair meets at exactly one salt (= hash(d1) mod saltB), that
-    * salt lies in exactly one wave, so the union over waves is the
-    * single-wave candidate set with every pair exactly once —
-    * SetJoinSpec pins waved ≡ single-wave output. The `System.gc()`
-    * between waves nudges Spark's ContextCleaner to delete the finished
-    * wave's shuffle files (cleanup is GC-driven); on a real cluster the
-    * same wave loop bounds each executor's scratch share.
+  /** Bounded-wave enumeration: the salt space is partitioned into batches
+    * of residue classes and each batch's candidate enumeration + verify
+    * runs as its OWN action, appended to scratch parquet, before the next
+    * starts — so the peak enumeration-shuffle footprint on disk is
+    * ~budget-bounded instead of the single-wave plan's. Exactness is
+    * unchanged: each (d1, d2) pair meets at exactly one salt
+    * (= hash(d1) mod saltB), every salt lands in exactly one batch, so the
+    * union over batches is the single-wave candidate set with every pair
+    * exactly once — SetJoinSpec pins waved ≡ single-wave output at fixed
+    * AND re-planned batchings.
+    *
+    * Round 15, two wall-clock cuts on top of the round-14 bound:
+    *   - the verify payload (hash + string token arrays per doc) is
+    *     materialized ONCE per campaign as a doc_id-bucketed table
+    *     ([[graft.core.BucketedPayload]]), so each wave's verify joins read
+    *     it exchange-free instead of re-shuffling the full payload per
+    *     wave — the dominant per-wave fixed term at 5M docs;
+    *   - the wave count is re-planned from measured bytes after each batch
+    *     ([[graft.core.AdaptiveWaves]]): the byte model over-predicts
+    *     2.6–12.8× in the no-spill regime, and each over-bought wave paid
+    *     the fixed term above. The model's count stays the initial plan
+    *     (never exceeded); later batches grow to what the budget fits at
+    *     the measured per-salt rate.
     *
     * The materialized union is memoized per (ordered-set plan, saltB,
     * waves) so repeated constructions (bench reps) re-read the parquet
-    * instead of re-enumerating.
+    * instead of re-enumerating. The budget is NOT part of the key: it
+    * shapes batching only, never output.
     */
   private[graft] def similarityJoinWaved(
       docs: DataFrame,
       saltB: Int,
       wavesArg: Int,
-      perWaveBytes: Long = 0L): DataFrame = {
+      perWaveBytes: Long = 0L,
+      budget: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     val base =
       if (Dedup.hasExactDups(docs)) docs.join(Dedup.repIds(docs), "doc_id") else docs
@@ -472,20 +485,17 @@ object SetJoin {
         // very ENOSPC hazard the budget exists to avoid
         val out = graft.core.WaveScratch.dirFor(
           spark, "setjoin", f"${key._1}%08x-$saltB-$waves")
+        val pay = graft.core.BucketedPayload.ensure(
+          spark,
+          "setjoin",
+          f"${key._1}%08x",
+          "doc_id",
+          spark.sparkContext.defaultParallelism)(os)
         val tAll = System.nanoTime()
-        for (w <- 0 until waves) {
-          // the estimate knows each wave's footprint — refuse BEFORE the
-          // wave instead of ENOSPCing inside it
-          graft.core.WaveScratch.ensureFreeSpace(
-            perWaveBytes, s"set-join wave ${w + 1}/$waves")
-          val salts = (0 until saltB).filter(_ % waves == w)
-          val t0    = System.nanoTime()
-          verifiedForSalts(os, saltB, salts)
-            .write.mode("overwrite").parquet(s"$out/w$w")
-          System.err.println(
-            f"[setjoin] wave ${w + 1}/$waves (${salts.size} salts) done in " +
-              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-          System.gc()
+        graft.core.AdaptiveWaves.run(
+          spark, "setjoin", 0 until saltB, waves, perWaveBytes, budget) { salts =>
+          verifiedForSalts(os, saltB, salts, Some(pay))
+            .write.mode("append").parquet(out)
         }
         // min-of-N bench reps re-read the memoized parquet; the enumeration
         // wall is reported as an artifact entry so it cannot vanish
@@ -493,9 +503,7 @@ object SetJoin {
         out
       }
     )
-    spark.read
-      .parquet((0 until waves).map(w => s"$dir/w$w"): _*)
-      .orderBy("d1", "d2")
+    spark.read.parquet(dir).orderBy("d1", "d2")
   }
 
   private val wavedMemo =
@@ -517,9 +525,21 @@ object SetJoin {
     * unchanged; a proper subset restricts the d1 side to its own salts and
     * replicates the d2 side across only those salts, enumerating exactly
     * the pairs whose meeting salt falls in the subset.
+    *
+    * `payload` (round 15): an os-schema frame to read the verify columns
+    * (htoks/hok/sz/stoks) from instead of `os` — the wave loop passes the
+    * once-per-campaign doc_id-bucketed table so each wave's four verify
+    * joins scan it exchange-free rather than re-shuffling the full payload
+    * (the round-14 per-wave fixed term). The prefix/enumeration side keeps
+    * reading the memory-cached `os`.
     */
-  private def verifiedForSalts(os: DataFrame, saltB: Int, salts: Seq[Int]): DataFrame = {
+  private def verifiedForSalts(
+      os: DataFrame,
+      saltB: Int,
+      salts: Seq[Int],
+      payload: Option[DataFrame] = None): DataFrame = {
     val par  = os.sparkSession.sparkContext.defaultParallelism
+    val pay  = payload.getOrElse(os)
     val pref = prefixFrame(os)
     // SALTED enumeration (Vernica 2010's block split, the round-11 fix for
     // quadratic-OUTPUT skew): on a saturated token space a handful of hot
@@ -574,12 +594,12 @@ object SetJoin {
       )
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val h1 = os.select(
+    val h1 = pay.select(
       col("doc_id").as("d1"), col("htoks").as("h1"), col("hok").as("hok1"), col("sz").as("sza"))
-    val h2 = os.select(
+    val h2 = pay.select(
       col("doc_id").as("d2"), col("htoks").as("h2"), col("hok").as("hok2"), col("sz").as("szb"))
-    val s1 = os.select(col("doc_id").as("d1"), col("stoks").as("s1"))
-    val s2 = os.select(col("doc_id").as("d2"), col("stoks").as("s2"))
+    val s1 = pay.select(col("doc_id").as("d1"), col("stoks").as("s1"))
+    val s2 = pay.select(col("doc_id").as("d2"), col("stoks").as("s2"))
     val hashTier = cands
       // explicit numPartitions spread before the CPU-heavy verify: the
       // candidate frame is BYTE-small, so AQE's size-based coalescing packs

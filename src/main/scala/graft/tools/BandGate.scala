@@ -174,8 +174,14 @@ object BandGate {
       skipReason =
         f"predicted expansion output $expRows rows (~$expBytes B raw) vs $free B free scratch")
 
+    // adaptive re-waving record (round 15): waves the byte model planned vs
+    // waves the measured-feedback scheduler ran, per campaign tag
+    val wavesJson = graft.core.AdaptiveWaves.snapshot.toSeq.sorted
+      .map { case (t, (p, r)) => s""""$t":{"planned":$p,"run":$r}""" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"mult":$mult,"variant":"$variant","budget_bytes":${budget.getOrElse(-1L)},""" +
+      s"""{"mult":$mult,"variant":"$variant","waves":$wavesJson,""" +
+        s""""budget_bytes":${budget.getOrElse(-1L)},""" +
         f""""estimate_sec":$estSec%.1f,"artifact_build_sec":${arts.values.sum}%.1f,""" +
         s""""gram_estimate":{"enum_pairs":${estG.enumPairs},"survival":${estG.survival},""" +
         s""""avg_payload":${estG.avgPayload},"bytes":${estG.bytes}},""" +

@@ -100,8 +100,12 @@ object SetJoinGate {
       case Some(b) if est.bytes > b => "waved"
       case _                        => "single-wave"
     }
+    // adaptive re-waving record (round 15): how many waves the byte model
+    // planned vs how many the measured-feedback scheduler actually ran
+    val (wp, wr) = graft.core.AdaptiveWaves.snapshot.getOrElse("setjoin", (-1, -1))
     println(
-      f"""{"mult":$mult,"mode":"$mode","prefix_rows":${est.prefRows},""" +
+      f"""{"mult":$mult,"mode":"$mode","waves_planned":$wp,"waves_run":$wr,""" +
+        f""""prefix_rows":${est.prefRows},""" +
         f""""enum_pairs":${est.enumPairs},"predicted_surviving":${est.survivingPairs},""" +
         f""""sampled_survival":${est.survival}%.3f,""" +
         f""""predicted_bytes":${est.bytes},"measured_shuffle_bytes":${shuffleBytes.get()},""" +

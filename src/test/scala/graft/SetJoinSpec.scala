@@ -95,6 +95,27 @@ class SetJoinSpec extends SparkSpec {
       )
     }
 
+    // adaptive re-waving (round 15) ≡ fixed-wave: with a budget the
+    // scheduler re-plans batch sizes from measured bytes — a tiny budget
+    // keeps every batch at the planned floor, a huge one collapses the
+    // remaining salts into one batch after the first — and BOTH must
+    // produce exactly the fixed-wave pair set (batching is
+    // output-invariant by construction). Fresh wave counts dodge the
+    // (plan, saltB, waves) memo of the fixed-wave runs above.
+    for ((w, b) <- Seq((4, 1L), (5, Long.MaxValue / 4))) {
+      val adaptive = SetJoin
+        .similarityJoinWaved(docs, saltB = 8, wavesArg = w, budget = Some(b))
+        .select("d1", "d2", "inter", "uni")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(
+        adaptive == expected,
+        s"re-planned waves diverge at waves=$w budget=$b: " +
+          s"missing=${expected -- adaptive} extra=${adaptive -- expected}"
+      )
+    }
+
     // the pre-enumeration volume estimate is a true upper bound: every
     // qualifying pair shares >= 1 prefix token (the completeness theorem),
     // so it is counted at least once in sum_tok C(cnt, 2)
