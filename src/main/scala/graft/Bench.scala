@@ -160,8 +160,42 @@ object Bench {
     // plan bypasses the cache-substitution step, so the fp hashes the pure
     // logical computation: same code ⇒ same fp, regardless of which family
     // members ran first or at all.
+    //
+    // DETERMINISTIC EXPR-ID RENUMBERING (round 15): text masking strips
+    // `#id` suffixes, but some optimizer rules make STRUCTURAL choices by
+    // iterating hash-keyed collections whose hashes include ExprId —
+    // RewriteDistinctAggregates assigns multi-distinct gid slots by
+    // HashMap order over ExpressionSets, so q_profile's two countDistinct
+    // legs swapped gid 1 and 2 (and the Expand/grouping column order with
+    // them) purely with the session's exprId counter position: byte-
+    // identical code, two fingerprints (the r13→r14 benchdiff's only PLAN
+    // row, at exactly 1.00×; same mechanism as the round-11
+    // q_dataset_card drift, fixed then by restructuring the one query —
+    // this fixes the CLASS). Renumbering every analyzed-plan ExprId to
+    // first-appearance order under a constant jvmId makes those hashes —
+    // and therefore every hash-order-dependent optimizer choice — a pure
+    // function of the plan SHAPE. Ids allocated during optimization are
+    // still session-relative; the `#\d+` masking below continues to strip
+    // them. One-time boundary: every fp changes at r14→r15 (like the
+    // round-13 repartition-mask boundary); the r15 BENCH_FULL regenerates
+    // the set.
+    val fixedJvm = new java.util.UUID(0L, 0L)
+    val idMap = scala.collection.mutable.HashMap
+      .empty[org.apache.spark.sql.catalyst.expressions.ExprId,
+        org.apache.spark.sql.catalyst.expressions.ExprId]
+    def remap(e: org.apache.spark.sql.catalyst.expressions.ExprId) =
+      idMap.getOrElseUpdate(
+        e,
+        org.apache.spark.sql.catalyst.expressions.ExprId(idMap.size.toLong, fixedJvm))
+    val renumbered = df.queryExecution.analyzed.clone().transformAllExpressions {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withExprId(remap(a.exprId))
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a.child, a.name)(
+          remap(a.exprId), a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
+    }
     val s = df.sparkSession.sessionState.optimizer
-      .execute(df.queryExecution.analyzed.clone())
+      .execute(renumbered)
       .toString
       .replaceAll("#\\d+", "#")
       .replaceAll("@[0-9a-fA-F]+", "@")
