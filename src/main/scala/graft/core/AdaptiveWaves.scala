@@ -16,9 +16,11 @@ import org.apache.spark.sql.SparkSession
   * batch from what the waves actually wrote: per-unit footprint = measured
   * shuffle-write + spill bytes of the batch ÷ units in it, and the next
   * batch takes as many remaining units as fit the budget at that measured
-  * rate. Batch sizes only grow (the plan is the floor — `waves_run` never
-  * exceeds `waves_planned`), the budget is never exceeded on measured
-  * bytes, and a free-disk precheck still guards every batch. Output is
+  * rate, growing at most 2× per step (spill is superlinear in batch size —
+  * see the re-plan comment below) and shrinking back toward the planned
+  * floor after an overshoot. The planned batch is the floor (`waves_run`
+  * never exceeds `waves_planned`), and a free-disk precheck still guards
+  * every batch. Output is
   * batching-invariant by construction (each unit's pair set is disjoint and
   * the union over any batching is the full set) — SetJoinSpec pins
   * re-planned ≡ fixed-wave.
@@ -26,14 +28,16 @@ import org.apache.spark.sql.SparkSession
 object AdaptiveWaves {
 
   private final class Meter extends SparkListener {
-    val bytes = new AtomicLong(0L)
+    val shuffle = new AtomicLong(0L)
+    val spill   = new AtomicLong(0L)
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
-        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
-        bytes.addAndGet(m.diskBytesSpilled): Unit
+        shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        spill.addAndGet(m.diskBytesSpilled): Unit
       }
     }
+    def total: Long = shuffle.get() + spill.get()
   }
 
   /** (planned, run) wave counts of the last campaign per context tag —
@@ -84,6 +88,7 @@ object AdaptiveWaves {
       WaveScratch.ensureFreeSpace(need, s"$tag wave ${wave + 1} ($take units)")
       val m = new Meter
       spark.sparkContext.addSparkListener(m)
+      var spilled = false
       try {
         val t0 = System.nanoTime()
         body(units.slice(i, i + take))
@@ -95,24 +100,38 @@ object AdaptiveWaves {
         var stable   = 0
         while (stable < 3 && System.nanoTime() < deadline) {
           Thread.sleep(300)
-          val cur = m.bytes.get()
+          val cur = m.total
           if (cur == last) stable += 1 else { stable = 0; last = cur }
         }
         val sec      = (System.nanoTime() - t0) / 1e9
-        val measured = m.bytes.get()
+        val measured = m.total
+        spilled = m.spill.get() > m.shuffle.get() / 10
         perUnit = math.max(perUnit, measured.toDouble / math.max(1, take))
         System.err.println(
           f"[$tag] wave ${wave + 1} ($take units, ${i + take}/$n) done in $sec%.1f s — " +
-            f"measured $measured B (${perUnit / 1048576}%.1f MiB/unit)")
+            f"measured shuffle ${m.shuffle.get()} B + spill ${m.spill.get()} B " +
+            f"(${perUnit / 1048576}%.1f MiB/unit)")
       } finally spark.sparkContext.removeSparkListener(m)
       i += take
       wave += 1
       // re-plan the NEXT batch from measured bytes: as many units as fit
       // the budget at the measured rate, never below the planned batch
-      // (cap at the original plan), never above what remains
+      // (cap at the original plan), never above what remains — and GROW
+      // (at most 2× per step) only while the last batch stayed spill-free.
+      // Both guards are load-bearing: per-unit footprint is not
+      // batch-size-invariant in the spill regime — a bigger batch's verify
+      // sorts cross the memory threshold and spill volume jumps
+      // superlinearly (measured at the 150k gate: 1.15 GiB/salt in a
+      // 2-salt spill-free wave became 10.9 GiB/salt at 4 salts). Growing
+      // only out of spill-free batches bounds any overshoot to the ONE
+      // batch that first crosses the threshold, at ≤ 2× the last safe
+      // size, and the perUnit max() immediately re-prices everything after
+      // it from the overshoot's own measurement.
       batch = budget match {
         case Some(b) if perUnit > 0 =>
-          math.max(baseBatch, math.min(n - i, (b / math.max(1.0, perUnit)).toInt))
+          val fit  = (b / math.max(1.0, perUnit)).toInt
+          val grow = if (spilled) take else 2 * take
+          math.max(baseBatch, math.min(math.min(n - i, grow), fit))
         case _ => baseBatch
       }
       // nudge the ContextCleaner to drop the finished wave's shuffle files

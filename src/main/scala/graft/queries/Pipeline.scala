@@ -464,7 +464,11 @@ object Pipeline {
 
   private[graft] def contaminationReport(
       docs: org.apache.spark.sql.DataFrame,
-      spreadAt: Long = 4096L): org.apache.spark.sql.DataFrame = {
+      spreadAt: Long = 4096L,
+      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // `materialize = false` preserves the pre-round-15 sort-over-pipeline
+    // plan SOLELY for the heap-retainer forensics probe
+    // (tools.ContamProbe) — every production path materializes
     // member grain (doc_id, rep) + split label — one documents scan via
     // the cached exact-group table the dedup family shares
     val mem = Dedup
@@ -501,24 +505,44 @@ object Pipeline {
     } else {
       val s     = docs.sparkSession.sparkContext.defaultParallelism
       val salts = array((0 until s).map(lit): _*)
-      // salted member tables: the member's own id picks its residue
+      // salted member tables: the member's own id picks its residue.
+      //
+      // MERGE-HINTED (round 15, the q_contamination OOM's actual retainer):
+      // Catalyst's size estimate for an explode is its CHILD's, so every
+      // S×-replicated frame here looks byte-small and AQE plans
+      // BroadcastHashJoins over frames that are really 10⁷-10⁸ rows — each
+      // BroadcastExchange then collects the whole exploded frame to the
+      // driver and builds HashedRelation pages on one heap. The round-15
+      // forensics probe's jmap histograms caught it live: 59.9 GB of [J
+      // (LongToUnsafeRowMap page arrays) at the 75%-heap checkpoint, with
+      // every OOM stack's allocation failing in a concurrent task while
+      // the builds grew. A 32×-exploded member table is never
+      // broadcastable at any real scale — the merge hint pins every
+      // expansion join to sort-merge, whose sorts spill instead of
+      // retaining (heap stays flat; the salted plan becomes
+      // shuffle-shaped, exactly what a 1000-executor cluster needs
+      // anyway).
       def saltBy(idCol: String): org.apache.spark.sql.Column =
         pmod(hash(col(idCol)), lit(s))
       val mTestS = mTest
         .select(col("rep"), col("doc_id").as("test_id"))
         .withColumn("salt", saltBy("test_id"))
+        .hint("merge")
       val mLeakS = mLeak
         .select(col("rep"), col("doc_id").as("leak_id"), col("split").as("leak_split"))
         .withColumn("salt", saltBy("leak_id"))
+        .hint("merge")
       // replicated member tables for the second (already-member-bound)
       // joins, where the LEFT side's salt is its bound member's hash
       val mTestX = mTest
         .select(col("rep"), col("doc_id").as("test_id"))
         .withColumn("salt", explode(salts))
+        .hint("merge")
       val mLeakX = mLeak
         .select(col("rep"), col("doc_id").as("leak_id"), col("split").as("leak_split"))
         .withColumn("salt", explode(salts))
-      val rpX = rp.withColumn("salt", explode(salts))
+        .hint("merge")
+      val rpX = rp.withColumn("salt", explode(salts)).hint("merge")
       val crossA = rpX
         .join(mTestS.withColumnRenamed("rep", "d1"), Seq("d1", "salt"))
         .drop("salt")
@@ -550,6 +574,7 @@ object Pipeline {
       // parquet before a byte is written (same ~2x-compression refusal
       // shape as the gate's), and the memo lets bench reps re-read it.
       val expanded = crossA.union(crossB).union(within)
+      if (!materialize) return expanded.orderBy("test_id", "leak_id")
       val key = (docs.queryExecution.analyzed.semanticHash(), spreadAt)
       val dir = contamMemo.computeIfAbsent(
         key,
