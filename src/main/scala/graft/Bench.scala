@@ -194,8 +194,21 @@ object Bench {
         org.apache.spark.sql.catalyst.expressions.Alias(a.child, a.name)(
           remap(a.exprId), a.qualifier, a.explicitMetadata, a.nonInheritableMetadataKeys)
     }
-    val s = df.sparkSession.sessionState.optimizer
-      .execute(renumbered)
+    // transformAllExpressions does not descend into subquery plans, so on a
+    // plan with a correlated subquery the renumbering can rewrite an outer
+    // attribute while the subquery's OuterReference keeps the old id — and
+    // optimizing that orphaned plan can throw. Falling back to the
+    // UN-renumbered analyzed plan (the pre-round-15 fingerprint) keeps the
+    // fp honest: the caller's catch-all would degrade it to "-" on BOTH
+    // sides of a benchdiff, which reads as "same plan" and hides real plan
+    // changes on exactly those queries.
+    val optimized =
+      try df.sparkSession.sessionState.optimizer.execute(renumbered)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          df.sparkSession.sessionState.optimizer.execute(df.queryExecution.analyzed.clone())
+      }
+    val s = optimized
       .toString
       .replaceAll("#\\d+", "#")
       .replaceAll("@[0-9a-fA-F]+", "@")

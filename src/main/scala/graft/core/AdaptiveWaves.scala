@@ -27,6 +27,18 @@ import org.apache.spark.sql.SparkSession
   */
 object AdaptiveWaves {
 
+  /** Headroom factor the FIRST batch's free-disk precheck applies to the
+    * model's per-wave prediction. Calibration: across every recorded gate
+    * the model's only under-prediction is the waved+spill regime at 0.68
+    * (5M-doc gram campaign — measured 1.47× predicted); the no-spill
+    * regime over-predicts 1.65–12.8×. 1.5 covers the worst measured
+    * under-read with margin while refusing nothing the node can actually
+    * hold (a campaign within 1.5× of free disk shares the volume with
+    * shuffle scratch and was already one estimator error from ENOSPC).
+    * Later batches use measured bytes and need no factor.
+    */
+  private[graft] val FirstBatchHeadroom = 1.5
+
   private final class Meter extends SparkListener {
     val shuffle = new AtomicLong(0L)
     val spill   = new AtomicLong(0L)
@@ -46,6 +58,17 @@ object AdaptiveWaves {
   private val lastRuns =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
+  /** Test-only failure injection: set to k ≥ 1 and the NEXT campaign
+    * throws after batch k completes (with units still remaining) — the
+    * OOM/ENOSPC shape the wave regime designs for, placed exactly where a
+    * real abort leaves partial wave parquet on disk with the caller's memo
+    * uninstalled. One-shot: cleared when it fires, so the retry that
+    * WaveRetrySpec pins (retried output ≡ single uninterrupted run) runs
+    * to completion. −1 (the resting value) never fires.
+    */
+  private[graft] val abortAfterBatches =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def snapshot: Map[String, (Int, Int)] = {
     val b = Map.newBuilder[String, (Int, Int)]
     lastRuns.forEach((k, v) => b += (k -> v))
@@ -59,7 +82,8 @@ object AdaptiveWaves {
     *     `⌈units/wavesPlanned⌉` units and later batches never shrink below
     *     it, so the campaign never runs MORE waves than planned.
     *   - `predictedPerWave`: the model's per-wave bytes, used for the first
-    *     batch's free-disk precheck (later batches use measured bytes).
+    *     batch's free-disk precheck at [[FirstBatchHeadroom]] (later
+    *     batches use measured bytes, no factor).
     *   - `budget`: per-wave byte budget; None ⇒ no re-planning (fixed
     *     batches — the spec-equivalence entry point with no environment).
     *
@@ -82,55 +106,73 @@ object AdaptiveWaves {
     var perUnit = -1.0
     while (i < n) {
       val take = math.min(batch, n - i)
+      // First-batch disk headroom (round 16): until a measured perUnit
+      // exists, the free-disk precheck charges the model's prediction at
+      // [[FirstBatchHeadroom]] — the byte model's one measured
+      // UNDER-prediction is the spill regime (5M-doc gram campaign:
+      // measured = 1.47× predicted, ratio 0.68), exactly where a raw
+      // prediction would promise what the disk cannot hold and the first
+      // batch would ENOSPC on a tighter node than the 44%-high-water gates.
       val need =
         if (perUnit > 0) (perUnit * take).toLong
-        else predictedPerWave
+        else (predictedPerWave * FirstBatchHeadroom).toLong
       WaveScratch.ensureFreeSpace(need, s"$tag wave ${wave + 1} ($take units)")
       val m = new Meter
       spark.sparkContext.addSparkListener(m)
-      var spilled = false
+      var noGrow = false
       try {
         val t0 = System.nanoTime()
         body(units.slice(i, i + take))
-        // best-effort drain: poll until the byte counter holds still (the
-        // SetJoinGate discipline), briefly — an undercount here only makes
-        // the NEXT batch conservative, never wrong
-        val deadline = System.nanoTime() + 10L * 1000000000L
+        // drain: poll until the byte counter holds still (the stricter
+        // SetJoinGate discipline — 30 s cap, 4 stable polls). The
+        // direction matters: an UNDERCOUNT here lowers perUnit, which
+        // RAISES the next batch's fit and SHRINKS its free-space precheck
+        // — the unsafe side, not the conservative one — so hitting the
+        // deadline without stability is treated as "do not grow" below.
+        val deadline = System.nanoTime() + 30L * 1000000000L
         var last     = -1L
         var stable   = 0
-        while (stable < 3 && System.nanoTime() < deadline) {
-          Thread.sleep(300)
+        while (stable < 4 && System.nanoTime() < deadline) {
+          Thread.sleep(500)
           val cur = m.total
           if (cur == last) stable += 1 else { stable = 0; last = cur }
         }
+        val drained  = stable >= 4
         val sec      = (System.nanoTime() - t0) / 1e9
         val measured = m.total
-        spilled = m.spill.get() > m.shuffle.get() / 10
+        noGrow = m.spill.get() > m.shuffle.get() / 10 || !drained
         perUnit = math.max(perUnit, measured.toDouble / math.max(1, take))
         System.err.println(
           f"[$tag] wave ${wave + 1} ($take units, ${i + take}/$n) done in $sec%.1f s — " +
             f"measured shuffle ${m.shuffle.get()} B + spill ${m.spill.get()} B " +
-            f"(${perUnit / 1048576}%.1f MiB/unit)")
+            f"(${perUnit / 1048576}%.1f MiB/unit)" +
+            (if (drained) "" else " [drain deadline hit — growth disabled this step]"))
       } finally spark.sparkContext.removeSparkListener(m)
       i += take
       wave += 1
+      if (i < n && abortAfterBatches.compareAndSet(wave, -1))
+        throw new IllegalStateException(
+          s"[$tag] injected mid-campaign abort after wave $wave (test hook)")
       // re-plan the NEXT batch from measured bytes: as many units as fit
       // the budget at the measured rate, never below the planned batch
       // (cap at the original plan), never above what remains — and GROW
-      // (at most 2× per step) only while the last batch stayed spill-free.
-      // Both guards are load-bearing: per-unit footprint is not
-      // batch-size-invariant in the spill regime — a bigger batch's verify
-      // sorts cross the memory threshold and spill volume jumps
-      // superlinearly (measured at the 150k gate: 1.15 GiB/salt in a
-      // 2-salt spill-free wave became 10.9 GiB/salt at 4 salts). Growing
-      // only out of spill-free batches bounds any overshoot to the ONE
-      // batch that first crosses the threshold, at ≤ 2× the last safe
-      // size, and the perUnit max() immediately re-prices everything after
-      // it from the overshoot's own measurement.
+      // (at most 2× per step) only while the last batch stayed spill-free
+      // AND its metrics drain reached stability (an undrained counter
+      // undercounts, which inflates fit and shrinks the precheck — the
+      // unsafe direction). The spill guard is load-bearing: per-unit
+      // footprint is not batch-size-invariant in the spill regime — a
+      // bigger batch's verify sorts cross the memory threshold and spill
+      // volume jumps superlinearly (measured at the 150k gate: 1.15
+      // GiB/salt in a 2-salt spill-free wave became 10.9 GiB/salt at 4
+      // salts). Growing only out of spill-free batches bounds any
+      // overshoot to the ONE batch that first crosses the threshold, at
+      // ≤ 2× the last safe size, and the perUnit max() immediately
+      // re-prices everything after it from the overshoot's own
+      // measurement.
       batch = budget match {
         case Some(b) if perUnit > 0 =>
           val fit  = (b / math.max(1.0, perUnit)).toInt
-          val grow = if (spilled) take else 2 * take
+          val grow = if (noGrow) take else 2 * take
           math.max(baseBatch, math.min(math.min(n - i, grow), fit))
         case _ => baseBatch
       }

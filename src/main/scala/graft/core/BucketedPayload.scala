@@ -27,13 +27,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedPayload {
 
+  /** memoKey → (catalog table name, scratch dir path). The dir path rides
+    * along so [[ensure]] can re-validate it: the memo can outlive the
+    * parquet in a long session (WaveScratch's TTL sweep, or an operator
+    * clearing /tmp), and serving a catalog entry whose files are gone
+    * fails confusingly on first touch instead of rebuilding.
+    */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Materialize `build` bucketed+sorted by `bucketCol` into `nBuckets`
     * buckets (once per key; later calls re-read), returning the table as a
     * DataFrame. `tag` names the consumer family, `key` the full plan hash
-    * plus parameters — the same contract as [[WaveScratch.dirFor]].
+    * plus parameters — the same contract as [[WaveScratch.dirFor]]. A memo
+    * hit whose scratch dir no longer exists drops the stale catalog table
+    * and rebuilds (CoreUtilSpec pins it).
     */
   def ensure(
       spark: SparkSession,
@@ -42,25 +50,33 @@ object BucketedPayload {
       bucketCol: String,
       nBuckets: Int)(build: => DataFrame): DataFrame = {
     val memoKey = s"${spark.sparkContext.applicationId}-$tag-$key-$nBuckets"
-    val tbl = memo.computeIfAbsent(
+    val (tbl, _) = memo.compute(
       memoKey,
-      _ => {
-        val name = s"graft_pay_${tag}_${key}_$nBuckets"
-          .replaceAll("[^A-Za-z0-9_]", "_")
-          .toLowerCase
-        val dir = WaveScratch.dirFor(spark, s"pay-$tag", s"$key-$nBuckets")
-        val t0  = System.nanoTime()
-        build.write
-          .mode("overwrite")
-          .option("path", dir)
-          .bucketBy(nBuckets, bucketCol)
-          .sortBy(bucketCol)
-          .saveAsTable(name)
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[payload] bucketed $tag payload built in $sec%.1f s ($nBuckets buckets at $dir)")
-        BuildWalls.record(s"payload_$tag", sec)
-        name
+      (_, cur) => {
+        if (cur != null && new java.io.File(cur._2).exists()) cur
+        else {
+          val name = s"graft_pay_${tag}_${key}_$nBuckets"
+            .replaceAll("[^A-Za-z0-9_]", "_")
+            .toLowerCase
+          if (cur != null) {
+            System.err.println(
+              s"[payload] scratch dir ${cur._2} is gone — dropping stale table ${cur._1} and rebuilding")
+            spark.sql(s"DROP TABLE IF EXISTS ${cur._1}"): Unit
+          }
+          val dir = WaveScratch.dirFor(spark, s"pay-$tag", s"$key-$nBuckets")
+          val t0  = System.nanoTime()
+          build.write
+            .mode("overwrite")
+            .option("path", dir)
+            .bucketBy(nBuckets, bucketCol)
+            .sortBy(bucketCol)
+            .saveAsTable(name)
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[payload] bucketed $tag payload built in $sec%.1f s ($nBuckets buckets at $dir)")
+          BuildWalls.record(s"payload_$tag", sec)
+          (name, dir)
+        }
       }
     )
     spark.table(tbl)

@@ -113,14 +113,46 @@ object WaveScratch {
     path
   }
 
+  /** [[dirFor]], guaranteed to start EMPTY — the entry point for the wave
+    * campaigns that `mode("append")` per-wave parquet into one directory.
+    * Their memo is `computeIfAbsent`, so a campaign that THROWS mid-way
+    * (the [[ensureFreeSpace]] require, OOM, ENOSPC — the designed failure
+    * modes of exactly this regime) installs no mapping; a retry of the
+    * same query in the same session re-enters the closure and gets the
+    * SAME deterministic path with waves 0..k−1 already on disk — appending
+    * the full campaign onto them would silently duplicate every pair the
+    * failed attempt wrote. Deleting any prior contents at campaign entry
+    * restores the retry-idempotence the round-14 per-wave-overwrite layout
+    * had by construction, at zero cost on the first attempt (the dir does
+    * not exist yet).
+    */
+  def freshDirFor(spark: SparkSession, tag: String, key: String): String = {
+    val path = dirFor(spark, tag, key)
+    val dir  = new File(path)
+    if (dir.exists()) {
+      System.err.println(
+        s"[wave-scratch] clearing partial wave output from a prior failed campaign at $path")
+      deleteRecursively(dir)
+    }
+    path
+  }
+
   /** Fail fast when the scratch volume cannot hold `needBytes`: the wave
     * estimate already knows the per-wave footprint, so running into ENOSPC
     * instead of reporting it would waste exactly the minutes the estimator
     * exists to save. Deliberately a conservative check — shuffle scratch
     * and the wave parquet share this volume on a single node.
     */
+  /** Test seam: the free-space probe [[ensureFreeSpace]] reads. Production
+    * value is the scratch volume's usable space; CoreUtilSpec swaps in a
+    * fixed value to pin the headroom-guarded refusal without filling a
+    * disk, and restores this default in a finally.
+    */
+  @volatile private[graft] var freeSpaceProbe: () => Long =
+    () => tmpRoot.getUsableSpace
+
   def ensureFreeSpace(needBytes: Long, context: String): Unit = {
-    val free = tmpRoot.getUsableSpace
+    val free = freeSpaceProbe()
     require(
       needBytes <= 0 || free >= needBytes,
       s"$context needs ~$needBytes B of scratch but ${tmpRoot.getAbsolutePath} has only " +

@@ -643,8 +643,11 @@ object Dedup {
         // full threshold BITS in the dir key: the memo keys on the exact
         // Double, so a truncated decimal here would let two thresholds
         // equal at 3 decimals share one directory while holding distinct
-        // memo entries — the masked-key collision WaveScratch forbids
-        val out = graft.core.WaveScratch.dirFor(
+        // memo entries — the masked-key collision WaveScratch forbids.
+        // freshDirFor (round 16): the waves APPEND into this dir, so a
+        // retry after a mid-campaign failure must start from empty or the
+        // failed attempt's waves get duplicated (WaveRetrySpec pins it)
+        val out = graft.core.WaveScratch.freshDirFor(
           spark,
           "neardup",
           f"${key._1}%08x-${java.lang.Double.doubleToLongBits(threshold).toHexString}-$waves")
@@ -1169,7 +1172,10 @@ object Dedup {
     val dir = ngramWavedMemo.computeIfAbsent(
       key,
       _ => {
-        val out = graft.core.WaveScratch.dirFor(spark, "ngram", f"${key._1}%08x-$sat-$waves")
+        // freshDirFor: the waves append — retry-after-failure must not
+        // re-append the failed attempt's waves (WaveRetrySpec)
+        val out =
+          graft.core.WaveScratch.freshDirFor(spark, "ngram", f"${key._1}%08x-$sat-$waves")
         // once-per-campaign doc_id-bucketed gram payload: each wave's
         // verify joins scan it exchange-free (round 15 — the per-wave d2
         // re-exchange was the dominant fixed term at 5M docs)

@@ -482,8 +482,10 @@ object SetJoin {
       _ => {
         // session-unique, full-hash path + exit-time deletion + stale sweep
         // (graft.core.WaveScratch): leaked wave parquet would re-create the
-        // very ENOSPC hazard the budget exists to avoid
-        val out = graft.core.WaveScratch.dirFor(
+        // very ENOSPC hazard the budget exists to avoid. freshDirFor: the
+        // waves append, so a retried campaign must start empty or the
+        // failed attempt's waves duplicate (WaveRetrySpec)
+        val out = graft.core.WaveScratch.freshDirFor(
           spark, "setjoin", f"${key._1}%08x-$saltB-$waves")
         val pay = graft.core.BucketedPayload.ensure(
           spark,

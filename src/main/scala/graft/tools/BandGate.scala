@@ -27,8 +27,11 @@ import graft.ext.Dedup
   * disks; the refusal is a single-node capacity statement, not an engine
   * limit.
   *
-  * Usage: runMain graft.tools.BandGate [base] [workDir] [mult] [variant]
-  *   defaults: /root/testdata/sf0.1 target/bandgate 300 clean
+  * Usage: runMain graft.tools.BandGate [base] [workDir] [mult] [variant] [only]
+  *   defaults: /root/testdata/sf0.1 target/bandgate 300 clean (both queries)
+  * `only` is an optional comma list of the gate's queries — the mult=1000
+  * campaigns each run for 1–2 h, and a record that is missing exactly one
+  * query must be completable without re-paying the other's full campaign.
   * Honors SPARK_GRAFT_SHUFFLE_BUDGET (the wave trigger inside the queries)
   * and the usual SPARK_GRAFT_CACHE_LEVEL.
   */
@@ -84,6 +87,13 @@ object BandGate {
     val mult    = if (args.length > 2) args(2).toInt else 300
     val variant = if (args.length > 3) args(3) else "clean"
     require(Set("clean", "hot")(variant), s"variant '$variant' must be clean or hot")
+    val gateQueries = Set("q_ngram_jaccard", "q_contamination")
+    val selected =
+      if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else gateQueries
+    require(
+      selected.subsetOf(gateQueries),
+      s"'only' names unknown queries: ${selected -- gateQueries} (gate runs $gateQueries)")
     val spark = graft.core.SparkEnv.session("graft-band-gate")
 
     val corpus = s"$workDir/docs${mult}x-$variant"
@@ -96,8 +106,7 @@ object BandGate {
 
     // offline cache builds outside every measured window (warmUp's dedup
     // trigger matches the jaccard family)
-    val arts = graft.Bench.warmUp(
-      spark, corpus, Some(Set("q_contamination", "q_ngram_jaccard")))
+    val arts = graft.Bench.warmUp(spark, corpus, Some(selected))
 
     val docs = Tables(spark, corpus).documents
 
@@ -131,6 +140,10 @@ object BandGate {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[band-gate] could not persist record: $e")
       }
+    def wavesSnapshotJson(): String =
+      graft.core.AdaptiveWaves.snapshot.toSeq.sorted
+        .map { case (t, (p, r)) => s""""$t":{"planned":$p,"run":$r}""" }
+        .mkString("{", ",", "}")
     def fmtQ(
         name: String,
         predicted: Long,
@@ -146,9 +159,17 @@ object BandGate {
           System.err.println(
             f"[band-gate] $name wall=$wall%.1fs shuffle=${m.shuffle.get()} spill=${m.spill.get()} " +
               f"max_task=${m.maxTaskNs.get() / 1e9}%.1fs ratio=$ratio%.2f")
+          // waves snapshot AT RECORD TIME (round 16): the crash-robust
+          // records.jsonl must carry the campaign's planned-vs-run wave
+          // counts per query — the merged stdout line never prints when a
+          // later query OOMs. The snapshot is cumulative per tag (it holds
+          // each tag's LAST campaign), so a query that waved nothing
+          // repeats the previous query's tags; readers key on the tags a
+          // query's own family uses (ngram / neardup / setjoin).
           f"""\"$name\":{"predicted_bytes":$predicted,"wall_sec":$wall%.1f,""" +
             f""""measured_shuffle_bytes":${m.shuffle.get()},"measured_spill_bytes":${m.spill.get()},""" +
-            f""""predicted_over_measured":$ratio%.2f,"max_task_sec":${m.maxTaskNs.get() / 1e9}%.1f}"""
+            f""""predicted_over_measured":$ratio%.2f,"max_task_sec":${m.maxTaskNs.get() / 1e9}%.1f,""" +
+            s""""waves":${wavesSnapshotJson()}}"""
         }
       persist(rec)
       rec
@@ -166,19 +187,23 @@ object BandGate {
     // are hash-distributed id pairs, LZ4 buys little; the reduce-side sort
     // spills roughly the map output AGAIN, which the margin absorbs)
     val contamFits = expBytes / 2 < free
-    val rG = fmtQ("q_ngram_jaccard", estG.bytes, run = true, skipReason = "")
+    val rG = fmtQ(
+      "q_ngram_jaccard",
+      estG.bytes,
+      run = selected("q_ngram_jaccard"),
+      skipReason = "not selected (only=...)")
     val rC = fmtQ(
       "q_contamination",
       estS.bytes + expBytes,
-      run = contamFits,
+      run = contamFits && selected("q_contamination"),
       skipReason =
-        f"predicted expansion output $expRows rows (~$expBytes B raw) vs $free B free scratch")
+        if (!selected("q_contamination")) "not selected (only=...)"
+        else
+          f"predicted expansion output $expRows rows (~$expBytes B raw) vs $free B free scratch")
 
     // adaptive re-waving record (round 15): waves the byte model planned vs
     // waves the measured-feedback scheduler ran, per campaign tag
-    val wavesJson = graft.core.AdaptiveWaves.snapshot.toSeq.sorted
-      .map { case (t, (p, r)) => s""""$t":{"planned":$p,"run":$r}""" }
-      .mkString("{", ",", "}")
+    val wavesJson = wavesSnapshotJson()
     println(
       s"""{"mult":$mult,"variant":"$variant","waves":$wavesJson,""" +
         s""""budget_bytes":${budget.getOrElse(-1L)},""" +

@@ -82,9 +82,32 @@ class PlanGoldenSpec extends SparkSpec {
           // any other machine — the partitioning KEYS stay load-bearing,
           // the count does not
           .replaceAll("(partitioning\\(.*), \\d+\\)", "$1, <n>)")
+          // AQE query-stage Statistics carry the MEASURED size of the
+          // materialized stage, and a broadcast HashedRelation's size is
+          // allocated in TaskMemoryManager pages whose size derives from
+          // the driver heap — the same plan at -Xmx24g vs the gate
+          // sessions' SPARK_DRIVER_MEM=100g reports 16.1 vs 64.1 MiB for
+          // an identical 2000-row build (4× heap ⇒ 4× page). rowCount is
+          // semantic and stays pinned; the byte size is a measurement of
+          // the environment, not the plan
+          .replaceAll("Statistics\\(sizeInBytes=[^,)]*", "Statistics(sizeInBytes=<measured>")
+          // codegen ids are assigned in stage-COMPILATION order, and AQE
+          // materializes independent query stages concurrently — the same
+          // plan numbers its codegen spans differently run to run. Span
+          // MEMBERSHIP (which operators fused) is the load-bearing signal
+          // and lives in the WholeStageCodegen tree structure; the id is a
+          // race artifact
+          .replaceAll("codegen id : \\d+", "codegen id : n")
           .replaceAll("\\s+$", "")
       }
       .mkString("\n")
+      // QueryStage ids (the bare-integer Arguments line right under a
+      // `(n) XxxQueryStage` header) are assigned in stage-CREATION order,
+      // which AQE's concurrent materialization makes racy for independent
+      // stages — same artifact class as the codegen ids above. Applied on
+      // the joined text because the id is only identifiable by the node
+      // header two lines up.
+      .replaceAll("(QueryStage\\nOutput [^\\n]*\\nArguments: )\\d+", "$1n")
       .trim
 
   /** Queries whose registered fn only READS a session-materialized artifact
