@@ -93,8 +93,16 @@ object Bench {
       // query should time the delta scan + merge, not the snapshot job
       if (subsetNeeds(_ == "q_mv_refresh"))
         timedBuild("mv_base")(graft.ops.MatView.baseFor(spark, sfDir): Unit)
+      // "contam" covers q_contamination/q_decontam_ngram, and the two
+      // named queries read the near-dup pairs too — all of them consume
+      // the signature/gram caches without carrying any of the family
+      // substrings, so an isolated run (SPARK_GRAFT_ONLY, or BandGate
+      // only=q_contamination) otherwise pays the whole cache build inside
+      // its first timed region (measured: the round-16 gate record's
+      // estimate_sec 1458 s with artifact_build_sec 0.0 at 5M docs)
       if (subsetNeeds(n => n.contains("minhash") || n.contains("lsh") || n.contains("dedup") ||
-            n.contains("jaccard") || n == "q_clean_corpus"))
+            n.contains("jaccard") || n.contains("contam") || n == "q_clean_corpus" ||
+            n == "q_hard_negatives" || n == "q_crossmodal_agree"))
         timedBuild("dedup_caches") {
           val docs = graft.core.Tables(spark, sfDir).documents
           graft.ext.Dedup.signatures(docs).write.format("noop").mode("overwrite").save()
