@@ -709,8 +709,14 @@ object Ivf {
   val annIncremental: Q = Q(
     "q_ann_incremental",
     (s, dir) => {
-      val q = quantized(Tables(s, dir).embeddings)
-      streamingIngest(q.filter(col("vec_id") >= IncrSeenMax), frozenQuantizer(s, dir))
+      // per-vector quantization + C-centroid argmin is the whole cost and
+      // the single-row-group embeddings scan plans one task (StageProbe
+      // r16: ~3 s across single-task stages) — spread the narrow scan so
+      // the ingest expressions run at full parallelism; identity at any
+      // healthy multi-split layout
+      val q = quantized(
+        graft.core.Spread.compute(Tables(s, dir).embeddings.filter(col("vec_id") >= IncrSeenMax)))
+      streamingIngest(q, frozenQuantizer(s, dir))
         .orderBy("vec_id")
     },
     Some(incrementalOracleSql(IncrSeenMax))

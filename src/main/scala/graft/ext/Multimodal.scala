@@ -35,6 +35,20 @@ import graft.queries.Q
   */
 object Multimodal {
 
+  /** Narrow spread scan of `documents` — every synthetic-media query maps
+    * per-row codec work over these rows, and the single-row-group fixture
+    * scan plans ONE task, serializing that codec work onto one core
+    * (StageProbe r16: q_multimodal_jpeg spent ~2.1 s in two single-task
+    * stages on the 32-core box). [[graft.core.Spread]] repartitions only
+    * when the planned scan cannot already provide default parallelism —
+    * the identity on any healthy multi-row-group layout (guide §2.5).
+    */
+  private def docRows(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    graft.core.Spread.compute(Tables(s, dir).documents.select(cols: _*))
+
   /** An opaque media payload: `media` is the raw bytes (image/audio/video). */
   final case class MediaRecord(id: Long, kind: String, media: Array[Byte])
 
@@ -558,8 +572,7 @@ object Multimodal {
     "q_multimodal_pipeline",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id").as("id"), lit("image").as("kind"), col("text").cast("binary").as("media"))
+      val recs = docRows(s, dir, col("doc_id").as("id"), lit("image").as("kind"), col("text").cast("binary").as("media"))
         .as[MediaRecord]
       resizeStub(decodeStub(recs), 64).toDF().orderBy("id")
     },
@@ -591,8 +604,7 @@ object Multimodal {
     "q_multimodal_decode",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars"))
+      val recs = docRows(s, dir, col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           MediaRecord(id, "image", pngHeaderBytes(
@@ -658,8 +670,7 @@ object Multimodal {
     "q_multimodal_pixels",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id"))
+      val recs = docRows(s, dir, col("doc_id"))
         .as[Long]
         .map { id =>
           val w  = (1 + id % 8).toInt
@@ -717,8 +728,7 @@ object Multimodal {
     "q_multimodal_audio",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars"))
+      val recs = docRows(s, dir, col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           MediaRecord(
@@ -757,8 +767,7 @@ object Multimodal {
     "q_multimodal_frames",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id").as("id"), lit("video").as("kind"), col("text").cast("binary").as("media"))
+      val recs = docRows(s, dir, col("doc_id").as("id"), lit("video").as("kind"), col("text").cast("binary").as("media"))
         .as[MediaRecord]
       sampleFrames(decodeStub(recs).toDF(), stride = 5)
         .select(col("id"), col("nFrames"), size(col("sampled_frames")).cast("long").as("n_sampled"))
@@ -900,8 +909,7 @@ object Multimodal {
     "q_multimodal_video",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars"))
+      val recs = docRows(s, dir, col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           MediaRecord(
@@ -1003,8 +1011,7 @@ object Multimodal {
     "q_multimodal_resize",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id"))
+      val recs = docRows(s, dir, col("doc_id"))
         .as[Long]
         .map { id =>
           val w  = (2 + id % 9).toInt
@@ -1081,8 +1088,7 @@ object Multimodal {
     "q_multimodal_gif",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id"))
+      val recs = docRows(s, dir, col("doc_id"))
         .as[Long]
         .map { id =>
           val w   = (1 + id % 11).toInt
@@ -1136,8 +1142,7 @@ object Multimodal {
     "q_multimodal_jpeg",
     (s, dir) => {
       import s.implicits._
-      val recs = Tables(s, dir).documents
-        .select(col("doc_id"))
+      val recs = docRows(s, dir, col("doc_id"))
         .as[Long]
         .mapPartitions { it =>
           // one writer + param per PARTITION (the same reuse discipline as
@@ -1163,7 +1168,14 @@ object Multimodal {
               y += 1
             }
             val baos = new java.io.ByteArrayOutputStream()
-            val ios  = javax.imageio.ImageIO.createImageOutputStream(baos)
+            // MemoryCacheImageOutputStream, NOT ImageIO.createImageOutputStream:
+            // the latter consults the global use-cache flag and by default
+            // backs every stream with a temp FILE — per-row disk I/O behind a
+            // shared registry, which serialized fine on one task but
+            // contends pathologically once the spread scan runs 32 encode
+            // tasks concurrently (measured r16: 1.6 s → 4.9 s). The in-memory
+            // stream is lock-free and allocation-only.
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
             writer.setOutput(ios)
             writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
             ios.close()
@@ -1211,8 +1223,7 @@ object Multimodal {
     "q_multimodal_features",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir).documents
-        .select(col("doc_id"))
+      docRows(s, dir, col("doc_id"))
         .as[Long]
         .flatMap { id =>
           val w  = (1 + id % 8).toInt
@@ -1275,8 +1286,7 @@ object Multimodal {
     "q_multimodal_pcm",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir).documents
-        .select(col("doc_id"))
+      docRows(s, dir, col("doc_id"))
         .as[Long]
         .map { id =>
           val n = (200 + id % 300).toInt
@@ -1321,8 +1331,7 @@ object Multimodal {
     "q_multimodal_jpeg_rt",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir).documents
-        .select(col("doc_id"))
+      docRows(s, dir, col("doc_id"))
         .as[Long]
         .flatMap { id =>
           val w  = (16 + id % 13).toInt
@@ -1384,8 +1393,7 @@ object Multimodal {
     "q_multimodal_embed",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir).documents
-        .select(col("doc_id"))
+      docRows(s, dir, col("doc_id"))
         .as[Long]
         .flatMap { id =>
           val w  = (4 + id % 13).toInt

@@ -91,8 +91,9 @@ object Winnow {
     */
   def summary(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text"))
+    // same spread rationale as [[sharedPassagePairs]]: parallelize the
+    // per-doc fingerprint pass (identity on a multi-split layout)
+    graft.core.Spread.compute(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val fps = fingerprints(text)
@@ -120,8 +121,10 @@ object Winnow {
       dfCap: Int = Int.MaxValue
   ): DataFrame = {
     import spark.implicits._
-    val raw = docs
-      .select(col("doc_id"), col("text"))
+    // spread the narrow scan so the Rabin-Karp fingerprint pass runs at
+    // full parallelism (single-task on the one-row-group fixture scan
+    // otherwise — guide §2.5; identity on a multi-split layout)
+    val raw = graft.core.Spread.compute(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) => fingerprints(text).map(f => (id, f)) }
       .toDF("doc_id", "fp")

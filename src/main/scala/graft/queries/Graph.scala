@@ -86,12 +86,25 @@ object GraphQueries {
       )
     )
     val nodes = adj.select(col("src").as("node")).distinct()
-    val nN    = nodes.agg(count(lit(1)).as("n"))
+    // 1-row cache: every iteration's damping term references nN, and the
+    // un-cached subtree (distinct + count over adj) re-executed once PER
+    // REFERENCE — StageProbe r16 counted six identical 32-task stage pairs
+    // per run. Runtime exchange reuse does not collapse them across AQE
+    // broadcast stages; the cache does.
+    val nN = graft.core.Cached.frame(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes
       .crossJoin(broadcast(nN))
       .select(col("node"), expr(s"${Scale}L div n").as("rank"))
     for (i <- 0 until iters) {
+      // hint("merge"): at fixture scale Catalyst BROADCASTS adj (the |E|
+      // frame fits the 10 MB threshold), rebuilding an |E|-row hash
+      // relation per superstep — the exact shape that cannot exist at
+      // 100 TB. The cached adj is already hash-partitioned AND sorted by
+      // src (the outdeg window's exchange+sort), so SMJ streams it with
+      // ZERO extra work and only the |V| rank frame moves per iteration —
+      // the scaladoc's scale contract, now enforced in the physical plan.
       ranks = adj
+        .hint("merge")
         .join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst")
@@ -626,17 +639,23 @@ object GraphQueries {
         .crossJoin(broadcast(nS))
         .select(col("s"), expr(s"${HitsScale}L div n").as("v"))
       var a: org.apache.spark.sql.DataFrame = null
+      // per-half-step normalizer: the raw frame is ALREADY materialized by
+      // the eager localCheckpoint, so the global total is one bounded
+      // driver row read straight off the checkpoint (`first()`), folded
+      // into the plan as a literal — where the previous
+      // crossJoin(broadcast(agg)) shape re-planned an aggregate + a
+      // broadcast exchange + a BNLJ per half-step (measured r16: 8 extra
+      // AQE stage pairs, ~100-150 ms each, on identical values). Same
+      // 1-row-through-the-driver footprint as the broadcast at any scale.
+      def tot(raw: org.apache.spark.sql.DataFrame): Long =
+        raw.agg(sum("raw").as("tot")).first().getLong(0)
       for (_ <- 1 to HitsIters) {
         val rawA =
           e.join(h, "s").groupBy("p").agg(sum("v").as("raw")).localCheckpoint()
-        a = rawA
-          .crossJoin(broadcast(rawA.agg(sum("raw").as("tot"))))
-          .select(col("p"), expr(s"raw * ${HitsScale}L div tot").as("v"))
+        a = rawA.select(col("p"), expr(s"raw * ${HitsScale}L div ${tot(rawA)}L").as("v"))
         val rawH =
           e.join(a, "p").groupBy("s").agg(sum("v").as("raw")).localCheckpoint()
-        h = rawH
-          .crossJoin(broadcast(rawH.agg(sum("raw").as("tot"))))
-          .select(col("s"), expr(s"raw * ${HitsScale}L div tot").as("v"))
+        h = rawH.select(col("s"), expr(s"raw * ${HitsScale}L div ${tot(rawH)}L").as("v"))
       }
       val hubs = h
         .select(lit("hub").as("side"), col("s").as("node"), col("v").as("score"))

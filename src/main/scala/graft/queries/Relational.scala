@@ -2205,6 +2205,10 @@ object Relational {
     "q_skyline",
     (s, dir) => {
       import s.implicits._
+      // NOT spread (measured r16): the 1.1 s scan stage is parquet DECODE,
+      // which no repartition can parallelize inside one row group, and a
+      // spread before the distinct replaces the scan-stage partial distinct
+      // with a full-row shuffle — measured 2.16 → 2.54 s, reverted.
       val pts = Tables(s, dir).lineitem
         .select(
           (col("l_extendedprice").cast(Money) * 100).cast("long").as("price_cents"),

@@ -481,7 +481,12 @@ object StatsQueries {
         16,
         10
       ).cast("long") % 2 === 0
-      val rmeans = base
+      // the 32× md5 fan-out is the query's whole cost; the single-row-group
+      // fixture scan plans ONE task, so without the spread the ~32·|orders|
+      // hash evaluations serialize on one core (StageProbe r16: two ~6 s
+      // single-task stages — this subtree runs twice, once under the ci
+      // broadcast). Spread is a no-op when the scan already parallelizes.
+      val rmeans = graft.core.Spread.compute(base)
         .select(col("o_orderkey"), col("p"), explode(sequence(lit(0), lit(31))).as("b"))
         .filter(keep)
         .groupBy(col("b").cast("long").as("b"))
