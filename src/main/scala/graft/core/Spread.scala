@@ -27,11 +27,22 @@ import org.apache.spark.sql.DataFrame
   *
   * The partition probe (`df.rdd.getNumPartitions`) runs physical planning
   * once at query-construction time; on the scan-level/cached frames this
-  * is applied to, the plan has no exchanges, so no job is triggered.
+  * is applied to, the plan has no exchanges, so no job is triggered. A
+  * frame that DOES carry an upstream exchange is returned unchanged
+  * before any probe: under AQE, `df.rdd` on such a plan would materialize
+  * the shuffle's query stages — i.e. silently run a job at construction
+  * time — and a post-shuffle layout already has the session's partition
+  * count anyway, so the spread has nothing to repair there.
   */
 object Spread {
   def compute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val shuffled = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]
+    )
+    if (shuffled) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 }

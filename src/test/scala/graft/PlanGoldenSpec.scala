@@ -51,7 +51,13 @@ class PlanGoldenSpec extends SparkSpec {
     // jump (executed K times — a lost partial aggregate multiplies by K)
     // and the degree-bounded triangle census joins
     "q_label_prop",
-    "q_graph_triangles"
+    "q_graph_triangles",
+    // round 17: pin the two r16 headline plan changes against silent
+    // reversion — pagerank's merge-hint SMJ on the cached adj (a flip back
+    // to a per-superstep |E| broadcast must show as a diff) and
+    // bootstrap_ci's Spread exchange on the 32× md5 fan-out
+    "q_pagerank",
+    "q_bootstrap_ci"
   )
 
   private def goldenFile(name: String) =
@@ -82,6 +88,9 @@ class PlanGoldenSpec extends SparkSpec {
           // any other machine — the partitioning KEYS stay load-bearing,
           // the count does not
           .replaceAll("(partitioning\\(.*), \\d+\\)", "$1, <n>)")
+          // keyless round-robin prints no key list, so the count is its
+          // only argument — same session-derived artifact as above
+          .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(<n>)")
           // AQE query-stage Statistics carry the MEASURED size of the
           // materialized stage, and a broadcast HashedRelation's size is
           // allocated in TaskMemoryManager pages whose size derives from
