@@ -30,6 +30,25 @@ object SparkEnv {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // (Round-17 negative result, left at the default true:
+      // coalescePartitions.parallelismFirst=false — Spark's own doc
+      // recommendation — was measured over the full sweep and SERIALIZED
+      // the 1–64 MB stages whose per-row compute is the product:
+      // q_shared_passages' fingerprint window 1.8→6.1 s, q_skyline
+      // 2.0→3.4 s, q_bootstrap_ci 1.8→2.9 s. The sub-MB iterative-graph
+      // shuffles it was meant to shrink already coalesce to one task
+      // under parallelismFirst via the 1 MiB minPartitionSize.)
+      //
+      // Let AQE optimize CACHED plans too (round 17): with the default
+      // `false`, every InMemoryRelation materializes at the static
+      // shuffle.partitions width — all the family caches pinned 32
+      // partitions of kilobytes each, so every cache-reading stage paid
+      // 32 tasks of fixed overhead per query. AQE inside the cache build
+      // coalesces to the advisory size; the trade (cached output
+      // partitioning may stop matching a downstream join's demand) costs
+      // an exchange only where one was already being paid — measured
+      // whole-sweep before committing.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // native vector expressions (graft_dot / graft_cosine) in every session

@@ -1460,7 +1460,7 @@ object Dedup {
     // union form re-evaluated the whole uncached edge pipeline (LSH
     // candidate join + Jaccard verify + star build) four times while this
     // cache materialized — measured 4x this form's build time at sf0.1.
-    val edges = cached(
+    val edgesGrain = cached(
       pairs
         .select(
           explode(
@@ -1474,6 +1474,18 @@ object Dedup {
         )
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
     )
+    // Plan truncation UNDER the cache (round 17, guide §3.3/§7.3 "very
+    // large plans: planning time itself becomes the bottleneck"): the
+    // cached edge frame still CARRIES the whole LSH+verify+star lineage
+    // in its logical plan — the q_cluster_survivors formatted plan was
+    // 21k lines — and every loop iteration re-analyzes that tree twice
+    // (the stepped cache + the labelSum action). StageProbe r17: only
+    // ~0.8 s of q_cluster_survivors' 3.3 s was stage wall; the rest was
+    // the driver planning. The eager localCheckpoint reads the tiny
+    // pair-bounded grain out of the cache once and hands the loop a
+    // constant-depth LogicalRDD; the cache itself stays keyed on the
+    // logical plan, so the family sharing across queries is unchanged.
+    val edges = edgesGrain.localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
         .first()

@@ -79,11 +79,22 @@ object GraphQueries {
         ).as("e")
       )
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // Size-derived edge-grain partitioning (guide §2.2; Grain scaladoc):
+    // every superstep's SMJ aligns the rank frame to adj's partition
+    // count, so the session default (32) multiplied into 5 iterations of
+    // 32-task stages over a sub-MB grain — StageProbe r17 attributed most
+    // of q_pagerank's wall to that scheduling, and the driver's 8-cpu run
+    // beat 32-cpu 0.55× (PERF_r16). The explicit repartition satisfies
+    // the outdeg window's ClusteredDistribution(src), so it REPLACES the
+    // window's exchange rather than adding one; at 100 TB the formula
+    // yields thousands of partitions.
     val adj = graft.core.Cached.frame(
-      edges.withColumn(
-        "outdeg",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src"))
-      )
+      edges
+        .repartition(graft.core.Grain.sized(edges), col("src"))
+        .withColumn(
+          "outdeg",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src"))
+        )
     )
     val nodes = adj.select(col("src").as("node")).distinct()
     // 1-row cache: every iteration's damping term references nN, and the
@@ -186,6 +197,14 @@ object GraphQueries {
   private[graft] def lpSymEdges(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
+    // NOT src-repartitioned (round-17 negative result): a src-keyed sorted
+    // cache was built and measured — label prop 2.53→2.86 s, k-core
+    // 2.48→3.61 s, BFS 1.35→1.79 s at sf0.1/32c — because the per-round
+    // SMJs do not reuse the cached partitioning across the checkpoint
+    // boundary (each round's probe side is a LogicalRDD with unknown
+    // partitioning, so EnsureRequirements re-exchanges BOTH sides) and the
+    // extra exchange+sort at cache build is pure cost. Reverted; the plain
+    // cache stands.
     graft.core.Cached.frame(
       graft.ext.Similarity
         .mutualKnnEdges(s, dir)
@@ -354,6 +373,13 @@ object GraphQueries {
       // discipline — alive is derived from deg, which references the
       // previous alive twice, so the analyzed plan would grow 2^K without
       // truncation; the checkpoint is |alive| rows per round.
+      // (Round-17 negative result, kept as the original shape: counting by
+      // dst — legal by the symmetry of sym and of the alive predicate — to
+      // reuse the second join's exchange was built and MEASURED WORSE,
+      // 2.48 → 3.7 s at sf0.1/32c: the eliminated aggregate exchange was
+      // also the AQE coalesce point, so the per-round checkpoint kept the
+      // join's width and every later round paid more tasks than the
+      // exchange cost.)
       deg = sym
         .join(alive.withColumnRenamed("v", "src"), "src")
         .join(alive.withColumnRenamed("v", "dst"), "dst")
@@ -599,6 +625,15 @@ object GraphQueries {
     */
   val HitsScale = 1000000000L
 
+  /** Per-half-step score-frame broadcast cutoff (guide §3.1): at or below
+    * this many nodes the |V|-sized score frame broadcasts (~16 MB framed at
+    * the cutoff — bounded driver/executor cost) and the cached |E| grain is
+    * never exchanged; above it the half-step falls back to a merge SMJ,
+    * since a corpus-scale node set cannot broadcast. Decided per side from
+    * node counts measured once at construction.
+    */
+  val HitsBroadcastNodes = 1000000L
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
     * supplier→part relation observed in lineitem — the second classic
     * iterative-MapReduce ranking next to [[pagerank]], and the one whose
@@ -611,9 +646,16 @@ object GraphQueries {
     * square root; L1 is the standard integer-exact substitute and keeps
     * the same fixpoint direction).
     *
-    * Scale shape: the distinct edge set builds once and is cached (the
-    * bucketed-edge-table production analog); each half-step is one
-    * |E|-join + one partial+final sum onto the |V| grain, and the
+    * Scale shape: the distinct edge set builds once and is cached; each
+    * half-step attaches the |V|-sized score frame to it by a MEASURED
+    * size decision (§3.1 "pick the join strategy deliberately"): below
+    * [[HitsBroadcastNodes]] nodes the score frame broadcasts — the cached
+    * edge grain is then never exchanged at all, the cheapest possible
+    * half-step — and above it the join falls back to a merge SMJ (a
+    * billion-node score frame cannot broadcast). The two node counts come
+    * from ONE bounded driver read at construction, which also folds the
+    * h0 seed divisor in as a literal. Each half-step ends in one
+    * partial+final sum onto the |V| grain, and the
     * normalizer is a 1-row aggregate broadcast back via
     * `crossJoin(broadcast(...))` — the house keyless-window replacement,
     * here exercised PER SUPERSTEP. Each normalized frame references its
@@ -624,20 +666,66 @@ object GraphQueries {
     * truncates it. Top-20 per side is two TakeOrderedAndProject heaps
     * under a total (score, node) order.
     */
+  /** The cached distinct supplier→part edge set plus its two node counts
+    * (ONE bounded driver read) — shared by the registered query and the
+    * plan-golden pin on the half-step shape.
+    */
+  private[graft] def hitsEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Long, Long) = {
+    val e = graft.core.Cached.frame(
+      Tables(s, dir).lineitem
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+    )
+    val cnts = e.agg(countDistinct("s").as("ns"), countDistinct("p").as("np")).first()
+    (e, cnts.getLong(0), cnts.getLong(1))
+  }
+
+  /** The uniform seed frame: h0(s) = SCALE div |S| with the divisor folded
+    * in as a literal from the one bounded driver read (same
+    * 1-row-through-the-driver footprint as the previous
+    * crossJoin(broadcast(agg)) at any scale, minus its plan machinery).
+    */
+  private[graft] def hitsSeed(
+      e: org.apache.spark.sql.DataFrame,
+      nSup: Long): org.apache.spark.sql.DataFrame =
+    e.select("s").distinct().select(col("s"), lit(HitsScale / nSup).as("v"))
+
+  /** One HITS half-step push (pre-checkpoint, pre-normalize): attach the
+    * |V|-sized score frame to the cached edge grain and partial+final sum
+    * onto the opposite node set. Join strategy is a MEASURED size decision
+    * (guide §3.1): StageProbe r17 caught the previous merge shape
+    * re-exchanging the cached |E| frame in EVERY half-step's job (the
+    * score side is a checkpoint LogicalRDD whose partitioning/size
+    * Catalyst cannot see, so the SMJ re-shuffled both sides); broadcasting
+    * the measured-small score frame leaves the edge grain entirely
+    * unshuffled per half-step, and past [[HitsBroadcastNodes]] the merge
+    * SMJ stands. Pinned in PlanGoldenSpec.
+    */
+  private[graft] def hitsPush(
+      e: org.apache.spark.sql.DataFrame,
+      scores: org.apache.spark.sql.DataFrame,
+      key: String,
+      nNodes: Long,
+      outKey: String): org.apache.spark.sql.DataFrame = {
+    val joined =
+      if (nNodes <= HitsBroadcastNodes) e.join(broadcast(scores), key)
+      else e.hint("merge").join(scores, key)
+    joined.groupBy(outKey).agg(sum("v").as("raw"))
+  }
+
   val hits: Q = Q(
     "q_hits",
     (s, dir) => {
-      val e = graft.core.Cached.frame(
-        Tables(s, dir).lineitem
-          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-          .distinct()
-      )
-      val nS = e.agg(countDistinct("s").as("n"))
-      var h = e
-        .select("s")
-        .distinct()
-        .crossJoin(broadcast(nS))
-        .select(col("s"), expr(s"${HitsScale}L div n").as("v"))
+      val (e, nSup, nPart) = hitsEdges(s, dir)
+      def push(
+          scores: org.apache.spark.sql.DataFrame,
+          key: String,
+          nNodes: Long,
+          outKey: String): org.apache.spark.sql.DataFrame =
+        hitsPush(e, scores, key, nNodes, outKey).localCheckpoint()
+      var h = hitsSeed(e, nSup)
       var a: org.apache.spark.sql.DataFrame = null
       // per-half-step normalizer: the raw frame is ALREADY materialized by
       // the eager localCheckpoint, so the global total is one bounded
@@ -650,11 +738,9 @@ object GraphQueries {
       def tot(raw: org.apache.spark.sql.DataFrame): Long =
         raw.agg(sum("raw").as("tot")).first().getLong(0)
       for (_ <- 1 to HitsIters) {
-        val rawA =
-          e.join(h, "s").groupBy("p").agg(sum("v").as("raw")).localCheckpoint()
+        val rawA = push(h, "s", nSup, "p")
         a = rawA.select(col("p"), expr(s"raw * ${HitsScale}L div ${tot(rawA)}L").as("v"))
-        val rawH =
-          e.join(a, "p").groupBy("s").agg(sum("v").as("raw")).localCheckpoint()
+        val rawH = push(a, "p", nPart, "s")
         h = rawH.select(col("s"), expr(s"raw * ${HitsScale}L div ${tot(rawH)}L").as("v"))
       }
       val hubs = h

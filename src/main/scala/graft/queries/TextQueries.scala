@@ -255,50 +255,65 @@ object TextQueries {
     * single IEEE divisions of exact integer counts, so they hash-match
     * cross-engine.
     *
-    * Shape: one explode per granularity feeding partial+final counts — the
-    * shuffle carries (doc_id, token, partial_count), never raw text. The
-    * bigram column zips two shifted slices of a materialized token array
+    * Shape (round 17, guide §2.4 "remove shuffles outright"): every
+    * statistic is PER-DOCUMENT, so nothing needs to leave the row — the
+    * previous two explode→(doc,token) groupBy chains shuffled the whole
+    * token grain twice and joined the halves back (4 exchanges + a join;
+    * StageProbe r17 measured ~90% of the query's wall there). All five
+    * values now fold over the in-row token array: counts via
+    * `size`/`array_distinct`, the max word multiplicity as a run-length
+    * `aggregate` over the SORTED array (exact: equal tokens are adjacent
+    * after `array_sort`), bigrams via the same shifted-slice `zip_with`
     * (an `element_at(toks, i)` lambda would re-split the text per element —
-    * the O(tokens²) HOF trap). Docs with <2 tokens keep a row with null
-    * bigram stats via the left join.
+    * the O(tokens²) HOF trap). Zero exchanges before the verification
+    * sort, at any corpus scale. Docs with <2 tokens keep their null
+    * bigram stats via the guarded `when`.
     */
   val repetition: Q = Q(
     "q_repetition",
     (s, dir) => {
-      val docs = Tables(s, dir).documents
-      val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("w"))
-      val wordStats = toks
-        .groupBy("doc_id", "w")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"), max("c").as("top_cnt"))
-      val t = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("toks"))
-      val bigrams = t.select(
-        col("doc_id"),
-        explode(
-          when(
-            size(col("toks")) >= 2,
-            zip_with(
-              slice(col("toks"), lit(1), size(col("toks")) - 1),
-              slice(col("toks"), lit(2), size(col("toks")) - 1),
-              (a, b) => concat_ws(" ", a, b)
-            )
-          ).otherwise(array().cast("array<string>"))
-        ).as("g")
+      // Spread before the per-row folds (the r16 single-row-group lesson):
+      // the fixture scan plans ONE task, and with every statistic now
+      // computed in-row the whole query would serialize on one core
+      // (StageProbe r17: 0.58 s + 0.84 s single-task stages). Identity on
+      // any healthy multi-split layout.
+      val docs = graft.core.Spread.compute(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")))
+      val toks = split(lower(col("text")), " ", -1)
+      // max multiplicity = longest equal-run in the sorted array: fold
+      // (prev, run, top) over elements; exact integer, matches max(count)
+      val top = aggregate(
+        array_sort(toks),
+        struct(
+          lit(null).cast("string").as("prev"),
+          lit(0L).as("run"),
+          lit(0L).as("top")
+        ),
+        (acc, x) => {
+          val run =
+            when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"), greatest(acc.getField("top"), run).as("top"))
+        },
+        acc => acc.getField("top")
       )
-      val biStats = bigrams
-        .groupBy("doc_id", "g")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_bi"), count(lit(1)).as("nd_bi"))
-      wordStats
-        .join(biStats, Seq("doc_id"), "left")
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)
+      )
+      val nWords = size(toks).cast("long")
+      val nDist  = size(array_distinct(toks)).cast("long")
+      val nBi    = (size(toks) - 1).cast("long")
+      val ndBi   = size(array_distinct(bigrams)).cast("long")
+      docs
         .select(
           col("doc_id"),
-          col("n_words"),
-          ((col("n_words") - col("n_distinct")).cast("double") / col("n_words")).as("dup_word_frac"),
-          (col("top_cnt").cast("double") / col("n_words")).as("top_word_frac"),
-          ((col("n_bi") - col("nd_bi")).cast("double") / col("n_bi")).as("dup_bigram_frac")
+          nWords.as("n_words"),
+          ((nWords - nDist).cast("double") / nWords).as("dup_word_frac"),
+          (top.cast("double") / nWords).as("top_word_frac"),
+          when(size(toks) >= 2, (nBi - ndBi).cast("double") / nBi)
+            .otherwise(lit(null).cast("double"))
+            .as("dup_bigram_frac")
         )
         .orderBy("doc_id")
     },
@@ -1119,7 +1134,7 @@ object TextQueries {
       bpeIters: Int): (Seq[(Long, String, Long)], DataFrame) = {
     val tf    = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
     val words = tf.groupBy("term").agg(sum("tf").as("f"))
-    // Per-iteration EAGER localCheckpoint, not a persist() ladder: each
+    // Per-iteration LAZY localCheckpoint, not a persist() ladder: each
     // persist chained the previous InMemoryRelation inside the next plan's
     // string form, and at K=32 the driver spent MINUTES in
     // generateTreeString alone (the 4^K label-prop lesson, caught a third
@@ -1128,6 +1143,13 @@ object TextQueries {
     // constant depth, so per-iteration analysis cost is flat in K; blocks
     // of dropped iterations are reclaimed by the ContextCleaner, the same
     // contract as the graph family's ladders (queries/Graph.scala).
+    // LAZY (round 17, guide §1.2 per-task work after shape): the segment-
+    // replace chain is a pure projection — zero exchanges — so toRdd
+    // builds the checkpoint-marked RDD without running anything, and the
+    // NEXT argmax action materializes it as part of its own job. The
+    // previous eager form paid a separate checkpoint job per iteration
+    // (StageProbe r17: 2 jobs/iteration → 1), and the final vocab's last
+    // replace never runs at all for the merge-list consumer.
     var vocab = words
       .filter(length(col("term")) >= 2)
       .select(
@@ -1142,7 +1164,7 @@ object TextQueries {
         ).as("w"),
         col("f")
       )
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (k <- 1 to bpeIters) {
       val top = vocab
@@ -1167,9 +1189,37 @@ object TextQueries {
           "w",
           call_function("replace", col("w"), lit(s" $a  $b "), lit(s" $a$b "))
         )
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     (merges.toSeq, vocab)
+  }
+
+  /** Vocab-side broadcast cutoff for the BPE apply join: a trained vocab
+    * under this many word types (~tens of MB framed) broadcasts, so the
+    * corpus-sized tf grain is never exchanged (guide §3.1 — the checkpointed
+    * vocab is a LogicalRDD whose size Catalyst cannot estimate, so the
+    * planner's default is an SMJ that shuffles BOTH sides by term;
+    * StageProbe r17 measured that tf exchange as the apply join's whole
+    * cost). Above the cutoff — corpora whose word-type count outgrows a
+    * sane broadcast (Heaps' law at extreme scale) — the SMJ stands. The
+    * one count job is memoized per trained vocab ([[graft.core.Cached.count]])
+    * and doubles as the lazy checkpoint's materialization action.
+    */
+  private val VocabBroadcastRows = 1000000L
+
+  /** The BPE apply join both consumers share: attach each term's trained
+    * symbol count to the tf grain, broadcasting the vocab side when the
+    * MEASURED vocab is small enough (measure-then-decide, the LSH-plane
+    * precedent).
+    */
+  private def withBpeSymbols(tf: DataFrame, vocab: DataFrame): DataFrame = {
+    val perTerm = vocab.select(
+      col("term"),
+      size(split(trim(col("w")), "  ")).cast("long").as("n_sym")
+    )
+    val side =
+      if (graft.core.Cached.count(vocab) <= VocabBroadcastRows) broadcast(perTerm) else perTerm
+    tf.join(side, Seq("term"), "left")
   }
 
   val bpeMerges: Q = Q(
@@ -1253,11 +1303,7 @@ object TextQueries {
     (s, dir) => {
       val (_, vocab) = bpeTrain(s, dir)
       val tf         = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
-      val perTerm = vocab.select(
-        col("term"),
-        size(split(trim(col("w")), "  ")).cast("long").as("n_sym")
-      )
-      tf.join(perTerm, Seq("term"), "left")
+      withBpeSymbols(tf, vocab)
         .groupBy("doc_id")
         .agg(
           sum(col("tf") * coalesce(col("n_sym"), length(col("term")).cast("long")))
@@ -1288,12 +1334,7 @@ object TextQueries {
     (s, dir) => {
       val (_, vocab) = bpeTrain(s, dir)
       val tf         = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
-      val perTerm = vocab.select(
-        col("term"),
-        size(split(trim(col("w")), "  ")).cast("long").as("n_sym")
-      )
-      val perDoc = tf
-        .join(perTerm, Seq("term"), "left")
+      val perDoc = withBpeSymbols(tf, vocab)
         .groupBy("doc_id")
         .agg(
           sum(col("tf") * coalesce(col("n_sym"), length(col("term")).cast("long")))
@@ -1427,20 +1468,32 @@ object TextQueries {
   val cooccur: Q = Q(
     "q_cooccur",
     (s, dir) => {
-      val tf  = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
-      val n   = tf.agg(countDistinct("doc_id").as("n_docs"))
+      val tf = graft.core.Cached.frame(docTermTf(Tables(s, dir).documents))
+      // 1-row cache (the pagerank nN precedent): n is referenced by all
+      // three keep-broadcasts plus the final lift crossJoin, and each
+      // BroadcastExchange materializes its own subtree — StageProbe r17
+      // counted the uncached countDistinct's tf exchange (589 KB, 82k
+      // rows) re-executed 4x per run on identical values.
+      val n   = graft.core.Cached.frame(tf.agg(countDistinct("doc_id").as("n_docs")))
       val dfu = tf.groupBy("term").agg(count(lit(1)).as("df"))
       graft.core.Cached.frame(dfu) // cap filter + both dim joins
       val keep = dfu.crossJoin(broadcast(n)).filter(expr("df * 10 <= n_docs * 8"))
       val wCap = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(md5(col("term").cast("binary")), col("term"))
-      val kept = tf
-        .join(broadcast(keep.select("term")), "term")
-        .select("doc_id", "term")
-        .withColumn("rn", row_number().over(wCap))
-        .filter(col("rn") <= CooccurDocTerms)
-        .drop("rn")
+      // cached: the self-join references this grain on BOTH sides, and
+      // Catalyst does not dedup the subtrees — the md5 window ran twice
+      // (StageProbe r17: 2 x ~6 s executor time at sf0.1). The cache is
+      // doc_id-partitioned and (doc_id, ...)-sorted by the window's own
+      // exchange+sort, so the self-join's SMJ reads both sides exchange-
+      // AND sort-free.
+      val kept = graft.core.Cached.frame(
+        tf.join(broadcast(keep.select("term")), "term")
+          .select("doc_id", "term")
+          .withColumn("rn", row_number().over(wCap))
+          .filter(col("rn") <= CooccurDocTerms)
+          .drop("rn")
+      )
       kept
         .alias("a")
         .join(

@@ -57,7 +57,13 @@ class PlanGoldenSpec extends SparkSpec {
     // to a per-superstep |E| broadcast must show as a diff) and
     // bootstrap_ci's Spread exchange on the 32× md5 fan-out
     "q_pagerank",
-    "q_bootstrap_ci"
+    "q_bootstrap_ci",
+    // round 17: the HITS half-step push — the registered query's final
+    // frame is checkpoint-truncated, so this BuildPlans entry pins the
+    // plan every half-step executes: score-frame BroadcastHashJoin with
+    // ZERO exchange on the cached edge side (a flip back to the
+    // both-sides-reshuffled SMJ must show as a diff)
+    "q_hits"
   )
 
   private def goldenFile(name: String) =
@@ -69,6 +75,9 @@ class PlanGoldenSpec extends SparkSpec {
         line
           .replaceAll("#\\d+", "#x")                     // expression ids
           .replaceAll("plan_id=\\d+", "plan_id=x")       // plan ids
+          // checkpoint-backed LogicalRDD leaves print their RDD id, which
+          // is a session counter — run-dependent, like exprIds
+          .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
           // typed-API closures print as JVM lambda identities
           .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$x")
           .replaceAll("@[0-9a-f]+\\b", "@x")             // object identity hashes
@@ -138,6 +147,17 @@ class PlanGoldenSpec extends SparkSpec {
           graft.core.Tables(s, dir).embeddings
             .select(col("vec_id").as("node"), col("vec_id").as("lbl"))
         )
+      }),
+      // the registered query's frames are checkpoint-truncated; the plan
+      // that matters is the half-step push every iteration re-executes
+      "q_hits" -> ((s, dir) => {
+        val (e, nSup, _) = graft.queries.GraphQueries.hitsEdges(s, dir)
+        graft.queries.GraphQueries.hitsPush(
+          e,
+          graft.queries.GraphQueries.hitsSeed(e, nSup),
+          "s",
+          nSup,
+          "p")
       })
     )
 
