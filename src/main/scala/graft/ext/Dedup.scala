@@ -1624,6 +1624,14 @@ object Dedup {
       // sentinel rows are the pairs the unbounded version would have
       // filtered on rel. The double filter is kept for the emitted rel.
       candidatePairs(docs)
+        // spread before the O(len²) per-pair verify (the minhashEstimate
+        // discipline): the candidate frame is byte-small, so AQE coalesces
+        // it onto a handful of tasks and the banded Levenshtein then runs
+        // nearly serial (measured r17: 0.57 → 2.28 s when the family
+        // caches narrowed under AQE). A user-NUMBERED repartition is
+        // exempt from coalescing; keying by d1 lets the first text join
+        // reuse the exchange.
+        .repartition(s.sparkContext.defaultParallelism, col("d1"))
         .join(texts.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(texts.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
         .withColumn(
